@@ -1,0 +1,160 @@
+"""Host-side tokenization.
+
+Tokenization stays on the host (reference keeps it inside HF models via the
+Rust ``tokenizers`` wheel — SURVEY.md §0 table row "Tokenization"). The engine
+only needs two capabilities from a tokenizer:
+
+1. ``encode_with_offsets`` — token ids plus character spans, used by the
+   hierarchical chunker to cut chunk *text* at token boundaries
+   (replaces LlamaIndex node parsers, reference indexing/builder.py:383-418).
+2. ``encode_batch`` — padded id/mask arrays for the TPU encoder.
+
+Two implementations:
+
+* :class:`HFTokenizer` — wraps a HuggingFace ``tokenizers`` fast tokenizer
+  loaded from a local ``tokenizer.json`` (the real XLM-R sentencepiece vocab
+  for BGE-M3 when model files are present on disk).
+* :class:`SimpleTokenizer` — deterministic, dependency-free fallback used in
+  tests and offline environments: regex word/punct split, stable-hash ids.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from dataclasses import dataclass
+from typing import Protocol, Sequence
+
+import numpy as np
+
+
+class Tokenizer(Protocol):
+    """Minimal tokenizer interface the engine depends on."""
+
+    vocab_size: int
+    pad_id: int
+    cls_id: int
+    sep_id: int
+
+    def encode_with_offsets(self, text: str) -> tuple[list[int], list[tuple[int, int]]]:
+        """Token ids and [start, end) character offsets, no special tokens."""
+        ...
+
+    def encode(self, text: str) -> list[int]:
+        ...
+
+    def encode_batch(
+        self, texts: Sequence[str], max_length: int, pair: Sequence[str] | None = None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Return (ids, mask) int32 arrays of shape (B, max_length)."""
+        ...
+
+
+_WORD_RE = re.compile(r"\w+|[^\w\s]", re.UNICODE)
+
+
+@dataclass
+class SimpleTokenizer:
+    """Deterministic offline tokenizer: regex split + stable hash ids.
+
+    Ids 0..4 are reserved: pad=0, cls=1, sep=2, unk=3, mask=4 (mirrors the
+    XLM-R special-token layout so batch-shaping code is identical for both
+    tokenizers).
+    """
+
+    vocab_size: int = 250002
+    pad_id: int = 0
+    cls_id: int = 1
+    sep_id: int = 2
+    unk_id: int = 3
+    mask_id: int = 4
+    n_special: int = 5
+
+    def _token_id(self, token: str) -> int:
+        h = hashlib.blake2b(token.lower().encode("utf-8"), digest_size=8).digest()
+        return self.n_special + int.from_bytes(h, "little") % (
+            self.vocab_size - self.n_special
+        )
+
+    def encode_with_offsets(self, text: str) -> tuple[list[int], list[tuple[int, int]]]:
+        ids: list[int] = []
+        offsets: list[tuple[int, int]] = []
+        for m in _WORD_RE.finditer(text):
+            ids.append(self._token_id(m.group(0)))
+            offsets.append((m.start(), m.end()))
+        return ids, offsets
+
+    def encode(self, text: str) -> list[int]:
+        return self.encode_with_offsets(text)[0]
+
+    def encode_batch(
+        self, texts: Sequence[str], max_length: int, pair: Sequence[str] | None = None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        return _batch_encode(self, texts, max_length, pair)
+
+
+class HFTokenizer:
+    """HuggingFace fast-tokenizer wrapper (local files only, no network)."""
+
+    def __init__(self, path: str):
+        from tokenizers import Tokenizer as _RustTokenizer
+
+        self._tok = _RustTokenizer.from_file(path)
+        self.vocab_size = self._tok.get_vocab_size()
+        vocab = self._tok.get_vocab()
+        self.pad_id = vocab.get("<pad>", 1)
+        self.cls_id = vocab.get("<s>", 0)
+        self.sep_id = vocab.get("</s>", 2)
+
+    def encode_with_offsets(self, text: str) -> tuple[list[int], list[tuple[int, int]]]:
+        enc = self._tok.encode(text, add_special_tokens=False)
+        return list(enc.ids), [tuple(o) for o in enc.offsets]
+
+    def encode(self, text: str) -> list[int]:
+        return self.encode_with_offsets(text)[0]
+
+    def encode_batch(
+        self, texts: Sequence[str], max_length: int, pair: Sequence[str] | None = None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        return _batch_encode(self, texts, max_length, pair)
+
+
+def _batch_encode(
+    tok, texts: Sequence[str], max_length: int, pair: Sequence[str] | None
+) -> tuple[np.ndarray, np.ndarray]:
+    """Shared CLS/SEP batch shaping: ``<s> a </s>`` or ``<s> a </s></s> b </s>``.
+
+    Pair layout matches XLM-R cross-encoder inputs (query, doc) used by the
+    reranker (reference model_manager.py:333-337 delegates this to
+    sentence-transformers; here it is explicit).
+    """
+    bsz = len(texts)
+    ids = np.full((bsz, max_length), tok.pad_id, dtype=np.int32)
+    mask = np.zeros((bsz, max_length), dtype=np.int32)
+    for i, text in enumerate(texts):
+        a = tok.encode(text)
+        if pair is None:
+            seq = [tok.cls_id] + a[: max_length - 2] + [tok.sep_id]
+        else:
+            b = tok.encode(pair[i])
+            # Budget: favour the query (a) up to half, rest to the doc.
+            a_budget = min(len(a), max(1, (max_length - 4) // 2))
+            b_budget = max_length - 4 - a_budget
+            seq = (
+                [tok.cls_id]
+                + a[:a_budget]
+                + [tok.sep_id, tok.sep_id]
+                + b[:b_budget]
+                + [tok.sep_id]
+            )
+        seq = seq[:max_length]
+        ids[i, : len(seq)] = seq
+        mask[i, : len(seq)] = 1
+    return ids, mask
+
+
+def load_tokenizer(path: str | None = None) -> Tokenizer:
+    """Load the real tokenizer from a local file, else the offline fallback."""
+    if path is not None:
+        return HFTokenizer(path)
+    return SimpleTokenizer()

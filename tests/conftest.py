@@ -1,0 +1,45 @@
+"""Test harness configuration.
+
+All tests run on the CPU backend with 8 virtual devices so that sharding /
+mesh logic is exercised without TPU hardware (mirrors the reference's strategy
+of mocking heavy externals while testing real logic — reference
+tests/conftest.py:54-69,263-299).
+
+IMPORTANT: env vars must be set before jax initializes its backends, which is
+why this block sits at the very top of conftest, before any project import.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+@pytest.fixture
+def tiny_tokenizer():
+    from tensortruth_tpu.tokenization import SimpleTokenizer
+
+    return SimpleTokenizer()
+
+
+@pytest.fixture
+def sample_text():
+    # Deterministic multi-paragraph text, long enough to produce a
+    # multi-level hierarchy with small chunk sizes.
+    paras = []
+    for i in range(40):
+        words = [f"w{i}_{j}" for j in range(60)]
+        paras.append(f"Paragraph {i} about topic {i % 7}. " + " ".join(words) + ".")
+    return "\n\n".join(paras)
