@@ -1,0 +1,177 @@
+"""Fused matmul + top-k cosine-similarity retrieval kernels.
+
+This is the TPU-native replacement for the reference's ChromaDB HNSW search
+(reference rag_engine.py:628-637, builder.py:424-426). Instead of a C++ graph
+index, the embedding matrix lives in HBM and every query batch runs one fused
+scan: ``scores = Q @ E^T`` tiled onto the MXU with an in-VMEM candidate
+reduction riding along, so the full (B, N) score matrix never touches HBM.
+
+Design (cf. TPU-KNN "K Nearest Neighbor Search at Peak FLOP/s"):
+
+* Grid over row-tiles of E. Per tile the kernel computes ``(B, TILE_N)``
+  scores on the MXU, then reduces each row to ``TILE_N / m`` *strided
+  bucket maxima* (+ their global row indices) with ``m`` unrolled VPU max
+  passes — no reshape, no sort, O(TILE_N) work per row.
+* Buckets are strided (bucket ``j`` holds columns ``{j, j+C, j+2C, …}``), so
+  adjacent chunks of the same document — the common correlated-score case —
+  land in *different* buckets, minimising top-k collisions.
+* The host-visible output is ``(B, N/m)`` candidates; an exact
+  ``jax.lax.top_k`` over the candidates finishes the job. A top-k item is
+  lost only when a strictly better item shares its m-bucket: for k=10,
+  N=1M, m=16 the expected loss is ~7e-4 items per query (recall@10
+  ≈ 0.99993). ``m=1`` degenerates to exact search.
+
+``exact_topk`` is the XLA reference path (full score matrix + lax.top_k) used
+for parity tests and as the small-N fallback.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = float("-inf")
+
+
+def _is_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def exact_topk(q: jax.Array, emb: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
+    """Exact brute-force: full (B, N) score matrix, XLA top_k.
+
+    q: (B, D) normalized queries; emb: (N, D) normalized corpus.
+    Returns (scores (B, k) f32, indices (B, k) i32).
+    """
+    scores = jax.lax.dot_general(
+        q,
+        emb,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    vals, idx = jax.lax.top_k(scores, k)
+    return vals, idx.astype(jnp.int32)
+
+
+def _fused_kernel(q_ref, e_ref, vals_ref, idx_ref, *, tile_n: int, m: int, n_actual: int):
+    """One grid step: score a TILE_N row-tile of E, emit bucket maxima."""
+    c = tile_n // m  # candidates per tile
+    tile_start = pl.program_id(0) * tile_n
+
+    # (B, TILE_N) scores on the MXU, f32 accumulation.
+    s = jax.lax.dot_general(
+        q_ref[:],
+        e_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    b = s.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (b, c), 1)
+
+    # Strided bucket max+argmax: segment i covers columns [i*C, (i+1)*C);
+    # bucket j = {j, j+C, ..., j+(m-1)C}. Unrolled m-pass VPU reduction.
+    best_vals = jnp.full((b, c), NEG_INF, dtype=jnp.float32)
+    best_idx = jnp.zeros((b, c), dtype=jnp.int32)
+    for i in range(m):
+        seg = s[:, i * c : (i + 1) * c]
+        gidx = tile_start + i * c + col
+        seg = jnp.where(gidx < n_actual, seg, NEG_INF)  # mask padded rows
+        take = seg > best_vals
+        best_vals = jnp.where(take, seg, best_vals)
+        best_idx = jnp.where(take, gidx, best_idx)
+
+    vals_ref[:] = best_vals
+    idx_ref[:] = best_idx
+
+
+@functools.partial(jax.jit, static_argnames=("k", "m", "tile_n", "interpret"))
+def fused_topk(
+    q: jax.Array,
+    emb: jax.Array,
+    k: int,
+    m: int = 16,
+    tile_n: int = 2048,
+    interpret: bool | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Fused matmul + bucketed top-k. Same signature/returns as exact_topk.
+
+    ``m`` is the bucket size (recall knob, m=1 exact); ``tile_n`` the E-row
+    tile per grid step. q is (B, D); emb (N, D) — both L2-normalized, any
+    float dtype (bf16 recommended on TPU). Mosaic requires the per-tile
+    candidate count ``tile_n // m`` to be a lane multiple (128).
+    """
+    if interpret is None:
+        interpret = not _is_tpu()
+    b, d = q.shape
+    n, d2 = emb.shape
+    assert d == d2, (q.shape, emb.shape)
+    assert tile_n % m == 0
+    if (tile_n // m) % 128 != 0:
+        raise ValueError(
+            f"tile_n//m must be a multiple of 128 lanes, got {tile_n}//{m}"
+            f"={tile_n // m}"
+        )
+
+    # Pad B to the sublane multiple, N to a tile multiple.
+    b_pad = -(-b // 16) * 16
+    n_pad = -(-n // tile_n) * tile_n
+    if b_pad != b:
+        q = jnp.pad(q, ((0, b_pad - b), (0, 0)))
+    if n_pad != n:
+        emb = jnp.pad(emb, ((0, n_pad - n), (0, 0)))
+
+    num_tiles = n_pad // tile_n
+    c = tile_n // m
+
+    kernel = functools.partial(_fused_kernel, tile_n=tile_n, m=m, n_actual=n)
+    cand_vals, cand_idx = pl.pallas_call(
+        kernel,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec((b_pad, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((b_pad, c), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_pad, c), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b_pad, num_tiles * c), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, num_tiles * c), jnp.int32),
+        ],
+        interpret=interpret,
+    )(q, emb)
+
+    k_eff = min(k, cand_vals.shape[1])
+    top_vals, top_pos = jax.lax.top_k(cand_vals, k_eff)
+    top_idx = jnp.take_along_axis(cand_idx, top_pos, axis=1)
+    if k_eff < k:  # fewer candidates than k: pad with -inf / -1
+        top_vals = jnp.pad(top_vals, ((0, 0), (0, k - k_eff)), constant_values=NEG_INF)
+        top_idx = jnp.pad(top_idx, ((0, 0), (0, k - k_eff)), constant_values=-1)
+    return top_vals[:b], top_idx[:b]
+
+
+def topk_search(
+    q: jax.Array,
+    emb: jax.Array,
+    k: int,
+    *,
+    exact: bool = False,
+    m: int = 16,
+    tile_n: int = 2048,
+) -> tuple[jax.Array, jax.Array]:
+    """Dispatch: exact path for tiny corpora / exact=True, fused otherwise."""
+    n = emb.shape[0]
+    if exact or n <= 4096 or m == 1:
+        k_eff = min(k, n)
+        vals, idx = exact_topk(q, emb, k_eff)
+        if k_eff < k:
+            vals = jnp.pad(vals, ((0, 0), (0, k - k_eff)), constant_values=NEG_INF)
+            idx = jnp.pad(idx, ((0, 0), (0, k - k_eff)), constant_values=-1)
+        return vals, idx
+    return fused_topk(q, emb, k, m=m, tile_n=tile_n)

@@ -11,12 +11,20 @@ why this block sits at the very top of conftest, before any project import.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even when JAX_PLATFORMS is preset (e.g. to the axon TPU tunnel).
+# NOTE: the axon PJRT plugin ignores the env var, so the config.update call
+# below is the one that actually sticks; env vars are set first anyway so XLA
+# sees the host-device-count flag before backend init.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
