@@ -1,0 +1,196 @@
+"""Model lifecycle manager — the L0 model runtime.
+
+Re-designs the reference's ``ModelManager`` (reference
+services/model_manager.py:39-186: thread-safe singleton, exactly one embedder
++ one reranker resident, swap-on-mismatch with explicit unload, parameter-
+memory accounting :420-510) for the JAX runtime:
+
+* "unload" = dropping the param pytree references; XLA frees HBM when the
+  last reference dies (no torch.cuda.empty_cache equivalent needed).
+* model identity key = (model_id, dtype, max_length); a mismatch swaps the
+  resident model, matching reference :298-372 semantics.
+* loading resolves, in order: a local HF checkpoint directory (converted via
+  models/convert.py), else random-init weights at the requested architecture
+  (offline environments — this container has no network/HF cache).
+"""
+
+from __future__ import annotations
+
+import logging
+import threading
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+
+from tensortruth_tpu.models.embedder import Embedder
+from tensortruth_tpu.models.reranker import Reranker
+from tensortruth_tpu.models.xlmr import (
+    BGE_M3_CONFIG,
+    BGE_RERANKER_V2_M3_CONFIG,
+    XLMRConfig,
+)
+from tensortruth_tpu.tokenization import load_tokenizer
+
+logger = logging.getLogger(__name__)
+
+DEFAULT_EMBEDDING_MODEL = "BAAI/bge-m3"
+DEFAULT_RERANKER_MODEL = "BAAI/bge-reranker-v2-m3"
+
+# Architectures known to this engine, keyed by HF model id. ``tiny-*`` ids
+# exist for tests/CI so suites never build 568M-param models.
+_EMBEDDER_ARCHS: dict[str, XLMRConfig] = {
+    DEFAULT_EMBEDDING_MODEL: BGE_M3_CONFIG,
+    "tiny-embedder": XLMRConfig(
+        vocab_size=512, hidden_size=64, num_layers=2, num_heads=4,
+        intermediate_size=128, max_position=130,
+    ),
+}
+_RERANKER_ARCHS: dict[str, XLMRConfig] = {
+    DEFAULT_RERANKER_MODEL: BGE_RERANKER_V2_M3_CONFIG,
+    "tiny-reranker": XLMRConfig(
+        vocab_size=512, hidden_size=64, num_layers=2, num_heads=4,
+        intermediate_size=128, max_position=130, num_labels=1,
+    ),
+}
+
+
+@dataclass
+class ModelSpec:
+    model_id: str
+    dtype: str = "bfloat16"
+    max_length: int = 512
+    local_dir: str | None = None  # local HF checkpoint to convert
+    tokenizer_path: str | None = None
+
+    def key(self) -> tuple:
+        return (self.model_id, self.dtype, self.max_length, self.local_dir)
+
+
+class ModelManager:
+    """Process-wide singleton: one embedder + one reranker resident at a time."""
+
+    _instance: "ModelManager | None" = None
+    _instance_lock = threading.Lock()
+
+    def __init__(self) -> None:
+        self._lock = threading.RLock()
+        self._embedder: Embedder | None = None
+        self._embedder_key: tuple | None = None
+        self._reranker: Reranker | None = None
+        self._reranker_key: tuple | None = None
+
+    @classmethod
+    def get_instance(cls) -> "ModelManager":
+        with cls._instance_lock:
+            if cls._instance is None:
+                cls._instance = cls()
+            return cls._instance
+
+    @classmethod
+    def reset_instance(cls) -> None:
+        with cls._instance_lock:
+            cls._instance = None
+
+    # -- embedder ------------------------------------------------------------
+
+    def get_embedder(self, spec: ModelSpec | None = None) -> Embedder:
+        spec = spec or ModelSpec(DEFAULT_EMBEDDING_MODEL)
+        with self._lock:
+            if self._embedder is not None and self._embedder_key == spec.key():
+                return self._embedder
+            if self._embedder is not None:
+                logger.info("swapping embedder %s -> %s", self._embedder_key, spec.key())
+                self._embedder = None  # release HBM before loading the new one
+            self._embedder = self._load_embedder(spec)
+            self._embedder_key = spec.key()
+            return self._embedder
+
+    def _load_embedder(self, spec: ModelSpec) -> Embedder:
+        cfg = _EMBEDDER_ARCHS.get(spec.model_id, BGE_M3_CONFIG)
+        dtype = getattr(jnp, spec.dtype)
+        tokenizer = load_tokenizer(spec.tokenizer_path)
+        if spec.local_dir:
+            from tensortruth_tpu.models.convert import convert_local_checkpoint
+
+            params = convert_local_checkpoint(
+                spec.local_dir, num_layers=cfg.num_layers, dtype=dtype
+            )
+            return Embedder(params, cfg, tokenizer, max_length=spec.max_length)
+        logger.warning(
+            "no local checkpoint for %s — using random-init weights", spec.model_id
+        )
+        return Embedder.random_init(
+            cfg, tokenizer, dtype=dtype, max_length=spec.max_length
+        )
+
+    # -- reranker ------------------------------------------------------------
+
+    def get_reranker(self, spec: ModelSpec | None = None) -> Reranker:
+        spec = spec or ModelSpec(DEFAULT_RERANKER_MODEL)
+        with self._lock:
+            if self._reranker is not None and self._reranker_key == spec.key():
+                return self._reranker
+            if self._reranker is not None:
+                logger.info("swapping reranker %s -> %s", self._reranker_key, spec.key())
+                self._reranker = None
+            self._reranker = self._load_reranker(spec)
+            self._reranker_key = spec.key()
+            return self._reranker
+
+    def _load_reranker(self, spec: ModelSpec) -> Reranker:
+        cfg = _RERANKER_ARCHS.get(spec.model_id, BGE_RERANKER_V2_M3_CONFIG)
+        dtype = getattr(jnp, spec.dtype)
+        tokenizer = load_tokenizer(spec.tokenizer_path)
+        if spec.local_dir:
+            from tensortruth_tpu.models.convert import convert_local_checkpoint
+
+            params = convert_local_checkpoint(
+                spec.local_dir, num_layers=cfg.num_layers,
+                num_labels=cfg.num_labels, dtype=dtype,
+            )
+            return Reranker(params, cfg, tokenizer, max_length=spec.max_length)
+        logger.warning(
+            "no local checkpoint for %s — using random-init weights", spec.model_id
+        )
+        return Reranker.random_init(
+            cfg, tokenizer, dtype=dtype, max_length=spec.max_length
+        )
+
+    # -- lifecycle / accounting (reference model_manager.py:385-510) ---------
+
+    def unload_all(self) -> None:
+        with self._lock:
+            self._embedder = None
+            self._embedder_key = None
+            self._reranker = None
+            self._reranker_key = None
+
+    def status(self) -> dict:
+        with self._lock:
+            def entry(model, key):
+                if model is None:
+                    return None
+                return {
+                    "key": list(key),
+                    "param_bytes": model.param_bytes(),
+                    "param_gb": round(model.param_bytes() / 2**30, 3),
+                }
+
+            devices = [
+                {"id": d.id, "platform": d.platform, "kind": d.device_kind}
+                for d in jax.devices()
+            ]
+            return {
+                "embedder": entry(self._embedder, self._embedder_key),
+                "reranker": entry(self._reranker, self._reranker_key),
+                "devices": devices,
+            }
+
+
+def register_embedder_arch(model_id: str, cfg: XLMRConfig) -> None:
+    _EMBEDDER_ARCHS[model_id] = cfg
+
+
+def register_reranker_arch(model_id: str, cfg: XLMRConfig) -> None:
+    _RERANKER_ARCHS[model_id] = cfg

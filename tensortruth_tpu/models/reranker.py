@@ -1,0 +1,95 @@
+"""Cross-encoder reranker runtime (BGE-reranker-v2-m3 architecture).
+
+TPU-native replacement for the reference's LlamaIndex
+``SentenceTransformerRerank`` (reference model_manager.py:333-337,
+rag_engine.py:711-726): each (query, doc) pair is scored by one forward pass
+through the XLM-R cross-encoder; sigmoid maps logits into [0, 1] — the scale
+the reference's confidence cutoffs (0.35 soft / 0.05 hard,
+config_schema.py:99-100) are defined on.
+
+Pairs are shaped into (batch-bucket, seq-bucket) padded batches so only a few
+programs ever compile; variable-length pairs bucket by the longest pair in
+the batch (SURVEY.md §7 hard part (f)).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tensortruth_tpu.models.xlmr import XLMRConfig, init_params, rerank_logits
+
+
+def _bucket(value: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if value <= b:
+            return b
+    return buckets[-1]
+
+
+class Reranker:
+    def __init__(
+        self,
+        params: dict,
+        cfg: XLMRConfig,
+        tokenizer,
+        max_length: int = 512,
+        batch_buckets: Sequence[int] = (16, 64),
+        seq_buckets: Sequence[int] = (256, 512),
+    ):
+        assert cfg.num_labels == 1, "reranker config needs num_labels=1"
+        self.params = params
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.max_length = max_length
+        self.batch_buckets = tuple(sorted(batch_buckets))
+        self.seq_buckets = tuple(sorted(set(min(b, max_length) for b in seq_buckets)))
+        self._fwd = jax.jit(partial(rerank_logits, cfg=cfg))
+
+    @classmethod
+    def random_init(
+        cls, cfg: XLMRConfig, tokenizer, seed: int = 0, dtype=jnp.bfloat16, **kw
+    ) -> "Reranker":
+        params = init_params(cfg, jax.random.PRNGKey(seed), dtype=dtype)
+        return cls(params, cfg, tokenizer, **kw)
+
+    def param_bytes(self) -> int:
+        return sum(x.size * x.dtype.itemsize for x in jax.tree_util.tree_leaves(self.params))
+
+    def score(self, query: str, docs: Sequence[str]) -> np.ndarray:
+        """Sigmoid relevance scores in [0, 1], shape (len(docs),) f32."""
+        if not docs:
+            return np.zeros((0,), dtype=np.float32)
+        max_batch = self.batch_buckets[-1]
+        out = np.empty((len(docs),), dtype=np.float32)
+        for start in range(0, len(docs), max_batch):
+            chunk = docs[start : start + max_batch]
+            out[start : start + len(chunk)] = self._score_batch(query, chunk)
+        return out
+
+    def _score_batch(self, query: str, docs: Sequence[str]) -> np.ndarray:
+        ids, mask = self.tokenizer.encode_batch(
+            [query] * len(docs), self.max_length, pair=list(docs)
+        )
+        real_len = int(mask.sum(axis=1).max())
+        seq = _bucket(real_len, self.seq_buckets)
+        bsz = _bucket(len(docs), self.batch_buckets)
+        ids_p = np.full((bsz, seq), self.tokenizer.pad_id, dtype=np.int32)
+        mask_p = np.zeros((bsz, seq), dtype=np.int32)
+        ids_p[: len(docs)] = ids[:, :seq]
+        mask_p[: len(docs)] = mask[:, :seq]
+        logits = self._fwd(self.params, jnp.asarray(ids_p), jnp.asarray(mask_p))
+        probs = jax.nn.sigmoid(logits[: len(docs)])
+        return np.asarray(probs, dtype=np.float32)
+
+    def rerank(
+        self, query: str, docs: Sequence[str], top_n: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Return (order, scores): indices of the top_n docs by score, desc."""
+        scores = self.score(query, docs)
+        order = np.argsort(-scores, kind="stable")[:top_n]
+        return order, scores

@@ -1,0 +1,100 @@
+import numpy as np
+import pytest
+
+from tensortruth_tpu.models.embedder import Embedder, _bucket
+from tensortruth_tpu.models.manager import ModelManager, ModelSpec
+from tensortruth_tpu.models.reranker import Reranker
+from tensortruth_tpu.models.xlmr import XLMRConfig
+from tensortruth_tpu.tokenization import SimpleTokenizer
+
+TINY_E = XLMRConfig(vocab_size=512, hidden_size=64, num_layers=2, num_heads=4,
+                    intermediate_size=128, max_position=130)
+TINY_R = XLMRConfig(vocab_size=512, hidden_size=64, num_layers=2, num_heads=4,
+                    intermediate_size=128, max_position=130, num_labels=1)
+
+
+@pytest.fixture(scope="module")
+def tok():
+    return SimpleTokenizer(vocab_size=512)
+
+
+@pytest.fixture(scope="module")
+def embedder(tok):
+    import jax.numpy as jnp
+    return Embedder.random_init(TINY_E, tok, dtype=jnp.float32, max_length=64,
+                                batch_buckets=(4, 8), seq_buckets=(16, 64))
+
+
+def test_bucket():
+    assert _bucket(3, (4, 8)) == 4
+    assert _bucket(5, (4, 8)) == 8
+    assert _bucket(100, (4, 8)) == 8
+
+
+def test_encode_shapes_and_norms(embedder):
+    texts = ["hello world", "a much longer text " * 3, "third"]
+    emb = embedder.encode(texts)
+    assert emb.shape == (3, 64)
+    np.testing.assert_allclose(np.linalg.norm(emb, axis=1), 1.0, atol=1e-5)
+
+
+def test_encode_empty(embedder):
+    assert embedder.encode([]).shape == (0, 64)
+
+
+def test_encode_batching_consistency(embedder):
+    """Results must not depend on how texts are batched/padded."""
+    texts = [f"text number {i} with words" for i in range(10)]
+    all_at_once = embedder.encode(texts)
+    one_by_one = np.stack([embedder.encode_one(t, is_query=False) for t in texts])
+    np.testing.assert_allclose(all_at_once, one_by_one, rtol=1e-4, atol=1e-4)
+
+
+def test_deterministic(embedder):
+    a = embedder.encode(["same input"])
+    b = embedder.encode(["same input"])
+    np.testing.assert_array_equal(a, b)
+
+
+def test_reranker_scores(tok):
+    import jax.numpy as jnp
+    rr = Reranker.random_init(TINY_R, tok, dtype=jnp.float32, max_length=64,
+                              batch_buckets=(4,), seq_buckets=(64,))
+    scores = rr.score("query text", ["doc one", "doc two", "doc three"])
+    assert scores.shape == (3,)
+    assert ((scores >= 0) & (scores <= 1)).all()
+    order, s2 = rr.rerank("query text", ["doc one", "doc two", "doc three"], top_n=2)
+    assert len(order) == 2
+    assert s2[order[0]] >= s2[order[1]]
+    np.testing.assert_allclose(scores, s2, rtol=1e-5)
+
+
+def test_reranker_empty(tok):
+    import jax.numpy as jnp
+    rr = Reranker.random_init(TINY_R, tok, dtype=jnp.float32, max_length=64)
+    assert rr.score("q", []).shape == (0,)
+
+
+def test_model_manager_singleton_and_swap():
+    ModelManager.reset_instance()
+    mgr = ModelManager.get_instance()
+    assert mgr is ModelManager.get_instance()
+
+    e1 = mgr.get_embedder(ModelSpec("tiny-embedder", dtype="float32", max_length=64))
+    e2 = mgr.get_embedder(ModelSpec("tiny-embedder", dtype="float32", max_length=64))
+    assert e1 is e2  # same key → resident model reused
+
+    e3 = mgr.get_embedder(ModelSpec("tiny-embedder", dtype="float32", max_length=32))
+    assert e3 is not e1  # key mismatch → swapped
+
+    st = mgr.status()
+    assert st["embedder"]["param_bytes"] > 0
+    assert st["reranker"] is None
+    assert st["devices"]
+
+    r = mgr.get_reranker(ModelSpec("tiny-reranker", dtype="float32", max_length=64))
+    assert mgr.status()["reranker"]["param_bytes"] > 0
+
+    mgr.unload_all()
+    assert mgr.status()["embedder"] is None
+    ModelManager.reset_instance()

@@ -1,0 +1,163 @@
+"""Numerical parity of the JAX XLM-R encoder vs HF torch on tiny random models.
+
+Mirrors the reference's strategy of testing retrieval logic against mocked
+models (reference tests/conftest.py:263-285) — but here the model itself is
+the unit under test, so we compare against the canonical torch implementation
+with identical random weights.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tensortruth_tpu.models.convert import convert_state_dict
+from tensortruth_tpu.models.xlmr import (
+    XLMRConfig,
+    cls_embed,
+    encoder_forward,
+    rerank_logits,
+)
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+TINY = dict(
+    vocab_size=512,
+    hidden_size=64,
+    num_hidden_layers=3,
+    num_attention_heads=4,
+    intermediate_size=128,
+    max_position_embeddings=130,
+    type_vocab_size=1,
+    pad_token_id=1,
+    layer_norm_eps=1e-5,
+)
+
+
+def _tiny_cfg(num_labels=0):
+    return XLMRConfig(
+        vocab_size=TINY["vocab_size"],
+        hidden_size=TINY["hidden_size"],
+        num_layers=TINY["num_hidden_layers"],
+        num_heads=TINY["num_attention_heads"],
+        intermediate_size=TINY["intermediate_size"],
+        max_position=TINY["max_position_embeddings"],
+        type_vocab_size=TINY["type_vocab_size"],
+        pad_token_id=TINY["pad_token_id"],
+        num_labels=num_labels,
+    )
+
+
+def _batch(rng, bsz=3, seq=17):
+    ids = rng.integers(5, TINY["vocab_size"], size=(bsz, seq)).astype(np.int32)
+    mask = np.ones((bsz, seq), dtype=np.int32)
+    # ragged padding
+    if bsz > 1:
+        mask[1, 10:] = 0
+    if bsz > 2:
+        mask[2, 5:] = 0
+    ids[mask == 0] = TINY["pad_token_id"]
+    return ids, mask
+
+
+@pytest.fixture(scope="module")
+def torch_model():
+    torch.manual_seed(0)
+    hf_cfg = transformers.XLMRobertaConfig(**TINY)
+    model = transformers.XLMRobertaModel(hf_cfg, add_pooling_layer=False)
+    model.eval()
+    return model
+
+
+def test_encoder_parity_f32(torch_model, rng):
+    ids, mask = _batch(rng)
+    with torch.no_grad():
+        ref = torch_model(
+            input_ids=torch.tensor(ids.astype(np.int64)),
+            attention_mask=torch.tensor(mask.astype(np.int64)),
+        ).last_hidden_state.numpy()
+
+    params = convert_state_dict(
+        torch_model.state_dict(), num_layers=TINY["num_hidden_layers"], dtype=jnp.float32
+    )
+    out = np.asarray(
+        encoder_forward(params, jnp.asarray(ids), jnp.asarray(mask), _tiny_cfg())
+    )
+    # padded positions are junk in both impls; compare valid tokens only
+    valid = mask.astype(bool)
+    np.testing.assert_allclose(out[valid], ref[valid], rtol=2e-4, atol=2e-4)
+
+
+def test_cls_embed_normalized_and_parallel_to_ref(torch_model, rng):
+    ids, mask = _batch(rng)
+    with torch.no_grad():
+        ref_cls = torch_model(
+            input_ids=torch.tensor(ids.astype(np.int64)),
+            attention_mask=torch.tensor(mask.astype(np.int64)),
+        ).last_hidden_state[:, 0].numpy()
+    ref_cls = ref_cls / np.linalg.norm(ref_cls, axis=1, keepdims=True)
+
+    params = convert_state_dict(
+        torch_model.state_dict(), num_layers=TINY["num_hidden_layers"], dtype=jnp.float32
+    )
+    emb = np.asarray(cls_embed(params, jnp.asarray(ids), jnp.asarray(mask), _tiny_cfg()))
+    np.testing.assert_allclose(np.linalg.norm(emb, axis=1), 1.0, atol=1e-5)
+    cos = (emb * ref_cls).sum(axis=1)
+    assert (cos > 0.9999).all(), cos
+
+
+def test_encoder_bf16_close_to_f32(torch_model, rng):
+    ids, mask = _batch(rng)
+    params32 = convert_state_dict(
+        torch_model.state_dict(), num_layers=TINY["num_hidden_layers"], dtype=jnp.float32
+    )
+    params16 = convert_state_dict(
+        torch_model.state_dict(), num_layers=TINY["num_hidden_layers"], dtype=jnp.bfloat16
+    )
+    cfg = _tiny_cfg()
+    e32 = np.asarray(cls_embed(params32, jnp.asarray(ids), jnp.asarray(mask), cfg))
+    e16 = np.asarray(cls_embed(params16, jnp.asarray(ids), jnp.asarray(mask), cfg))
+    cos = (e32 * e16).sum(axis=1)
+    assert (cos > 0.995).all(), cos
+
+
+def test_reranker_parity(rng):
+    torch.manual_seed(1)
+    hf_cfg = transformers.XLMRobertaConfig(**TINY, num_labels=1)
+    model = transformers.XLMRobertaForSequenceClassification(hf_cfg)
+    model.eval()
+    ids, mask = _batch(rng)
+    with torch.no_grad():
+        ref = model(
+            input_ids=torch.tensor(ids.astype(np.int64)),
+            attention_mask=torch.tensor(mask.astype(np.int64)),
+        ).logits.numpy()[:, 0]
+
+    params = convert_state_dict(
+        model.state_dict(),
+        num_layers=TINY["num_hidden_layers"],
+        num_labels=1,
+        dtype=jnp.float32,
+    )
+    logits = np.asarray(
+        rerank_logits(params, jnp.asarray(ids), jnp.asarray(mask), _tiny_cfg(num_labels=1))
+    )
+    np.testing.assert_allclose(logits, ref, rtol=5e-4, atol=5e-4)
+
+
+def test_position_ids_respect_padding(torch_model, rng):
+    """Same content with/without trailing padding must give identical CLS."""
+    ids, _ = _batch(rng, bsz=1, seq=10)
+    params = convert_state_dict(
+        torch_model.state_dict(), num_layers=TINY["num_hidden_layers"], dtype=jnp.float32
+    )
+    cfg = _tiny_cfg()
+    mask_full = np.ones((1, 10), np.int32)
+    e1 = np.asarray(cls_embed(params, jnp.asarray(ids), jnp.asarray(mask_full), cfg))
+    ids_pad = np.full((1, 16), TINY["pad_token_id"], np.int32)
+    ids_pad[:, :10] = ids
+    mask_pad = np.zeros((1, 16), np.int32)
+    mask_pad[:, :10] = 1
+    e2 = np.asarray(cls_embed(params, jnp.asarray(ids_pad), jnp.asarray(mask_pad), cfg))
+    np.testing.assert_allclose(e1, e2, rtol=1e-5, atol=1e-5)
