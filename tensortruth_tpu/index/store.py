@@ -1,0 +1,209 @@
+"""VectorIndex: the persisted per-module index artifact.
+
+Replaces the reference's Chroma collection + LlamaIndex docstore +
+``index_metadata.json`` triple (reference indexing/builder.py:424-453,
+indexing/metadata.py:103-147). One directory per module:
+
+    embeddings.npy        (N, D) float32 L2-normalized leaf embeddings
+    rows.json             row→node_id map + tombstone mask + doc→rows map
+    hierarchy.jsonl       full node hierarchy (index/nodes.py)
+    index_metadata.json   build contract {embedding_model, created_at,
+                          index_version, chunk_sizes, chunk_overlap,
+                          chunking_strategy}
+
+Mutation model (SURVEY.md §7 hard part (e)): the matrix is append-only;
+``remove_document`` tombstones rows instantly, ``add_nodes`` appends rows.
+The *device* copy is compacted lazily — `matrix()` returns only alive rows
+plus a row-map back to node ids, so searches never see dead rows and the
+device array is rebuilt only after a mutation (cf. the reference's in-place
+Chroma delete, document_index.py:478-581).
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+from pathlib import Path
+
+import numpy as np
+
+from tensortruth_tpu.index.nodes import HierarchyStore, Node
+
+INDEX_VERSION = "1.0"
+METADATA_FILE = "index_metadata.json"
+EMB_FILE = "embeddings.npy"
+ROWS_FILE = "rows.json"
+HIER_FILE = "hierarchy.jsonl"
+
+
+def sanitize_model_id(model_id: str) -> str:
+    """'BAAI/bge-m3' → 'bge-m3' (reference indexing/metadata.py:22-52)."""
+    return model_id.split("/")[-1].replace(" ", "-")
+
+
+class VectorIndex:
+    """One module's leaf-embedding matrix + node hierarchy + metadata."""
+
+    def __init__(
+        self,
+        emb: np.ndarray,
+        row_ids: list[str],
+        store: HierarchyStore,
+        metadata: dict | None = None,
+        alive: np.ndarray | None = None,
+    ):
+        assert emb.ndim == 2 and len(row_ids) == emb.shape[0]
+        self._emb = np.ascontiguousarray(emb, dtype=np.float32)
+        self._row_ids = list(row_ids)
+        self._row_of = {nid: i for i, nid in enumerate(row_ids)}
+        self.store = store
+        self.metadata = metadata or {}
+        self._alive = (
+            alive.astype(bool) if alive is not None else np.ones(len(row_ids), bool)
+        )
+        self._compact_cache: tuple[np.ndarray, np.ndarray] | None = None
+
+    # -- construction --------------------------------------------------------
+
+    @classmethod
+    def build(
+        cls,
+        nodes: list[Node],
+        embed_fn,
+        embedding_model: str = "",
+        chunk_sizes: list[int] | None = None,
+        chunk_overlap: int = 64,
+        chunking_strategy: str = "hierarchical",
+        batch_size: int = 64,
+    ) -> "VectorIndex":
+        """ALL nodes go to the hierarchy store, ONLY leaves are embedded
+        (reference builder.py:420-442)."""
+        store = HierarchyStore()
+        store.add_all(nodes)
+        leaf_ids = store.finalize_leaves()
+        leaves = [store.get(nid).text for nid in leaf_ids]
+        emb = embed_fn(leaves) if leaves else np.zeros((0, 1), np.float32)
+        emb = np.asarray(emb, dtype=np.float32)
+        meta = {
+            "embedding_model": embedding_model,
+            "created_at": datetime.datetime.now(datetime.timezone.utc).isoformat(),
+            "index_version": INDEX_VERSION,
+            "chunk_sizes": chunk_sizes or [2048, 512, 256],
+            "chunk_overlap": chunk_overlap,
+            "chunking_strategy": chunking_strategy,
+        }
+        return cls(emb, leaf_ids, store, meta)
+
+    # -- introspection ---------------------------------------------------------
+
+    @property
+    def dim(self) -> int:
+        return self._emb.shape[1]
+
+    @property
+    def n_rows(self) -> int:
+        """Physical rows including tombstones."""
+        return self._emb.shape[0]
+
+    @property
+    def n_alive(self) -> int:
+        return int(self._alive.sum())
+
+    def __len__(self) -> int:
+        return self.n_alive
+
+    def node_of_row(self, row: int) -> Node:
+        return self.store.get(self._row_ids[row])
+
+    # -- search-surface ------------------------------------------------------
+
+    def matrix(self) -> tuple[np.ndarray, np.ndarray]:
+        """(alive_emb (A, D) f32, row_map (A,) i32 physical-row indices).
+
+        Compacted view for device placement; cached until the next mutation.
+        """
+        if self._compact_cache is None:
+            rows = np.flatnonzero(self._alive).astype(np.int32)
+            self._compact_cache = (self._emb[rows], rows)
+        return self._compact_cache
+
+    def rows_to_nodes(self, rows: np.ndarray) -> list[Node]:
+        return [self.store.get(self._row_ids[r]) for r in rows]
+
+    # -- mutation (reference document_index.py:478-581 contract) -------------
+
+    def add_nodes(self, nodes: list[Node], embed_fn) -> int:
+        """Incremental add: hierarchy gets ALL nodes, matrix gets the leaves."""
+        self.store.add_all(nodes)
+        leaves = [n for n in nodes if n.is_leaf]
+        if not leaves:
+            return 0
+        new_emb = np.asarray(embed_fn([n.text for n in leaves]), dtype=np.float32)
+        self._emb = np.concatenate([self._emb, new_emb], axis=0)
+        for n in leaves:
+            self._row_of[n.node_id] = len(self._row_ids)
+            self._row_ids.append(n.node_id)
+        self._alive = np.concatenate([self._alive, np.ones(len(leaves), bool)])
+        self._compact_cache = None
+        return len(leaves)
+
+    def remove_document(self, doc_id: str) -> int:
+        """Tombstone every leaf row of a document; prune the hierarchy."""
+        removed_leaves = self.store.remove_doc(doc_id)
+        for nid in removed_leaves:
+            row = self._row_of.get(nid)
+            if row is not None:
+                self._alive[row] = False
+        if removed_leaves:
+            self._compact_cache = None
+        return len(removed_leaves)
+
+    def compact(self) -> None:
+        """Physically drop tombstoned rows (periodic maintenance)."""
+        if self._alive.all():
+            return
+        rows = np.flatnonzero(self._alive)
+        self._emb = np.ascontiguousarray(self._emb[rows])
+        self._row_ids = [self._row_ids[r] for r in rows]
+        self._row_of = {nid: i for i, nid in enumerate(self._row_ids)}
+        self._alive = np.ones(len(self._row_ids), bool)
+        self._compact_cache = None
+
+    # -- persistence -----------------------------------------------------------
+
+    def save(self, path: str | Path) -> None:
+        path = Path(path)
+        path.mkdir(parents=True, exist_ok=True)
+        np.save(path / EMB_FILE, self._emb)
+        tmp = path / (ROWS_FILE + ".tmp")  # atomic write (reference file_utils.py:10)
+        tmp.write_text(
+            json.dumps(
+                {"row_ids": self._row_ids, "alive": self._alive.astype(int).tolist()}
+            )
+        )
+        tmp.replace(path / ROWS_FILE)
+        self.store.save(path / HIER_FILE)
+        mtmp = path / (METADATA_FILE + ".tmp")
+        mtmp.write_text(json.dumps(self.metadata, indent=2))
+        mtmp.replace(path / METADATA_FILE)
+
+    @classmethod
+    def load(cls, path: str | Path) -> "VectorIndex":
+        path = Path(path)
+        emb = np.load(path / EMB_FILE)
+        rows = json.loads((path / ROWS_FILE).read_text())
+        store = HierarchyStore.load(path / HIER_FILE)
+        meta = json.loads((path / METADATA_FILE).read_text())
+        return cls(
+            emb,
+            rows["row_ids"],
+            store,
+            meta,
+            alive=np.asarray(rows["alive"], dtype=bool),
+        )
+
+    @staticmethod
+    def is_valid(path: str | Path) -> bool:
+        """Validity = artifacts exist (reference metadata.py:202-219)."""
+        path = Path(path)
+        return (path / EMB_FILE).exists() and (path / METADATA_FILE).exists()

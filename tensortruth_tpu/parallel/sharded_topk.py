@@ -1,0 +1,134 @@
+"""Sharded dense retrieval: per-device partial top-k + ICI merge.
+
+This is the TPU-native replacement for the reference's thread-pool fan-out +
+host merge (reference rag_engine.py:420-461) and the scaling mechanism for
+the 1M-chunk tier (BASELINE.json config 4, SURVEY.md §2.14):
+
+* The (N, D) corpus matrix is row-sharded over the ``shards`` mesh axis —
+  each device holds an (N/P, D) slice in HBM.
+* Queries are replicated; each device runs the fused matmul+top-k kernel
+  (ops/topk.py) over its slice, producing k *local* candidates per query.
+* Local row indices are rebased to global ids (`shard * N/P + row`), then the
+  (k scores, k ids) pairs `all_gather` over ICI — P*k candidates per query,
+  a tiny transfer (P*k*(4+4) bytes) instead of the raw score matrix.
+* One final `lax.top_k` over the gathered candidates yields the exact global
+  top-k (exact because per-shard top-k over disjoint row sets loses nothing;
+  with the fused kernel's bucketed pass the same ~1e-4 recall bound applies
+  per shard, see ops/topk.py docstring).
+
+Everything runs inside one `jax.shard_map`, so XLA schedules the matmuls and
+the all-gather as a single program — no host round-trips between fan-out and
+merge.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tensortruth_tpu.ops.topk import exact_topk, fused_topk
+from tensortruth_tpu.parallel.mesh import SHARD_AXIS, row_sharded
+
+NEG_INF = float("-inf")
+
+
+def shard_corpus(
+    emb: np.ndarray, mesh: Mesh, pad_value: float = 0.0
+) -> tuple[jax.Array, int]:
+    """Place an (N, D) matrix row-sharded on the mesh; pad N to the shard count.
+
+    Returns (device array with NamedSharding, original N). Padded rows are
+    zero vectors — cosine score 0 against any normalized query; they are
+    additionally masked to -inf inside the kernel via ``n_actual``.
+    """
+    n, d = emb.shape
+    p = mesh.shape[SHARD_AXIS]
+    n_pad = -(-n // p) * p
+    if n_pad != n:
+        emb = np.concatenate(
+            [emb, np.full((n_pad - n, d), pad_value, dtype=emb.dtype)], axis=0
+        )
+    sharded = jax.device_put(emb, row_sharded(mesh))
+    return sharded, n
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "mesh", "n_actual", "use_fused", "m", "tile_n")
+)
+def sharded_topk(
+    q: jax.Array,
+    emb: jax.Array,
+    *,
+    k: int,
+    mesh: Mesh,
+    n_actual: int,
+    use_fused: bool = False,
+    m: int = 16,
+    tile_n: int = 2048,
+) -> tuple[jax.Array, jax.Array]:
+    """Global top-k over a row-sharded corpus.
+
+    q: (B, D) normalized queries (replicated); emb: (N_pad, D) row-sharded.
+    Returns (scores (B, k) f32, global indices (B, k) i32); indices of padded
+    rows never appear (masked to -inf / -1).
+    """
+    n_pad = emb.shape[0]
+    p = mesh.shape[SHARD_AXIS]
+    local_n = n_pad // p
+    k_local = min(k, local_n)
+
+    def shard_fn(q_l: jax.Array, emb_l: jax.Array):
+        shard = jax.lax.axis_index(SHARD_AXIS)
+        offset = shard * local_n
+        if use_fused:
+            vals, idx = fused_topk(q_l, emb_l, k_local, m=m, tile_n=tile_n)
+        else:
+            vals, idx = exact_topk(q_l, emb_l, k_local)
+        gidx = idx + offset
+        # Mask rows past the true corpus end (zero-padding on the last shard).
+        valid = (gidx < n_actual) & (idx >= 0)
+        vals = jnp.where(valid, vals, NEG_INF)
+        gidx = jnp.where(valid, gidx, -1)
+        # (P, B, k_local) candidate gather over ICI — tiny vs the score matrix.
+        all_vals = jax.lax.all_gather(vals, SHARD_AXIS)
+        all_idx = jax.lax.all_gather(gidx, SHARD_AXIS)
+        b = q_l.shape[0]
+        cand_v = all_vals.transpose(1, 0, 2).reshape(b, p * k_local)
+        cand_i = all_idx.transpose(1, 0, 2).reshape(b, p * k_local)
+        k_out = min(k, p * k_local)
+        top_v, pos = jax.lax.top_k(cand_v, k_out)
+        top_i = jnp.take_along_axis(cand_i, pos, axis=1)
+        if k_out < k:
+            top_v = jnp.pad(top_v, ((0, 0), (0, k - k_out)), constant_values=NEG_INF)
+            top_i = jnp.pad(top_i, ((0, 0), (0, k - k_out)), constant_values=-1)
+        return top_v, top_i
+
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(SHARD_AXIS, None)),
+        out_specs=(P(), P()),
+        # Outputs ARE replicated (identical post-all_gather reduction on every
+        # shard) but VMA can't statically infer that through top_k.
+        check_vma=False,
+    )
+    return fn(q, emb)
+
+
+def sharded_topk_search(
+    q: np.ndarray | jax.Array,
+    emb: jax.Array,
+    k: int,
+    mesh: Mesh,
+    n_actual: int,
+    **kw,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Host-friendly wrapper: numpy in, numpy out."""
+    vals, idx = sharded_topk(
+        jnp.asarray(q), emb, k=k, mesh=mesh, n_actual=n_actual, **kw
+    )
+    return np.asarray(vals), np.asarray(idx)

@@ -1,0 +1,229 @@
+"""MultiIndexEngine: the TPU-native multi-index retrieval core.
+
+Replaces the reference's ``MultiIndexRetriever`` + per-index
+``AutoMergingRetriever`` stack (reference rag_engine.py:368-527,608-690).
+Where the reference fans out N Chroma HNSW searches over a thread pool and
+concatenates on the host, here all loaded module matrices are **stacked into
+one row-sharded device matrix** with per-module row ranges, so a query batch
+is ONE fused matmul+top-k dispatch regardless of how many indexes are loaded
+— the "fan-out + merge" is the kernel's own tiling plus (multi-device) an
+all-gather over ICI (parallel/sharded_topk.py).
+
+Behavioral contracts preserved:
+
+* per-module top-k (`similarity_top_k` per index, reference
+  rag_engine.py:590-593) — the stacked search retrieves
+  ``top_k × n_modules`` global candidates, then per-module quotas apply;
+* ``top_k_per_index`` balancing — per-index limit
+  ``max(1, total // n_indexes)``, re-sorted by score
+  (reference rag_engine.py:463-507);
+* auto-merge leaves→parents per module before balancing
+  (reference rag_engine.py:641-644);
+* LRU cache (128 queries) keyed by query text with ``clear_cache()``
+  (reference rag_engine.py:395-404,519-527);
+* per-index failure isolation is moot — one dispatch either returns or
+  raises; module-level errors surface at load time instead.
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tensortruth_tpu.index.nodes import Node
+from tensortruth_tpu.index.store import VectorIndex
+from tensortruth_tpu.ops.topk import topk_search
+from tensortruth_tpu.parallel.mesh import SHARD_AXIS
+from tensortruth_tpu.parallel.sharded_topk import shard_corpus, sharded_topk
+from tensortruth_tpu.retrieval.automerge import auto_merge
+
+
+@dataclass
+class RetrievedNode:
+    """Engine output unit (analog of LlamaIndex NodeWithScore)."""
+
+    node: Node
+    score: float
+    module: str
+    source_index: int
+
+    @property
+    def text(self) -> str:
+        return self.node.text
+
+    @property
+    def node_id(self) -> str:
+        return self.node.node_id
+
+    def to_dict(self) -> dict:
+        return {
+            "node_id": self.node.node_id,
+            "module": self.module,
+            "score": self.score,
+            "text": self.node.text,
+            "metadata": self.node.metadata,
+        }
+
+
+class MultiIndexEngine:
+    def __init__(
+        self,
+        indexes: dict[str, VectorIndex],
+        similarity_top_k: int = 10,
+        merge_ratio: float = 0.5,
+        enable_cache: bool = True,
+        cache_size: int = 128,
+        balance_strategy: str = "top_k_per_index",
+        mesh=None,
+        use_fused: bool | None = None,
+    ):
+        self.modules = list(indexes.keys())
+        self.indexes = indexes
+        self.similarity_top_k = similarity_top_k
+        self.merge_ratio = merge_ratio
+        self.enable_cache = enable_cache
+        self.cache_size = cache_size
+        self.balance_strategy = balance_strategy
+        self.mesh = mesh
+        # Fused Pallas path by default on real TPUs, exact XLA elsewhere.
+        self.use_fused = (
+            use_fused
+            if use_fused is not None
+            else jax.default_backend() == "tpu"
+        )
+        self._cache: OrderedDict[str, list[RetrievedNode]] = OrderedDict()
+        self._stacked: jax.Array | None = None
+        self._row_map: np.ndarray | None = None  # global row → (module_i, phys row)
+        self._module_of_row: np.ndarray | None = None
+        self._n_actual = 0
+        self._restack()
+
+    # -- device matrix management ---------------------------------------------
+
+    def _restack(self) -> None:
+        """Stack all alive module rows into one device matrix."""
+        mats, mods, rows = [], [], []
+        for mi, mod in enumerate(self.modules):
+            m, row_map = self.indexes[mod].matrix()
+            if m.shape[0] == 0:
+                continue
+            mats.append(m)
+            mods.append(np.full(m.shape[0], mi, np.int32))
+            rows.append(row_map)
+        if not mats:
+            self._stacked, self._n_actual = None, 0
+            return
+        emb = np.concatenate(mats, axis=0)
+        self._module_of_row = np.concatenate(mods)
+        self._row_map = np.concatenate(rows)
+        self._n_actual = emb.shape[0]
+        if self.mesh is not None:
+            self._stacked, _ = shard_corpus(emb, self.mesh)
+        else:
+            self._stacked = jnp.asarray(emb)
+        self._cache.clear()
+
+    def refresh(self) -> None:
+        """Re-stack after index mutations (add/remove documents)."""
+        self._restack()
+
+    @property
+    def n_chunks(self) -> int:
+        return self._n_actual
+
+    # -- retrieval -------------------------------------------------------------
+
+    def retrieve(self, query_emb: np.ndarray, query_text: str = "") -> list[RetrievedNode]:
+        """Single query: (D,) embedding → balanced merged RetrievedNodes."""
+        if self.enable_cache and query_text and query_text in self._cache:
+            self._cache.move_to_end(query_text)
+            return self._cache[query_text]
+        result = self.retrieve_batch(query_emb[None, :])[0]
+        if self.enable_cache and query_text:
+            self._cache[query_text] = result
+            if len(self._cache) > self.cache_size:
+                self._cache.popitem(last=False)
+        return result
+
+    def retrieve_batch(self, query_embs: np.ndarray) -> list[list[RetrievedNode]]:
+        """Batch of queries → per-query balanced merged RetrievedNodes.
+
+        One device dispatch for the whole batch across all loaded modules.
+        """
+        if self._stacked is None or self._n_actual == 0:
+            return [[] for _ in range(query_embs.shape[0])]
+        # Over-retrieve so every module could fill its quota (reference
+        # retrieves top_k per index then merges).
+        k = min(self.similarity_top_k * max(1, len(self.modules)), self._n_actual)
+        q = jnp.asarray(query_embs, dtype=self._stacked.dtype)
+        if self.mesh is not None:
+            vals, idx = sharded_topk(
+                q,
+                self._stacked,
+                k=k,
+                mesh=self.mesh,
+                n_actual=self._n_actual,
+                use_fused=self.use_fused,
+            )
+        else:
+            vals, idx = topk_search(q, self._stacked, k, exact=not self.use_fused)
+        vals, idx = np.asarray(vals), np.asarray(idx)
+        return [self._postprocess(vals[i], idx[i]) for i in range(vals.shape[0])]
+
+    def _postprocess(self, scores: np.ndarray, rows: np.ndarray) -> list[RetrievedNode]:
+        """Host side: global rows → per-module hits → auto-merge → balance."""
+        valid = rows >= 0
+        scores, rows = scores[valid], rows[valid]
+
+        per_module: dict[int, list[tuple[str, float]]] = {}
+        for s, r in zip(scores.tolist(), rows.tolist()):
+            mi = int(self._module_of_row[r])
+            phys = int(self._row_map[r])
+            node = self.indexes[self.modules[mi]].node_of_row(phys)
+            per_module.setdefault(mi, []).append((node.node_id, float(s)))
+
+        results: list[RetrievedNode] = []
+        for mi, hits in per_module.items():
+            mod = self.modules[mi]
+            # Per-module quota: the stacked search plays the role of each
+            # index's own top-k retriever (reference as_retriever(top_k)).
+            hits = hits[: self.similarity_top_k]
+            merged = auto_merge(hits, self.indexes[mod].store, self.merge_ratio)
+            for nid, score in merged:
+                results.append(
+                    RetrievedNode(
+                        node=self.indexes[mod].store.get(nid),
+                        score=score,
+                        module=mod,
+                        source_index=mi,
+                    )
+                )
+
+        if len(self.modules) > 1 and self.balance_strategy == "top_k_per_index":
+            results = self._balance(results)
+        else:
+            results.sort(key=lambda r: -r.score)
+        return results
+
+    def _balance(self, nodes: list[RetrievedNode]) -> list[RetrievedNode]:
+        """per-index limit = max(1, total // n_indexes), re-sorted by score
+        (reference rag_engine.py:463-507)."""
+        by_index: dict[int, list[RetrievedNode]] = {}
+        for n in nodes:
+            by_index.setdefault(n.source_index, []).append(n)
+        if not by_index:
+            return []
+        limit = max(1, len(nodes) // len(by_index))
+        balanced: list[RetrievedNode] = []
+        for group in by_index.values():
+            group.sort(key=lambda r: -r.score)
+            balanced.extend(group[:limit])
+        balanced.sort(key=lambda r: -r.score)
+        return balanced
+
+    def clear_cache(self) -> None:
+        self._cache.clear()

@@ -1,0 +1,124 @@
+"""MultiIndexEngine: stacked multi-module search, balancing, cache, mutation
+(reference tests/unit/test_rag_engine.py analog)."""
+
+import numpy as np
+import pytest
+
+from tensortruth_tpu.index.chunker import hierarchical_chunk
+from tensortruth_tpu.index.store import VectorIndex
+from tensortruth_tpu.parallel import make_mesh
+from tensortruth_tpu.retrieval.engine import MultiIndexEngine
+
+DIM = 16
+
+
+def _embed_fn(seed_base=0):
+    def fn(texts):
+        out = np.zeros((len(texts), DIM), np.float32)
+        for i, t in enumerate(texts):
+            rng = np.random.default_rng((abs(hash(t)) + seed_base) % 2**32)
+            v = rng.standard_normal(DIM)
+            out[i] = v / np.linalg.norm(v)
+        return out
+
+    return fn
+
+
+def _index(tokenizer, text, doc_id, module):
+    nodes = hierarchical_chunk(
+        text, tokenizer, doc_id, module=module, chunk_sizes=[128, 32], chunk_overlap=8
+    )
+    return VectorIndex.build(nodes, _embed_fn(), embedding_model="tiny")
+
+
+@pytest.fixture
+def engine(tiny_tokenizer, sample_text):
+    idx_a = _index(tiny_tokenizer, sample_text, "docA", "mod_a")
+    idx_b = _index(tiny_tokenizer, "Quantum physics text. " * 300, "docB", "mod_b")
+    return MultiIndexEngine(
+        {"mod_a": idx_a, "mod_b": idx_b}, similarity_top_k=5, use_fused=False
+    )
+
+
+def test_retrieve_returns_exact_top_hit(engine):
+    # Query with the exact embedding of a known leaf → that leaf must rank 1st.
+    idx = engine.indexes["mod_a"]
+    mat, rows = idx.matrix()
+    target_row = 3
+    q = mat[target_row]
+    results = engine.retrieve(q, "q1")
+    assert results
+    top = results[0]
+    expected = idx.node_of_row(int(rows[target_row]))
+    # Either the leaf itself or (if siblings merged) its parent.
+    assert top.node_id in (expected.node_id, expected.parent_id)
+    assert top.score == pytest.approx(1.0, abs=1e-3)
+
+
+def test_balancing_caps_per_index(engine):
+    q = np.ones(DIM, np.float32) / np.sqrt(DIM)
+    results = engine.retrieve(q, "balance-q")
+    by_idx = {}
+    for r in results:
+        by_idx.setdefault(r.source_index, []).append(r)
+    assert len(by_idx) >= 1
+    limit = max(1, len(results) // len(by_idx))
+    for group in by_idx.values():
+        assert len(group) <= limit
+    scores = [r.score for r in results]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_cache_hits_and_clear(engine):
+    q = np.ones(DIM, np.float32) / np.sqrt(DIM)
+    r1 = engine.retrieve(q, "cached-q")
+    r2 = engine.retrieve(np.zeros(DIM, np.float32), "cached-q")  # emb ignored on hit
+    assert r1 is r2
+    engine.clear_cache()
+    r3 = engine.retrieve(q, "cached-q")
+    assert r3 is not r1
+
+
+def test_refresh_after_remove(engine, tiny_tokenizer):
+    q_idx = engine.indexes["mod_b"]
+    mat, _ = q_idx.matrix()
+    q = mat[0]
+    before = engine.retrieve_batch(q[None, :])[0]
+    assert any(r.module == "mod_b" for r in before)
+
+    q_idx.remove_document("docB")
+    engine.refresh()
+    after = engine.retrieve_batch(q[None, :])[0]
+    assert all(r.module != "mod_b" for r in after)
+
+
+def test_batch_matches_single(engine):
+    rng = np.random.default_rng(1)
+    qs = rng.standard_normal((3, DIM)).astype(np.float32)
+    qs /= np.linalg.norm(qs, axis=1, keepdims=True)
+    batch = engine.retrieve_batch(qs)
+    for i in range(3):
+        single = engine.retrieve_batch(qs[i : i + 1])[0]
+        assert [r.node_id for r in batch[i]] == [r.node_id for r in single]
+
+
+def test_sharded_engine_matches_single_device(tiny_tokenizer, sample_text):
+    idx = _index(tiny_tokenizer, sample_text, "docA", "mod_a")
+    single = MultiIndexEngine({"mod_a": idx}, similarity_top_k=5, use_fused=False)
+    sharded = MultiIndexEngine(
+        {"mod_a": idx}, similarity_top_k=5, mesh=make_mesh(), use_fused=False
+    )
+    rng = np.random.default_rng(2)
+    q = rng.standard_normal(DIM).astype(np.float32)
+    q /= np.linalg.norm(q)
+    r1 = single.retrieve_batch(q[None, :])[0]
+    r2 = sharded.retrieve_batch(q[None, :])[0]
+    assert [r.node_id for r in r1] == [r.node_id for r in r2]
+    np.testing.assert_allclose(
+        [r.score for r in r1], [r.score for r in r2], rtol=1e-5
+    )
+
+
+def test_empty_engine():
+    eng = MultiIndexEngine({}, similarity_top_k=5, use_fused=False)
+    assert eng.retrieve_batch(np.zeros((1, DIM), np.float32)) == [[]]

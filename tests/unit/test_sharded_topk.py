@@ -1,0 +1,70 @@
+"""Sharded top-k over the 8-virtual-device CPU mesh vs single-device exact.
+
+Mirrors the reference's MultiIndexRetriever merge tests
+(reference tests/unit/test_rag_engine.py) at the device level: fan-out must
+return exactly what a single full-matrix search returns.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tensortruth_tpu.ops.topk import exact_topk
+from tensortruth_tpu.parallel import make_mesh, shard_corpus, sharded_topk
+
+
+def _normed(rng, n, d):
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+@pytest.mark.parametrize("n,k", [(64, 5), (1000, 10), (999, 7)])
+def test_sharded_matches_exact(rng, n, k):
+    d = 32
+    emb = _normed(rng, n, d)
+    q = _normed(rng, 4, d)
+    mesh = make_mesh()
+    assert mesh.shape["shards"] == 8
+
+    emb_dev, n_actual = shard_corpus(emb, mesh)
+    assert n_actual == n
+    vals, idx = sharded_topk(
+        jnp.asarray(q), emb_dev, k=k, mesh=mesh, n_actual=n_actual
+    )
+    ref_vals, ref_idx = exact_topk(jnp.asarray(q), jnp.asarray(emb), k)
+
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(ref_vals), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
+
+
+def test_padded_rows_never_returned(rng):
+    # n not divisible by 8: last shard has zero-padded rows.
+    n, d, k = 13, 16, 13
+    emb = _normed(rng, n, d)
+    q = _normed(rng, 2, d)
+    mesh = make_mesh()
+    emb_dev, n_actual = shard_corpus(emb, mesh)
+    vals, idx = sharded_topk(
+        jnp.asarray(q), emb_dev, k=k, mesh=mesh, n_actual=n_actual
+    )
+    idx = np.asarray(idx)
+    valid = idx[np.asarray(vals) > float("-inf")]
+    assert valid.max() < n
+    # All n real rows present when k == n.
+    assert set(valid[: len(valid)].ravel().tolist()) <= set(range(n))
+
+
+def test_k_larger_than_corpus(rng):
+    n, d, k = 6, 16, 10
+    emb = _normed(rng, n, d)
+    q = _normed(rng, 1, d)
+    mesh = make_mesh()
+    emb_dev, n_actual = shard_corpus(emb, mesh)
+    vals, idx = sharded_topk(
+        jnp.asarray(q), emb_dev, k=k, mesh=mesh, n_actual=n_actual
+    )
+    vals, idx = np.asarray(vals), np.asarray(idx)
+    assert vals.shape == (1, k) and idx.shape == (1, k)
+    assert (idx[0, :n] >= 0).all()
+    assert set(idx[0, :n].tolist()) == set(range(n))
+    assert (idx[0, n:] == -1).all()
