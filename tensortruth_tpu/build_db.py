@@ -1,0 +1,123 @@
+"""`tensor-truth-tpu-build` CLI — offline index building.
+
+Mirrors the reference build CLI surface (reference build_db.py:25-301):
+module selection (--modules/--all/--books/--libraries/--papers), chunking
+params, strategy, embedding model; validates modules against sources.json
+and the docs directory before building.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+
+from tensortruth_tpu.app.paths import (
+    get_base_indexes_dir,
+    get_library_docs_dir,
+)
+from tensortruth_tpu.app.sources import (
+    get_document_type_for_module,
+    list_all_modules,
+    load_user_sources,
+    module_docs_dirname,
+)
+from tensortruth_tpu.core.types import DocumentType
+from tensortruth_tpu.index.chunker import DEFAULT_CHUNK_OVERLAP, DEFAULT_CHUNK_SIZES
+from tensortruth_tpu.indexing.builder import build_module
+
+logger = logging.getLogger(__name__)
+
+
+def validate_module_for_build(module: str, sources: dict, docs_dir) -> str | None:
+    """Returns an error string or None (reference utils/validation.py)."""
+    if module not in list_all_modules(sources):
+        return f"module '{module}' not found in sources.json"
+    doc_type = get_document_type_for_module(sources, module)
+    mod_dir = docs_dir / module_docs_dirname(doc_type, module)
+    if not mod_dir.exists():
+        return f"docs directory missing: {mod_dir} (fetch sources first)"
+    return None
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(description="Build TPU vector indexes")
+    sel = parser.add_mutually_exclusive_group(required=True)
+    sel.add_argument("--modules", nargs="+", help="modules to build")
+    sel.add_argument("--all", action="store_true", help="build every module")
+    sel.add_argument("--books", action="store_true")
+    sel.add_argument("--libraries", action="store_true")
+    sel.add_argument("--papers", action="store_true")
+    parser.add_argument("--embedding-model", default="BAAI/bge-m3")
+    parser.add_argument("--chunk-sizes", nargs="+", type=int, default=list(DEFAULT_CHUNK_SIZES))
+    parser.add_argument("--chunk-overlap", type=int, default=DEFAULT_CHUNK_OVERLAP)
+    parser.add_argument(
+        "--chunking-strategy",
+        choices=["hierarchical", "semantic", "semantic_hierarchical"],
+        default="hierarchical",
+    )
+    parser.add_argument("--semantic-buffer-size", type=int, default=1)
+    parser.add_argument("--semantic-breakpoint-threshold", type=float, default=95.0)
+    args = parser.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO, format="%(levelname)s %(message)s")
+
+    sources = load_user_sources()
+    if args.all:
+        modules = list_all_modules(sources)
+    elif args.books:
+        modules = list(sources.get("books", {}))
+    elif args.libraries:
+        modules = list(sources.get("libraries", {}))
+    elif args.papers:
+        modules = list(sources.get("papers", {}))
+    else:
+        modules = args.modules
+    if not modules:
+        logger.error("no modules selected")
+        return 1
+
+    docs_dir = get_library_docs_dir()
+    errors = {m: validate_module_for_build(m, sources, docs_dir) for m in modules}
+    for m, err in errors.items():
+        if err:
+            logger.error("%s: %s", m, err)
+    modules = [m for m in modules if not errors[m]]
+    if not modules:
+        return 1
+
+    from tensortruth_tpu.app.config import load_config
+    from tensortruth_tpu.models.manager import ModelManager, ModelSpec
+
+    cfg = load_config()
+    mc = cfg.rag.get_embedding_model_config(args.embedding_model)
+    embedder = ModelManager.get_instance().get_embedder(
+        ModelSpec(
+            args.embedding_model,
+            dtype=mc.dtype,
+            max_length=mc.max_length,
+            local_dir=mc.local_dir,
+            tokenizer_path=mc.tokenizer_path,
+        )
+    )
+
+    ok = True
+    for m in modules:
+        ok &= build_module(
+            m,
+            embedder,
+            library_docs_dir=docs_dir,
+            indexes_dir=get_base_indexes_dir(),
+            sources=sources,
+            embedding_model=args.embedding_model,
+            chunk_sizes=args.chunk_sizes,
+            chunk_overlap=args.chunk_overlap,
+            chunking_strategy=args.chunking_strategy,
+            semantic_buffer_size=args.semantic_buffer_size,
+            semantic_breakpoint_threshold=args.semantic_breakpoint_threshold,
+        )
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -15,11 +15,16 @@ Design (cf. TPU-KNN "K Nearest Neighbor Search at Peak FLOP/s"):
 * Buckets are strided (bucket ``j`` holds columns ``{j, j+C, j+2C, …}``), so
   adjacent chunks of the same document — the common correlated-score case —
   land in *different* buckets, minimising top-k collisions.
-* The host-visible output is ``(B, N/m)`` candidates; an exact
-  ``jax.lax.top_k`` over the candidates finishes the job. A top-k item is
-  lost only when a strictly better item shares its m-bucket: for k=10,
-  N=1M, m=16 the expected loss is ~7e-4 items per query (recall@10
-  ≈ 0.99993). ``m=1`` degenerates to exact search.
+* Per-tile bucket maxima are **max-merged into a fixed (B, C_OUT) candidate
+  accumulator held in VMEM scratch** (tile i's C candidates land in the
+  rotating slot slice ``[(i*C) % C_OUT, +C)``), written to HBM once in the
+  final grid step — the host-visible output is O(C_OUT), independent of N,
+  so the full (B, N) score matrix never exists anywhere.
+* An exact ``jax.lax.top_k`` over the C_OUT candidates finishes the job.
+  A true top-k item is lost only when a strictly better item maps to the
+  same accumulator slot: expected loss ≈ k(k-1)/(2·C_OUT) items — for
+  k=100, C_OUT=8192 that is ~0.6 of 100 (recall@100 ≈ 0.994); for k=10,
+  ~0.005 (recall@10 ≈ 0.9995). Larger ``c_out`` → higher recall.
 
 ``exact_topk`` is the XLA reference path (full score matrix + lax.top_k) used
 for parity tests and as the small-N fallback.
@@ -57,10 +62,30 @@ def exact_topk(q: jax.Array, emb: jax.Array, k: int) -> tuple[jax.Array, jax.Arr
     return vals, idx.astype(jnp.int32)
 
 
-def _fused_kernel(q_ref, e_ref, vals_ref, idx_ref, *, tile_n: int, m: int, n_actual: int):
-    """One grid step: score a TILE_N row-tile of E, emit bucket maxima."""
+def _fused_kernel(
+    q_ref,
+    e_ref,
+    vals_ref,
+    idx_ref,
+    acc_vals,
+    acc_idx,
+    *,
+    tile_n: int,
+    m: int,
+    c_out: int,
+    n_actual: int,
+    num_tiles: int,
+):
+    """One grid step: score a TILE_N row-tile of E, merge bucket maxima into
+    the fixed-width VMEM accumulator; flush to HBM on the last step."""
     c = tile_n // m  # candidates per tile
-    tile_start = pl.program_id(0) * tile_n
+    step = pl.program_id(0)
+    tile_start = step * tile_n
+
+    @pl.when(step == 0)
+    def _init():
+        acc_vals[:] = jnp.full_like(acc_vals, NEG_INF)
+        acc_idx[:] = jnp.full_like(acc_idx, -1)
 
     # (B, TILE_N) scores on the MXU, f32 accumulation.
     s = jax.lax.dot_general(
@@ -76,7 +101,7 @@ def _fused_kernel(q_ref, e_ref, vals_ref, idx_ref, *, tile_n: int, m: int, n_act
     # Strided bucket max+argmax: segment i covers columns [i*C, (i+1)*C);
     # bucket j = {j, j+C, ..., j+(m-1)C}. Unrolled m-pass VPU reduction.
     best_vals = jnp.full((b, c), NEG_INF, dtype=jnp.float32)
-    best_idx = jnp.zeros((b, c), dtype=jnp.int32)
+    best_idx = jnp.full((b, c), -1, dtype=jnp.int32)
     for i in range(m):
         seg = s[:, i * c : (i + 1) * c]
         gidx = tile_start + i * c + col
@@ -85,25 +110,40 @@ def _fused_kernel(q_ref, e_ref, vals_ref, idx_ref, *, tile_n: int, m: int, n_act
         best_vals = jnp.where(take, seg, best_vals)
         best_idx = jnp.where(take, gidx, best_idx)
 
-    vals_ref[:] = best_vals
-    idx_ref[:] = best_idx
+    # Max-merge this tile's C candidates into the rotating accumulator slice.
+    slot = (step % (c_out // c)) * c
+    cur_v = acc_vals[:, pl.dslice(slot, c)]
+    cur_i = acc_idx[:, pl.dslice(slot, c)]
+    take = best_vals > cur_v
+    acc_vals[:, pl.dslice(slot, c)] = jnp.where(take, best_vals, cur_v)
+    acc_idx[:, pl.dslice(slot, c)] = jnp.where(take, best_idx, cur_i)
+
+    @pl.when(step == num_tiles - 1)
+    def _flush():
+        vals_ref[:] = acc_vals[:]
+        idx_ref[:] = acc_idx[:]
 
 
-@functools.partial(jax.jit, static_argnames=("k", "m", "tile_n", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("k", "m", "tile_n", "c_out", "interpret")
+)
 def fused_topk(
     q: jax.Array,
     emb: jax.Array,
     k: int,
     m: int = 16,
     tile_n: int = 2048,
+    c_out: int = 8192,
     interpret: bool | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Fused matmul + bucketed top-k. Same signature/returns as exact_topk.
 
-    ``m`` is the bucket size (recall knob, m=1 exact); ``tile_n`` the E-row
-    tile per grid step. q is (B, D); emb (N, D) — both L2-normalized, any
-    float dtype (bf16 recommended on TPU). Mosaic requires the per-tile
-    candidate count ``tile_n // m`` to be a lane multiple (128).
+    ``m`` is the within-tile bucket size; ``tile_n`` the E-row tile per grid
+    step; ``c_out`` the candidate-accumulator width (recall knob — expected
+    top-k loss ≈ k²/(2·c_out)). q is (B, D); emb (N, D) — both L2-normalized,
+    any float dtype (bf16 recommended on TPU). Mosaic requires the per-tile
+    candidate count ``tile_n // m`` to be a lane multiple (128) and ``c_out``
+    a multiple of it.
     """
     if interpret is None:
         interpret = not _is_tpu()
@@ -111,11 +151,15 @@ def fused_topk(
     n, d2 = emb.shape
     assert d == d2, (q.shape, emb.shape)
     assert tile_n % m == 0
-    if (tile_n // m) % 128 != 0:
+    c = tile_n // m
+    if c % 128 != 0:
         raise ValueError(
-            f"tile_n//m must be a multiple of 128 lanes, got {tile_n}//{m}"
-            f"={tile_n // m}"
+            f"tile_n//m must be a multiple of 128 lanes, got {tile_n}//{m}={c}"
         )
+    c_out = max(c, min(c_out, -(-n // tile_n) * c))  # never wider than N/m
+    c_out = -(-c_out // c) * c  # multiple of c
+    if c_out % c != 0:
+        raise ValueError(f"c_out ({c_out}) must be a multiple of tile_n//m ({c})")
 
     # Pad B to the sublane multiple, N to a tile multiple.
     b_pad = -(-b // 16) * 16
@@ -126,9 +170,15 @@ def fused_topk(
         emb = jnp.pad(emb, ((0, n_pad - n), (0, 0)))
 
     num_tiles = n_pad // tile_n
-    c = tile_n // m
 
-    kernel = functools.partial(_fused_kernel, tile_n=tile_n, m=m, n_actual=n)
+    kernel = functools.partial(
+        _fused_kernel,
+        tile_n=tile_n,
+        m=m,
+        c_out=c_out,
+        n_actual=n,
+        num_tiles=num_tiles,
+    )
     cand_vals, cand_idx = pl.pallas_call(
         kernel,
         grid=(num_tiles,),
@@ -137,17 +187,21 @@ def fused_topk(
             pl.BlockSpec((tile_n, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((b_pad, c), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((b_pad, c), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_pad, c_out), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_pad, c_out), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b_pad, num_tiles * c), jnp.float32),
-            jax.ShapeDtypeStruct((b_pad, num_tiles * c), jnp.int32),
+            jax.ShapeDtypeStruct((b_pad, c_out), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, c_out), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b_pad, c_out), jnp.float32),
+            pltpu.VMEM((b_pad, c_out), jnp.int32),
         ],
         interpret=interpret,
     )(q, emb)
 
-    k_eff = min(k, cand_vals.shape[1])
+    k_eff = min(k, n, c_out)
     top_vals, top_pos = jax.lax.top_k(cand_vals, k_eff)
     top_idx = jnp.take_along_axis(cand_idx, top_pos, axis=1)
     if k_eff < k:  # fewer candidates than k: pad with -inf / -1

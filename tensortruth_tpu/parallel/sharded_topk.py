@@ -57,7 +57,8 @@ def shard_corpus(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "mesh", "n_actual", "use_fused", "m", "tile_n")
+    jax.jit,
+    static_argnames=("k", "mesh", "n_actual", "use_fused", "m", "tile_n", "q_sharded"),
 )
 def sharded_topk(
     q: jax.Array,
@@ -69,13 +70,18 @@ def sharded_topk(
     use_fused: bool = False,
     m: int = 16,
     tile_n: int = 2048,
+    q_sharded: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Global top-k over a row-sharded corpus.
 
-    q: (B, D) normalized queries (replicated); emb: (N_pad, D) row-sharded.
-    Returns (scores (B, k) f32, global indices (B, k) i32); indices of padded
-    rows never appear (masked to -inf / -1).
+    q: (B, D) normalized queries (replicated, or sharded over the ``data``
+    axis when ``q_sharded`` — the 2D DP×shards layout where each data-slice
+    of the query batch merges its own candidates and no query all-gather is
+    needed); emb: (N_pad, D) row-sharded. Returns (scores (B, k) f32, global
+    indices (B, k) i32); indices of padded rows never appear (masked to
+    -inf / -1).
     """
+    from tensortruth_tpu.parallel.mesh import DATA_AXIS
     n_pad = emb.shape[0]
     p = mesh.shape[SHARD_AXIS]
     local_n = n_pad // p
@@ -107,13 +113,15 @@ def sharded_topk(
             top_i = jnp.pad(top_i, ((0, 0), (0, k - k_out)), constant_values=-1)
         return top_v, top_i
 
+    q_spec = P(DATA_AXIS) if q_sharded else P()
     fn = jax.shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(), P(SHARD_AXIS, None)),
-        out_specs=(P(), P()),
-        # Outputs ARE replicated (identical post-all_gather reduction on every
-        # shard) but VMA can't statically infer that through top_k.
+        in_specs=(q_spec, P(SHARD_AXIS, None)),
+        out_specs=(q_spec, q_spec),
+        # Outputs ARE replicated over ``shards`` (identical post-all_gather
+        # reduction on every shard) but VMA can't statically infer that
+        # through top_k.
         check_vma=False,
     )
     return fn(q, emb)
