@@ -1,0 +1,267 @@
+"""RAGService: engine lifecycle + the streaming query pipeline.
+
+Behavioral mirror of reference services/rag_service.py:
+
+* engine load/reload keyed by a config hash of modules+params+paths
+  (reference :110-137);
+* streaming ``query()`` generator: condense → retrieve → rerank →
+  confidence-gated prompt selection → LLM token/thinking streaming
+  (reference :214-516);
+* non-LLM ``retrieve()`` for the agent's rag_query tool (reference
+  :518-661) returning sources + metrics + confidence;
+* LLM-only mode when no modules are attached (reference :368-429).
+
+Device work happens in exactly two dispatches per query — query embedding
+(models/embedder.py) + stacked top-k (retrieval/engine.py) — plus bucketed
+rerank batches; everything else is host-side policy.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import logging
+from dataclasses import dataclass, field
+from typing import Generator
+
+from tensortruth_tpu.core.prompts import (
+    CONTEXT_PROMPT_LOW_CONFIDENCE,
+    CONTEXT_PROMPT_NO_SOURCES,
+    CONTEXT_PROMPT_TEMPLATE,
+    LLM_ONLY_SYSTEM_PROMPT,
+    NO_CONTEXT_FALLBACK_CONTEXT,
+)
+from tensortruth_tpu.core.source import SourceNode
+from tensortruth_tpu.engine import RAGEngine, load_engine_for_modules
+from tensortruth_tpu.retrieval.metrics import compute_retrieval_metrics
+from tensortruth_tpu.retrieval.ranking import (
+    ConfidenceLevel,
+    RankingStage,
+    apply_confidence_gate,
+)
+from tensortruth_tpu.services.chat_history import ChatHistoryService
+from tensortruth_tpu.services.condenser import condense_query
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class RAGChunk:
+    """One streamed event (reference rag_service.py RAGChunk contract)."""
+
+    text: str = ""
+    thinking: str = ""
+    status: str = ""  # "retrieving" | "reranking" | "generating"
+
+
+@dataclass
+class RAGResponse:
+    text: str = ""
+    sources: list[SourceNode] = field(default_factory=list)
+    metrics: dict | None = None
+    confidence: str = ConfidenceLevel.NORMAL.value
+
+
+@dataclass
+class RetrievalResult:
+    """Non-LLM retrieval for the agent tool (reference rag_service.py:518-661)."""
+
+    sources: list[SourceNode] = field(default_factory=list)
+    metrics: dict | None = None
+    confidence: str = ConfidenceLevel.NORMAL.value
+    condensed_query: str = ""
+
+
+def _params_hash(modules: list[str], params: dict, paths: list[str]) -> str:
+    blob = json.dumps([sorted(modules), params, sorted(paths)], sort_keys=True, default=str)
+    return hashlib.sha256(blob.encode()).hexdigest()
+
+
+class RAGService:
+    def __init__(self, config=None, llm_factory=None):
+        from tensortruth_tpu.app.config import load_config
+
+        self.config = config or load_config()
+        self.chat_history_service = ChatHistoryService(self.config)
+        self._engine: RAGEngine | None = None
+        self._engine_hash: str | None = None
+        # injectable for tests; default = provider-backed factory
+        self._llm_factory = llm_factory
+
+    # -- engine lifecycle (reference rag_service.py:110-137) -----------------
+
+    def needs_reload(
+        self, modules: list[str], params: dict, extra_index_paths: list[str] | None = None
+    ) -> bool:
+        return self._engine_hash != _params_hash(
+            modules, params, [str(p) for p in (extra_index_paths or [])]
+        )
+
+    def load_engine(
+        self,
+        modules: list[str],
+        params: dict | None = None,
+        extra_index_paths: list[str] | None = None,
+        **kw,
+    ) -> RAGEngine:
+        params = params or {}
+        if self._engine is not None:
+            self._engine.retriever.clear_cache()
+        self._engine = load_engine_for_modules(
+            modules, params, extra_index_paths=extra_index_paths,
+            config=self.config, **kw,
+        )
+        self._engine_hash = _params_hash(
+            modules, params, [str(p) for p in (extra_index_paths or [])]
+        )
+        return self._engine
+
+    def unload(self) -> None:
+        if self._engine is not None:
+            self._engine.retriever.clear_cache()
+        self._engine = None
+        self._engine_hash = None
+
+    @property
+    def engine(self) -> RAGEngine | None:
+        return self._engine
+
+    def _get_llm(self, params: dict):
+        if self._llm_factory is not None:
+            return self._llm_factory(params)
+        from tensortruth_tpu.core.providers import create_llm
+
+        return create_llm(params)
+
+    # -- retrieval core shared by query() and retrieve() ----------------------
+
+    def _retrieve_and_rank(
+        self, prompt: str, history_str: str, params: dict
+    ) -> RetrievalResult:
+        engine = self._engine
+        assert engine is not None
+
+        condensed = prompt
+        if history_str.strip():
+            try:
+                condensed = condense_query(
+                    self._get_llm({**params, "temperature": 0.1}),
+                    history_str,
+                    prompt,
+                )
+            except Exception as e:
+                logger.warning("condenser unavailable (%s)", e)
+
+        q_emb = engine.embedder.encode([condensed], is_query=True)[0]
+        retrieved = engine.retriever.retrieve(q_emb, condensed)
+        sources = [SourceNode.from_retrieved(r) for r in retrieved]
+
+        top_n = engine.params.get("reranker_top_n", 5)
+        if engine.reranker is not None and sources:
+            stage = RankingStage(reranker=engine.reranker)
+            try:
+                result = stage.rank(sources, condensed, top_n=top_n)
+                sources = result.passed[:top_n]
+            except Exception as e:  # postprocessor failure → unranked nodes
+                logger.warning("rerank failed (%s); using dense order", e)
+                sources = sources[:top_n]
+        else:
+            sources = sources[:top_n]
+
+        kept, level = apply_confidence_gate(
+            sources,
+            cutoff=engine.params.get("confidence_cutoff", 0.35),
+            cutoff_hard=engine.params.get("confidence_cutoff_hard", 0.05),
+        )
+        metrics = compute_retrieval_metrics(kept)
+        metrics.configured_top_n = top_n
+        return RetrievalResult(
+            sources=kept,
+            metrics=metrics.to_dict(),
+            confidence=level.value,
+            condensed_query=condensed,
+        )
+
+    # -- agent-tool retrieval --------------------------------------------------
+
+    def retrieve(
+        self,
+        prompt: str,
+        params: dict | None = None,
+        session_messages: list[dict] | None = None,
+    ) -> RetrievalResult:
+        if self._engine is None:
+            return RetrievalResult(confidence=ConfidenceLevel.NO_SOURCES.value)
+        params = {**self._engine.params, **(params or {})}
+        history = self.chat_history_service.build_history(
+            session_messages, max_turns=params.get("max_history_turns")
+        )
+        return self._retrieve_and_rank(prompt, history.to_prompt_string(), params)
+
+    # -- streaming query (reference rag_service.py:214-516) --------------------
+
+    def query(
+        self,
+        prompt: str,
+        params: dict | None = None,
+        session_messages: list[dict] | None = None,
+    ) -> Generator[RAGChunk, None, RAGResponse]:
+        params = {**(self._engine.params if self._engine else {}), **(params or {})}
+        llm = self._get_llm(params)
+        history = self.chat_history_service.build_history(
+            session_messages, max_turns=params.get("max_history_turns")
+        )
+        history_str = history.to_prompt_string()
+
+        response = RAGResponse()
+        if self._engine is not None and self._engine.modules:
+            yield RAGChunk(status="retrieving")
+            result = self._retrieve_and_rank(prompt, history_str, params)
+            yield RAGChunk(status="reranking")
+            response.sources = result.sources
+            response.metrics = result.metrics
+            response.confidence = result.confidence
+
+            context_str = "\n\n".join(
+                f"[{i+1}] {s.get_display_text()}" for i, s in enumerate(result.sources)
+            )
+            if result.confidence == ConfidenceLevel.NO_SOURCES.value:
+                template = CONTEXT_PROMPT_NO_SOURCES
+                full_prompt = template.format(
+                    chat_history=history_str, query_str=prompt
+                )
+            else:
+                template = (
+                    CONTEXT_PROMPT_LOW_CONFIDENCE
+                    if result.confidence == ConfidenceLevel.LOW.value
+                    else CONTEXT_PROMPT_TEMPLATE
+                )
+                full_prompt = template.format(
+                    context_str=context_str or NO_CONTEXT_FALLBACK_CONTEXT,
+                    chat_history=history_str,
+                    query_str=prompt,
+                )
+            messages = [{"role": "user", "content": full_prompt}]
+            system = None
+        else:
+            # LLM-only mode (reference rag_service.py:368-429)
+            messages = history.to_chat_messages() + [
+                {"role": "user", "content": prompt}
+            ]
+            system = LLM_ONLY_SYSTEM_PROMPT
+
+        yield RAGChunk(status="generating")
+        parts: list[str] = []
+        try:
+            for delta in llm.stream_chat(messages, system=system):
+                if delta.thinking:
+                    yield RAGChunk(thinking=delta.thinking)
+                if delta.text:
+                    parts.append(delta.text)
+                    yield RAGChunk(text=delta.text)
+        except Exception as e:
+            err = f"\n\n[LLM error: {e}]"
+            parts.append(err)
+            yield RAGChunk(text=err)
+        response.text = "".join(parts)
+        return response

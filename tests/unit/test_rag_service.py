@@ -1,0 +1,157 @@
+"""RAGService lifecycle + streaming query + retrieve
+(reference tests/unit/test_rag_service.py analog). Uses real tiny models on
+CPU via the engine factory with a fake LLM."""
+
+import numpy as np
+import pytest
+
+from tensortruth_tpu.app.config import TensorTruthTPUConfig
+from tensortruth_tpu.app.sources import save_user_sources
+from tensortruth_tpu.core.providers import ChatDelta
+from tensortruth_tpu.indexing.builder import build_module
+from tensortruth_tpu.models.manager import ModelManager
+from tensortruth_tpu.retrieval.ranking import ConfidenceLevel
+from tensortruth_tpu.services.rag_service import RAGService
+from tensortruth_tpu.tokenization import load_tokenizer
+
+
+class FakeLLM:
+    def __init__(self, reply="The answer is 42."):
+        self.reply = reply
+        self.calls = []
+
+    def complete(self, prompt):
+        self.calls.append(("complete", prompt))
+        return "standalone query"
+
+    def stream_chat(self, messages, system=None):
+        self.calls.append(("stream", messages, system))
+        yield ChatDelta(thinking="hmm")
+        for word in self.reply.split(" "):
+            yield ChatDelta(text=word + " ")
+
+
+@pytest.fixture
+def env(tmp_path, monkeypatch, tiny_tokenizer):
+    monkeypatch.setenv("TENSOR_TRUTH_TPU_DATA_DIR", str(tmp_path))
+    ModelManager.reset_instance()
+    sources = {"libraries": {"numpy": {"url": "https://numpy.org"}}, "papers": {}, "books": {}}
+    save_user_sources(sources, tmp_path / "sources.json")
+    docs = tmp_path / "library_docs" / "library_numpy"
+    docs.mkdir(parents=True)
+    docs.joinpath("a.md").write_text("Array broadcasting and ufuncs. " * 120)
+
+    class E:
+        tokenizer = load_tokenizer()
+
+        def encode(self, texts, **kw):
+            out = np.zeros((len(texts), 64), np.float32)
+            for i, t in enumerate(texts):
+                rng = np.random.default_rng(abs(hash(t)) % 2**32)
+                v = rng.standard_normal(64)
+                out[i] = v / np.linalg.norm(v)
+            return out
+
+    build_module(
+        "numpy", E(), library_docs_dir=tmp_path / "library_docs",
+        indexes_dir=tmp_path / "indexes", sources=sources,
+        embedding_model="tiny-embedder", chunk_sizes=[128, 32], chunk_overlap=8,
+    )
+    cfg = TensorTruthTPUConfig.default()
+    cfg.rag.default_embedding_model = "tiny-embedder"
+    cfg.rag.default_reranker = "tiny-reranker"
+    cfg.rag.use_fused_topk = False
+    return tmp_path, cfg
+
+
+def _service(env, llm=None):
+    tmp_path, cfg = env
+    llm = llm or FakeLLM()
+    svc = RAGService(config=cfg, llm_factory=lambda params: llm)
+    svc.load_engine(["numpy"], {"reranker_top_n": 3}, indexes_dir=tmp_path / "indexes")
+    return svc, llm
+
+
+def test_reload_hash(env):
+    svc, _ = _service(env)
+    assert not svc.needs_reload(["numpy"], {"reranker_top_n": 3})
+    assert svc.needs_reload(["numpy"], {"reranker_top_n": 5})
+    assert svc.needs_reload(["numpy", "other"], {"reranker_top_n": 3})
+    svc.unload()
+    assert svc.engine is None
+
+
+def test_streaming_query_events(env):
+    svc, llm = _service(env)
+    gen = svc.query("what is broadcasting?", session_messages=None)
+    chunks = []
+    try:
+        while True:
+            chunks.append(next(gen))
+    except StopIteration as stop:
+        response = stop.value
+    statuses = [c.status for c in chunks if c.status]
+    assert statuses == ["retrieving", "reranking", "generating"]
+    assert any(c.thinking for c in chunks)
+    assert response.text.startswith("The answer")
+    assert response.metrics is not None
+    assert response.confidence in {l.value for l in ConfidenceLevel}
+    # context prompt flowed to the LLM
+    stream_call = [c for c in llm.calls if c[0] == "stream"][0]
+    assert "User Query: what is broadcasting?" in stream_call[1][-1]["content"]
+
+
+def test_condense_called_with_history(env):
+    svc, llm = _service(env)
+    msgs = [{"role": "user", "content": "tell me about ufuncs"},
+            {"role": "assistant", "content": "they are universal functions"}]
+    r = svc.retrieve("what about it?", session_messages=msgs)
+    assert ("complete", ) != ()  # condenser invoked through complete()
+    assert any(c[0] == "complete" for c in llm.calls)
+    assert r.condensed_query == "standalone query"
+
+
+def test_retrieve_returns_sources_and_metrics(env):
+    svc, _ = _service(env)
+    r = svc.retrieve("array broadcasting rules")
+    assert r.metrics["configuration"]["configured_top_n"] == 3
+    assert len(r.sources) <= 3
+    for s in r.sources:
+        assert s.content
+        assert s.metadata.get("module") == "numpy"
+
+
+def test_llm_only_mode(env):
+    _, cfg = env
+    llm = FakeLLM(reply="general knowledge")
+    svc = RAGService(config=cfg, llm_factory=lambda p: llm)
+    gen = svc.query("hello", session_messages=[{"role": "user", "content": "hi"},
+                                               {"role": "assistant", "content": "hey"}])
+    try:
+        while True:
+            next(gen)
+    except StopIteration as stop:
+        response = stop.value
+    assert response.sources == []
+    stream_call = [c for c in llm.calls if c[0] == "stream"][0]
+    assert stream_call[2] is not None  # LLM-only system prompt set
+    assert "knowledge base" in stream_call[2]
+
+
+def test_llm_error_surfaces_in_stream(env):
+    class BoomLLM(FakeLLM):
+        def stream_chat(self, messages, system=None):
+            yield ChatDelta(text="partial ")
+            raise RuntimeError("connection lost")
+
+    svc, _ = _service(env, llm=BoomLLM())
+    gen = svc.query("q")
+    texts = []
+    try:
+        while True:
+            c = next(gen)
+            texts.append(c.text)
+    except StopIteration as stop:
+        response = stop.value
+    assert "partial" in response.text
+    assert "LLM error" in response.text
