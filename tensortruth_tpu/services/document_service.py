@@ -1,0 +1,135 @@
+"""Scope-based document ingestion: upload → convert → index.
+
+Behavioral mirror of reference services/document_service.py:24-651 +
+pdf_handler.py: session/project scopes, PDF/markdown/text/url/arXiv intake,
+stable doc ids (``pdf_<hash>_<name>``), markdown persistence next to the
+index, incremental reindex and delete. Network ingestion (URL/arXiv) is
+gated on outbound access and surfaces a clear error offline.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import logging
+import re
+from pathlib import Path
+
+from tensortruth_tpu.services.document_index import DocumentIndexBuilder
+from tensortruth_tpu.utils.pdf import pdf_to_text, post_process_markdown
+
+logger = logging.getLogger(__name__)
+
+
+def make_doc_id(filename: str, data: bytes) -> str:
+    """pdf_<hash>_<safe-name> (reference pdf_handler.py:16-80)."""
+    digest = hashlib.sha256(data).hexdigest()[:10]
+    safe = re.sub(r"[^A-Za-z0-9_.-]+", "_", Path(filename).stem)[:60]
+    return f"pdf_{digest}_{safe}"
+
+
+class DocumentService:
+    """One instance serves both scopes; scope dirs are passed per call."""
+
+    def __init__(
+        self,
+        embedder_factory,
+        chunk_sizes: list[int] | None = None,
+        chunk_overlap: int = 64,
+    ):
+        """``embedder_factory() -> Embedder`` defers model loading until the
+        first ingestion (reference loads lazily via ModelManager)."""
+        self._embedder_factory = embedder_factory
+        self.chunk_sizes = chunk_sizes
+        self.chunk_overlap = chunk_overlap
+
+    def _builder(self, scope_dir: Path) -> DocumentIndexBuilder:
+        return DocumentIndexBuilder(
+            Path(scope_dir) / "index",
+            self._embedder_factory(),
+            chunk_sizes=self.chunk_sizes,
+            chunk_overlap=self.chunk_overlap,
+        )
+
+    # -- intake -------------------------------------------------------------------
+
+    def add_pdf(
+        self, scope_dir: str | Path, filename: str, data: bytes, metadata: dict | None = None
+    ) -> dict:
+        scope_dir = Path(scope_dir)
+        doc_id = make_doc_id(filename, data)
+        (scope_dir / "pdfs").mkdir(parents=True, exist_ok=True)
+        (scope_dir / "pdfs" / f"{doc_id}.pdf").write_bytes(data)
+        text = post_process_markdown(pdf_to_text(data))
+        if not text.strip():
+            return {
+                "doc_id": doc_id,
+                "status": "failed",
+                "error": "no extractable text (scanned PDF?)",
+            }
+        return self._index_text(scope_dir, doc_id, text, filename, metadata)
+
+    def add_text(
+        self,
+        scope_dir: str | Path,
+        filename: str,
+        text: str,
+        metadata: dict | None = None,
+    ) -> dict:
+        doc_id = make_doc_id(filename, text.encode())
+        return self._index_text(
+            Path(scope_dir), doc_id, post_process_markdown(text), filename, metadata
+        )
+
+    def add_url(self, scope_dir: str | Path, url: str, metadata: dict | None = None) -> dict:
+        """Fetch a page and index it (reference document_service URL path);
+        requires outbound network."""
+        try:
+            from tensortruth_tpu.web.fetch import fetch_url_as_markdown
+
+            title, markdown = fetch_url_as_markdown(url)
+        except Exception as e:
+            return {"doc_id": None, "status": "failed", "error": f"fetch failed: {e}"}
+        meta = {"source_url": url, "title": title, **(metadata or {})}
+        return self.add_text(scope_dir, title or url, markdown, meta)
+
+    def _index_text(
+        self, scope_dir: Path, doc_id: str, text: str, filename: str, metadata: dict | None
+    ) -> dict:
+        md_dir = scope_dir / "markdown"
+        md_dir.mkdir(parents=True, exist_ok=True)
+        (md_dir / f"{doc_id}.md").write_text(text, encoding="utf-8")
+        meta = {"filename": filename, **(metadata or {})}
+        builder = self._builder(scope_dir)
+        n = builder.add_documents({doc_id: text}, {doc_id: meta})
+        return {"doc_id": doc_id, "status": "success", "chunks": n}
+
+    # -- management ------------------------------------------------------------------
+
+    def list_documents(self, scope_dir: str | Path) -> list[str]:
+        return self._builder(Path(scope_dir)).doc_ids()
+
+    def remove_document(self, scope_dir: str | Path, doc_id: str) -> int:
+        scope_dir = Path(scope_dir)
+        removed = self._builder(scope_dir).remove_document(doc_id)
+        for sub, ext in (("pdfs", ".pdf"), ("markdown", ".md")):
+            p = scope_dir / sub / f"{doc_id}{ext}"
+            if p.exists():
+                p.unlink()
+        return removed
+
+    def reindex(self, scope_dir: str | Path) -> int:
+        """Full rebuild from stored markdown (reference reindex endpoint)."""
+        scope_dir = Path(scope_dir)
+        md_dir = scope_dir / "markdown"
+        docs = {
+            p.stem: p.read_text(encoding="utf-8")
+            for p in sorted(md_dir.glob("*.md"))
+        } if md_dir.exists() else {}
+        if not docs:
+            return 0
+        builder = self._builder(scope_dir)
+        builder.build_index(docs)
+        return len(docs)
+
+    def index_path(self, scope_dir: str | Path) -> Path:
+        return Path(scope_dir) / "index"
