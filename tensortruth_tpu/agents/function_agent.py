@@ -1,0 +1,147 @@
+"""FunctionAgent: the generic tool-calling loop.
+
+Mirrors the reference's LlamaIndex ``FunctionAgent`` usage
+(reference orchestrator_service.py:646-1006): bounded iterations (default
+10), per-iteration LLM turn with tool schemas, async tool execution with
+progress events, transient-error retry (2 attempts), full-output
+side-channel — the scratchpad keeps a summary while the synthesis stage
+receives full tool outputs (reference :246-248,851-898).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import logging
+from typing import AsyncIterator
+
+from tensortruth_tpu.agents.base import Agent
+
+logger = logging.getLogger(__name__)
+
+SCRATCHPAD_SUMMARY_CHARS = 700  # tool result excerpt kept in the loop context
+TRANSIENT_MARKERS = ("timeout", "connection", "temporarily", "503", "502", "overloaded")
+
+
+def is_transient_error(e: Exception) -> bool:
+    """(reference orchestrator_service.py:101-116)."""
+    msg = str(e).lower()
+    return any(m in msg for m in TRANSIENT_MARKERS)
+
+
+class FunctionAgent(Agent):
+    name = "function"
+
+    def __init__(
+        self,
+        context: dict | None = None,
+        system_prompt: str = "",
+        allowed_tools: list[str] | None = None,
+        max_iterations: int = 10,
+        model: str | None = None,
+    ):
+        self.context = context or {}
+        self.system_prompt = system_prompt
+        self.allowed_tools = allowed_tools
+        self.max_iterations = max_iterations
+        self.model = model
+        # side-channel: full tool outputs for the synthesis stage
+        self.full_outputs: list[dict] = []
+
+    def _tools(self):
+        tool_service = self.context.get("tool_service")
+        extra = self.context.get("extra_tools", {})  # name -> ToolSpec
+        tools = dict(extra)
+        if tool_service is not None:
+            tools.update(tool_service.tools)
+        if self.allowed_tools is not None:
+            tools = {n: t for n, t in tools.items() if n in self.allowed_tools}
+        return tools
+
+    async def run(self, task: str, context: dict | None = None) -> AsyncIterator[dict]:
+        context = {**self.context, **(context or {})}
+        llm = context.get("llm")
+        if llm is None:
+            yield {"type": "error", "error": "no LLM available for agent"}
+            return
+        tools = self._tools()
+        schemas = [
+            {"name": t.name, "description": t.description, "parameters": t.parameters}
+            for t in tools.values()
+        ]
+        messages: list[dict] = list(context.get("history", []))
+        messages.append({"role": "user", "content": task})
+
+        final_text = ""
+        for iteration in range(self.max_iterations):
+            text, calls = None, None
+            for attempt in range(2):  # transient retry (reference :958-989)
+                try:
+                    text, calls = await asyncio.to_thread(
+                        llm.chat_with_tools, messages, schemas, self.system_prompt or None
+                    )
+                    break
+                except NotImplementedError:
+                    yield {"type": "error", "error": "model lacks tool calling"}
+                    return
+                except Exception as e:
+                    if attempt == 0 and is_transient_error(e):
+                        logger.warning("transient LLM error, retrying: %s", e)
+                        await asyncio.sleep(1)
+                        continue
+                    yield {"type": "error", "error": f"agent LLM failed: {e}"}
+                    return
+            if not calls:
+                final_text = text or ""
+                break
+
+            messages.append(
+                {"role": "assistant", "content": text or "",
+                 "tool_calls": [
+                     {"function": {"name": c["name"], "arguments": c["arguments"]}}
+                     for c in calls
+                 ]}
+            )
+            # Parallel tool execution (reference orchestrator_service.py:504-515).
+            yield {
+                "type": "tool_phase",
+                "tools": [c["name"] for c in calls],
+                "iteration": iteration + 1,
+            }
+
+            async def run_one(call):
+                name, args = call["name"], call.get("arguments") or {}
+                if name not in tools:
+                    return name, args, f"ERROR: unknown tool {name}"
+                try:
+                    result = await tools[name].fn(**args)
+                except Exception as e:
+                    return name, args, f"ERROR: {e}"
+                return name, args, result
+
+            results = await asyncio.gather(*(run_one(c) for c in calls))
+            for name, args, result in results:
+                text_result = (
+                    result if isinstance(result, str)
+                    else json.dumps(result, ensure_ascii=False, default=str)
+                )
+                self.full_outputs.append(
+                    {"tool": name, "arguments": args, "output": text_result}
+                )
+                yield {
+                    "type": "tool_progress",
+                    "tool": name,
+                    "message": text_result[:200],
+                }
+                # Scratchpad gets a summary; synthesis sees full output.
+                messages.append(
+                    {"role": "tool", "name": name,
+                     "content": text_result[:SCRATCHPAD_SUMMARY_CHARS]}
+                )
+        else:
+            # Max iterations: fall through with whatever was gathered
+            # (reference :938-956).
+            final_text = ""
+
+        yield {"type": "agent_done", "content": final_text,
+               "tool_outputs": self.full_outputs}

@@ -95,6 +95,18 @@ class BaseLLM:
     ) -> Iterator[ChatDelta]:
         raise NotImplementedError
 
+    def chat_with_tools(
+        self, messages: list[dict], tools: list[dict], system: str | None = None
+    ) -> tuple[str, list[dict]]:
+        """One non-streaming turn with tool schemas.
+
+        Returns (assistant_text, tool_calls) where each tool call is
+        {"name": ..., "arguments": {...}}. Providers without tool support
+        raise NotImplementedError (the orchestrator then degrades to the
+        direct pipeline, reference chat.py:839-847).
+        """
+        raise NotImplementedError
+
 
 class OllamaLLM(BaseLLM):
     """Ollama /api/chat streaming client (reference core/ollama.py:24-545)."""
@@ -141,6 +153,34 @@ class OllamaLLM(BaseLLM):
         r = requests.get(f"{self.base_url}/api/tags", timeout=10)
         r.raise_for_status()
         return [m["name"] for m in r.json().get("models", [])]
+
+    def chat_with_tools(self, messages, tools, system=None):
+        import requests
+
+        msgs = ([{"role": "system", "content": system}] if system else []) + messages
+        payload = {
+            "model": self.model,
+            "messages": msgs,
+            "stream": False,
+            "tools": [
+                {"type": "function", "function": t} for t in tools
+            ],
+            "options": {"temperature": self.temperature, "num_ctx": self.context_window},
+        }
+        r = requests.post(
+            f"{self.base_url}/api/chat", json=payload,
+            timeout=self.timeout, headers=self._headers(),
+        )
+        r.raise_for_status()
+        msg = r.json().get("message", {})
+        calls = [
+            {
+                "name": tc["function"]["name"],
+                "arguments": tc["function"].get("arguments", {}),
+            }
+            for tc in msg.get("tool_calls", [])
+        ]
+        return msg.get("content", ""), calls
 
 
 class OpenAICompatibleLLM(BaseLLM):
@@ -190,6 +230,34 @@ class OpenAICompatibleLLM(BaseLLM):
         r = requests.get(f"{url}/models", timeout=10, headers=self._headers())
         r.raise_for_status()
         return [m["id"] for m in r.json().get("data", [])]
+
+    def chat_with_tools(self, messages, tools, system=None):
+        import requests
+
+        msgs = ([{"role": "system", "content": system}] if system else []) + messages
+        url = self.base_url
+        if not url.endswith("/v1"):
+            url = url + "/v1"
+        payload = {
+            "model": self.model,
+            "messages": msgs,
+            "temperature": self.temperature,
+            "max_tokens": self.max_tokens,
+            "tools": [{"type": "function", "function": t} for t in tools],
+        }
+        r = requests.post(
+            f"{url}/chat/completions", json=payload,
+            timeout=self.timeout, headers=self._headers(),
+        )
+        r.raise_for_status()
+        msg = r.json()["choices"][0]["message"]
+        calls = []
+        for tc in msg.get("tool_calls") or []:
+            args = tc["function"].get("arguments", {})
+            if isinstance(args, str):
+                args = json.loads(args or "{}")
+            calls.append({"name": tc["function"]["name"], "arguments": args})
+        return msg.get("content") or "", calls
 
 
 class ProviderRegistry:

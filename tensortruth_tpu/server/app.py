@@ -1,0 +1,120 @@
+"""aiohttp application factory.
+
+Mirrors reference api/main.py:41-265 — CORS, all route modules under
+``/api``, WS chat, ``/health``, SPA static serving, lifespan (startup checks
+→ tool load → user extensions → TaskRunner; shutdown cleanup). FastAPI is
+not available in this environment; aiohttp provides the same async REST+WS
+surface with identical paths and JSON shapes.
+"""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+
+from aiohttp import web
+
+from tensortruth_tpu.server.deps import ServiceContainer
+
+logger = logging.getLogger(__name__)
+
+STATIC_DIR = Path(__file__).resolve().parent.parent / "static"
+
+
+@web.middleware
+async def cors_middleware(request: web.Request, handler):
+    if request.method == "OPTIONS":
+        resp = web.Response()
+    else:
+        try:
+            resp = await handler(request)
+        except web.HTTPException as e:
+            resp = e
+    resp.headers["Access-Control-Allow-Origin"] = "*"
+    resp.headers["Access-Control-Allow-Methods"] = "GET,POST,PATCH,PUT,DELETE,OPTIONS"
+    resp.headers["Access-Control-Allow-Headers"] = "Content-Type,Authorization"
+    if isinstance(resp, web.HTTPException):
+        raise resp
+    return resp
+
+
+@web.middleware
+async def error_middleware(request: web.Request, handler):
+    try:
+        return await handler(request)
+    except web.HTTPException:
+        raise
+    except Exception as e:
+        logger.exception("unhandled error on %s %s", request.method, request.path)
+        return web.json_response({"detail": str(e)}, status=500)
+
+
+def create_app(data_dir: str | Path | None = None, config=None) -> web.Application:
+    app = web.Application(
+        middlewares=[cors_middleware, error_middleware],
+        client_max_size=256 * 2**20,  # uploads
+    )
+    services = ServiceContainer(data_dir=data_dir, config=config)
+    app["services"] = services
+
+    async def health(_):
+        return web.json_response({"status": "ok"})
+
+    app.router.add_get("/health", health)
+
+    from tensortruth_tpu.server.routes import (
+        arxiv,
+        chat,
+        commands,
+        config as config_routes,
+        documents,
+        extensions,
+        mcp_servers,
+        modules,
+        projects,
+        providers,
+        rerankers,
+        sessions,
+        startup,
+        system,
+        tasks,
+        tool_confirmations,
+        tools,
+    )
+
+    for mod in (
+        startup, sessions, projects, chat, commands, config_routes, providers,
+        rerankers, modules, documents, arxiv, system, tasks, tools,
+        mcp_servers, extensions, tool_confirmations,
+    ):
+        mod.setup(app)
+
+    # Bundled SPA (reference main.py:202-226): serve static files + catch-all.
+    if STATIC_DIR.exists():
+        async def index(_):
+            return web.FileResponse(STATIC_DIR / "index.html")
+
+        app.router.add_get("/", index)
+        app.router.add_static("/assets", STATIC_DIR / "assets" if (STATIC_DIR / "assets").exists() else STATIC_DIR)
+        app.router.add_get("/{tail:(?!api|ws|health).*}", index)
+
+    async def on_startup(app: web.Application):
+        services.task_runner  # start the queue
+        try:
+            from tensortruth_tpu.extensions.loader import load_user_extensions
+
+            load_user_extensions(services)
+        except Exception as e:
+            logger.warning("extension loading failed: %s", e)
+
+    async def on_cleanup(app: web.Application):
+        services.shutdown()
+
+    app.on_startup.append(on_startup)
+    app.on_cleanup.append(on_cleanup)
+    return app
+
+
+def run(host: str = "0.0.0.0", port: int = 8000) -> None:
+    logging.basicConfig(level=logging.INFO)
+    web.run_app(create_app(), host=host, port=port)

@@ -1,0 +1,147 @@
+"""Service container — the DI layer behind every route.
+
+Mirrors reference api/deps.py:36-196 (lru_cache singletons + Annotated deps)
+as one explicit container object stored on the aiohttp app.
+"""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+
+logger = logging.getLogger(__name__)
+
+
+class ServiceContainer:
+    def __init__(self, data_dir: str | Path | None = None, config=None):
+        from tensortruth_tpu.app import paths
+        from tensortruth_tpu.app.config import load_config
+
+        if data_dir is not None:
+            import os
+
+            os.environ[paths.ENV_DATA_DIR] = str(data_dir)
+        self.data_dir = paths.get_user_data_dir()
+        self.config = config or load_config()
+        self._rag_service = None
+        self._session_service = None
+        self._project_service = None
+        self._document_service = None
+        self._task_runner = None
+        self._command_registry = None
+        self._tool_service = None
+        self._extension_loader = None
+        self._mcp_service = None
+        self._confirmation_service = None
+
+    # -- config ------------------------------------------------------------
+
+    def reload_config(self):
+        from tensortruth_tpu.app.config import load_config
+
+        self.config = load_config()
+        return self.config
+
+    def save_config(self):
+        from tensortruth_tpu.app.config import save_config
+
+        save_config(self.config)
+
+    # -- services (lazy singletons) -----------------------------------------
+
+    @property
+    def rag_service(self):
+        if self._rag_service is None:
+            from tensortruth_tpu.services.rag_service import RAGService
+
+            self._rag_service = RAGService(config=self.config)
+        return self._rag_service
+
+    @property
+    def session_service(self):
+        if self._session_service is None:
+            from tensortruth_tpu.app.paths import get_sessions_data_dir
+            from tensortruth_tpu.services.session_service import SessionService
+
+            self._session_service = SessionService(
+                get_sessions_data_dir(), config=self.config
+            )
+        return self._session_service
+
+    @property
+    def project_service(self):
+        if self._project_service is None:
+            from tensortruth_tpu.app.paths import get_projects_data_dir
+            from tensortruth_tpu.services.project_service import ProjectService
+
+            self._project_service = ProjectService(get_projects_data_dir())
+        return self._project_service
+
+    @property
+    def document_service(self):
+        if self._document_service is None:
+            from tensortruth_tpu.models.manager import ModelManager, ModelSpec
+            from tensortruth_tpu.services.document_service import DocumentService
+
+            def embedder_factory():
+                model = self.config.rag.default_embedding_model
+                mc = self.config.rag.get_embedding_model_config(model)
+                return ModelManager.get_instance().get_embedder(
+                    ModelSpec(
+                        model,
+                        dtype=mc.dtype,
+                        max_length=mc.max_length,
+                        local_dir=mc.local_dir,
+                        tokenizer_path=mc.tokenizer_path,
+                    )
+                )
+
+            self._document_service = DocumentService(embedder_factory)
+        return self._document_service
+
+    @property
+    def task_runner(self):
+        if self._task_runner is None:
+            from tensortruth_tpu.services.task_runner import TaskRunner
+
+            self._task_runner = TaskRunner()
+            self._task_runner.start()
+        return self._task_runner
+
+    @property
+    def command_registry(self):
+        if self._command_registry is None:
+            from tensortruth_tpu.server.commands import create_default_registry
+
+            self._command_registry = create_default_registry()
+        return self._command_registry
+
+    @property
+    def tool_service(self):
+        if self._tool_service is None:
+            from tensortruth_tpu.services.tool_service import ToolService
+
+            self._tool_service = ToolService(self.config)
+        return self._tool_service
+
+    @property
+    def mcp_service(self):
+        if self._mcp_service is None:
+            from tensortruth_tpu.services.mcp_server_service import MCPServerService
+
+            self._mcp_service = MCPServerService(self.data_dir / "mcp_servers.json")
+        return self._mcp_service
+
+    @property
+    def confirmation_service(self):
+        if self._confirmation_service is None:
+            from tensortruth_tpu.services.tool_confirmation_service import (
+                ToolConfirmationService,
+            )
+
+            self._confirmation_service = ToolConfirmationService()
+        return self._confirmation_service
+
+    def shutdown(self):
+        if self._task_runner is not None:
+            self._task_runner.stop()

@@ -1,0 +1,342 @@
+"""Chat routes: REST + the WebSocket protocol.
+
+Mirrors reference api/routes/chat.py:540-1002:
+
+* ``POST /api/sessions/{id}/chat`` — non-streaming REST chat;
+* ``WS /ws/chat/{session_id}`` — the primary path: slash-command detection
+  (`/web`, `/help`, user commands), project context merge, engine reload on
+  param change, direct RAG streaming (token/thinking/status/sources/done
+  message types), message persistence + title generation.
+
+The sync RAGService.query generator is pumped from an executor thread so
+device dispatches never block the event loop (reference chat.py:849-994).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import logging
+import re
+
+from aiohttp import WSMsgType, web
+
+logger = logging.getLogger(__name__)
+
+COMMAND_RE = re.compile(r"^/(\w+)(?:\s+(.*))?$", re.DOTALL)
+
+
+def _chat_context(services, session: dict) -> dict:
+    """Merge project catalog modules + session modules + index paths
+    (reference chat.py:119-215 ChatContext.from_session)."""
+    modules = list(session.get("modules", []))
+    params = dict(session.get("params", {}))
+    system_prompt = ""
+    if session.get("project_id"):
+        ctx = services.project_service.session_context(session["project_id"])
+        modules = sorted(set(modules) | set(ctx["modules"]))
+        params = {**ctx["params"], **params}
+        system_prompt = ctx["system_prompt"]
+
+    from tensortruth_tpu.app.paths import get_project_dir, get_session_dir
+
+    extra_paths = []
+    s_idx = get_session_dir(session["id"]) / "index"
+    if (s_idx / "index_metadata.json").exists():
+        extra_paths.append(str(s_idx))
+    if session.get("project_id"):
+        p_idx = get_project_dir(session["project_id"]) / "index"
+        if (p_idx / "index_metadata.json").exists():
+            extra_paths.append(str(p_idx))
+    return {
+        "modules": modules,
+        "params": params,
+        "system_prompt": system_prompt,
+        "extra_index_paths": extra_paths,
+    }
+
+
+async def _ensure_engine(services, ctx: dict) -> None:
+    rag = services.rag_service
+    if not ctx["modules"] and not ctx["extra_index_paths"]:
+        rag.unload()
+        return
+    if rag.needs_reload(ctx["modules"], ctx["params"], ctx["extra_index_paths"]):
+        loop = asyncio.get_running_loop()
+        await loop.run_in_executor(
+            None,
+            lambda: rag.load_engine(
+                ctx["modules"], ctx["params"], extra_index_paths=ctx["extra_index_paths"]
+            ),
+        )
+
+
+def _pump_query(rag, prompt, params, messages):
+    """Run the sync generator to completion; returns (events, response)."""
+    gen = rag.query(prompt, params=params, session_messages=messages)
+    events = []
+    while True:
+        try:
+            events.append(next(gen))
+        except StopIteration as stop:
+            return events, stop.value
+
+
+async def rest_chat(request: web.Request):
+    """Non-streaming REST chat (reference chat.py:540-593)."""
+    services = request.app["services"]
+    session_id = request.match_info["session_id"]
+    session = services.session_service.get_session(session_id)
+    if session is None:
+        raise web.HTTPNotFound(reason="session not found")
+    body = await request.json()
+    prompt = body.get("message", "")
+    ctx = _chat_context(services, session)
+    await _ensure_engine(services, ctx)
+    messages = session.get("messages", [])
+    loop = asyncio.get_running_loop()
+    _, response = await loop.run_in_executor(
+        None, _pump_query, services.rag_service, prompt, ctx["params"], messages
+    )
+    services.session_service.add_message(session_id, "user", prompt)
+    services.session_service.add_message(
+        session_id,
+        "assistant",
+        response.text,
+        sources=[s.to_dict() for s in response.sources],
+        metrics=response.metrics,
+    )
+    return web.json_response(
+        {
+            "response": response.text,
+            "sources": [s.to_dict() for s in response.sources],
+            "metrics": response.metrics,
+            "confidence": response.confidence,
+        }
+    )
+
+
+async def ws_chat(request: web.Request):
+    """WS chat protocol (reference chat.py:596-1002)."""
+    services = request.app["services"]
+    session_id = request.match_info["session_id"]
+    ws = web.WebSocketResponse(heartbeat=30)
+    await ws.prepare(request)
+
+    async for msg in ws:
+        if msg.type != WSMsgType.TEXT:
+            break
+        try:
+            data = json.loads(msg.data)
+        except json.JSONDecodeError:
+            await ws.send_json({"type": "error", "error": "invalid JSON"})
+            continue
+        prompt = data.get("message", "")
+        session = services.session_service.get_session(session_id)
+        if session is None:
+            await ws.send_json({"type": "error", "error": "session not found"})
+            continue
+
+        # -- slash command? (reference chat.py:676-789) ----------------------
+        m = COMMAND_RE.match(prompt.strip())
+        if m:
+            cmd = services.command_registry.get(m.group(1))
+            if cmd is None:
+                await ws.send_json(
+                    {"type": "error", "error": f"unknown command /{m.group(1)}"}
+                )
+                continue
+            ctx = _chat_context(services, session)
+            context = {
+                "config": services.config,
+                "params": ctx["params"],
+                "session_id": session_id,
+                "services": services,
+                "llm": _make_llm(services, ctx["params"]),
+                "reranker": _current_reranker(services),
+            }
+            full_text = []
+            try:
+                async for event in cmd.execute(m.group(2) or "", context):
+                    await ws.send_json(event)
+                    if event.get("type") == "token":
+                        full_text.append(event.get("content", ""))
+            except Exception as e:
+                logger.exception("command /%s failed", m.group(1))
+                await ws.send_json({"type": "error", "error": str(e)})
+                continue
+            services.session_service.add_message(session_id, "user", prompt)
+            if full_text:
+                services.session_service.add_message(
+                    session_id, "assistant", "".join(full_text)
+                )
+            continue
+
+        ctx = _chat_context(services, session)
+        try:
+            await _ensure_engine(services, ctx)
+        except Exception as e:
+            await ws.send_json({"type": "error", "error": f"engine load failed: {e}"})
+            continue
+
+        messages = session.get("messages", [])
+        services.session_service.add_message(session_id, "user", prompt)
+
+        # -- orchestrator path (reference chat.py:245-537): enabled param +
+        # tool-capable model; any failure falls back to the direct pipeline.
+        if _orchestrator_enabled(services, ctx["params"]):
+            ok = await _run_orchestrator(
+                services, ws, session_id, session, prompt, ctx, messages
+            )
+            if ok:
+                continue
+
+        # -- direct RAG path ---------------------------------------------------
+
+        loop = asyncio.get_running_loop()
+        queue: asyncio.Queue = asyncio.Queue()
+        DONE = object()
+
+        def pump():
+            rag = services.rag_service
+            gen = rag.query(prompt, params=ctx["params"], session_messages=messages)
+            while True:
+                try:
+                    chunk = next(gen)
+                    loop.call_soon_threadsafe(queue.put_nowait, chunk)
+                except StopIteration as stop:
+                    loop.call_soon_threadsafe(queue.put_nowait, (DONE, stop.value))
+                    return
+                except Exception as e:  # surface pipeline errors to the client
+                    loop.call_soon_threadsafe(queue.put_nowait, (DONE, e))
+                    return
+
+        task = loop.run_in_executor(None, pump)
+        response = None
+        while True:
+            item = await queue.get()
+            if isinstance(item, tuple) and item[0] is DONE:
+                response = item[1]
+                break
+            if item.status:
+                await ws.send_json({"type": "status", "status": item.status})
+            if item.thinking:
+                await ws.send_json({"type": "thinking", "content": item.thinking})
+            if item.text:
+                await ws.send_json({"type": "token", "content": item.text})
+        await task
+        if isinstance(response, Exception):
+            await ws.send_json({"type": "error", "error": str(response)})
+            continue
+
+        sources = [s.to_dict() for s in response.sources]
+        await ws.send_json({"type": "sources", "sources": sources})
+        await ws.send_json(
+            {
+                "type": "done",
+                "content": response.text,
+                "metrics": response.metrics,
+                "confidence": response.confidence,
+            }
+        )
+        services.session_service.add_message(
+            session_id, "assistant", response.text,
+            sources=sources, metrics=response.metrics,
+        )
+        # Smart title from the first exchange (reference chat.py:501-537).
+        if session.get("title_needs_update") and response.text:
+            title = _smart_title(prompt)
+            services.session_service.set_title(session_id, title)
+            await ws.send_json({"type": "title", "title": title})
+    return ws
+
+
+def _orchestrator_enabled(services, params: dict) -> bool:
+    """Param + model tool-capability probe (reference chat.py:245-290)."""
+    if not params.get("orchestrator_enabled", False):
+        return False
+    try:
+        from tensortruth_tpu.core.providers import ProviderRegistry
+
+        registry = ProviderRegistry.get_instance(services.config.providers)
+        ref = registry.resolve_model(params.get("model"), params.get("provider_id"))
+        return ref is not None and registry.check_capability(ref, "tools")
+    except Exception:
+        return False
+
+
+async def _run_orchestrator(
+    services, ws, session_id, session, prompt, ctx, messages
+) -> bool:
+    """Returns True when the orchestrator produced an answer; False → direct
+    fallback (reference chat.py:839-847)."""
+    from tensortruth_tpu.services.orchestrator_service import OrchestratorService
+
+    llm = _make_llm(services, {**ctx["params"], "temperature": 0.2, "thinking": False})
+    synth_llm = _make_llm(services, ctx["params"])
+    if llm is None:
+        return False
+    orch = OrchestratorService(
+        services.rag_service, services.tool_service, services.config
+    )
+    done_msg = None
+    sources: list[dict] = []
+    try:
+        async for event in orch.execute(
+            prompt, llm, synthesis_llm=synth_llm,
+            modules=ctx["modules"], params=ctx["params"],
+            history=[
+                {"role": m["role"], "content": m["content"]}
+                for m in messages
+                if m.get("role") in ("user", "assistant") and m.get("content")
+            ],
+        ):
+            if event["type"] == "error":
+                logger.warning("orchestrator failed: %s", event.get("error"))
+                return False
+            if event["type"] == "sources":
+                sources = event["sources"]
+            if event["type"] == "done":
+                done_msg = event
+            await ws.send_json(event)
+    except Exception as e:
+        logger.exception("orchestrator crashed; direct fallback")
+        return False
+    if done_msg is None:
+        return False
+    services.session_service.add_message(
+        session_id, "assistant", done_msg.get("content", ""), sources=sources
+    )
+    if session.get("title_needs_update") and done_msg.get("content"):
+        title = _smart_title(prompt)
+        services.session_service.set_title(session_id, title)
+        await ws.send_json({"type": "title", "title": title})
+    return True
+
+
+def _smart_title(prompt: str, max_len: int = 48) -> str:
+    """Heuristic title (LLM titling needs a provider; reference
+    app_utils/title_generation.py falls back similarly)."""
+    title = re.sub(r"\s+", " ", prompt).strip()
+    return title[: max_len - 1] + "…" if len(title) > max_len else (title or "New Session")
+
+
+def _make_llm(services, params):
+    try:
+        if services.rag_service._llm_factory is not None:
+            return services.rag_service._llm_factory(params)
+        from tensortruth_tpu.core.providers import create_llm
+
+        return create_llm(params)
+    except Exception:
+        return None
+
+
+def _current_reranker(services):
+    engine = services.rag_service.engine
+    return engine.reranker if engine else None
+
+
+def setup(app: web.Application) -> None:
+    app.router.add_post("/api/sessions/{session_id}/chat", rest_chat)
+    app.router.add_get("/ws/chat/{session_id}", ws_chat)

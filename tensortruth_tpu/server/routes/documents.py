@@ -1,0 +1,99 @@
+"""Document upload/ingestion routes for session + project scopes.
+
+Mirrors reference api/routes/documents.py:402-959 (upload/url/text per
+scope, list, delete, reindex) and pdfs.py legacy endpoints.
+"""
+
+from __future__ import annotations
+
+import asyncio
+
+from aiohttp import web
+
+from tensortruth_tpu.app.paths import get_project_dir, get_session_dir
+
+
+def _scope_dir(request) -> str:
+    if "session_id" in request.match_info:
+        return get_session_dir(request.match_info["session_id"])
+    return get_project_dir(request.match_info["project_id"])
+
+
+async def upload_document(request: web.Request):
+    """multipart PDF/text upload OR JSON {filename, text|url}."""
+    services = request.app["services"]
+    scope = _scope_dir(request)
+    doc_svc = services.document_service
+    loop = asyncio.get_running_loop()
+
+    ctype = request.content_type or ""
+    if ctype.startswith("multipart/"):
+        reader = await request.multipart()
+        part = await reader.next()
+        while part is not None and part.name != "file":
+            part = await reader.next()
+        if part is None:
+            raise web.HTTPUnprocessableEntity(reason="missing 'file' part")
+        filename = part.filename or "upload.pdf"
+        data = await part.read()
+        if filename.lower().endswith(".pdf"):
+            result = await loop.run_in_executor(
+                None, doc_svc.add_pdf, scope, filename, data
+            )
+        else:
+            result = await loop.run_in_executor(
+                None, doc_svc.add_text, scope, filename, data.decode("utf-8", "ignore")
+            )
+    else:
+        body = await request.json()
+        if body.get("url"):
+            result = await loop.run_in_executor(
+                None, doc_svc.add_url, scope, body["url"]
+            )
+        elif body.get("text") is not None:
+            result = await loop.run_in_executor(
+                None, doc_svc.add_text, scope,
+                body.get("filename", "pasted.md"), body["text"],
+            )
+        else:
+            raise web.HTTPUnprocessableEntity(reason="provide file, url, or text")
+    status = 200 if result.get("status") == "success" else 422
+    return web.json_response(result, status=status)
+
+
+async def list_documents(request: web.Request):
+    services = request.app["services"]
+    docs = services.document_service.list_documents(_scope_dir(request))
+    return web.json_response({"documents": docs})
+
+
+async def delete_document(request: web.Request):
+    services = request.app["services"]
+    removed = services.document_service.remove_document(
+        _scope_dir(request), request.match_info["doc_id"]
+    )
+    if removed == 0:
+        raise web.HTTPNotFound(reason="document not found")
+    return web.json_response({"status": "deleted", "chunks_removed": removed})
+
+
+async def reindex(request: web.Request):
+    services = request.app["services"]
+    loop = asyncio.get_running_loop()
+    n = await loop.run_in_executor(
+        None, services.document_service.reindex, _scope_dir(request)
+    )
+    return web.json_response({"status": "reindexed", "documents": n})
+
+
+def setup(app: web.Application) -> None:
+    r = app.router
+    for scope in ("sessions/{session_id}", "projects/{project_id}"):
+        r.add_get(f"/api/{scope}/documents", list_documents)
+        r.add_post(f"/api/{scope}/documents", upload_document)
+        r.add_post(f"/api/{scope}/documents/reindex", reindex)
+        r.add_delete(f"/api/{scope}/documents/{{doc_id}}", delete_document)
+    # Legacy pdf endpoints (reference api/routes/pdfs.py:15-102)
+    r.add_get("/api/sessions/{session_id}/pdfs", list_documents)
+    r.add_post("/api/sessions/{session_id}/pdfs/reindex", reindex)
+    r.add_delete("/api/sessions/{session_id}/pdfs/{doc_id}", delete_document)

@@ -1,0 +1,58 @@
+"""MCP server config routes (reference api/routes/mcp_servers.py:35-92)."""
+
+from __future__ import annotations
+
+from aiohttp import web
+
+
+def _svc(request):
+    return request.app["services"].mcp_service
+
+
+async def list_servers(request):
+    return web.json_response({"servers": _svc(request).list_servers()})
+
+
+async def presets(request):
+    return web.json_response({"presets": _svc(request).get_presets()})
+
+
+async def add_server(request):
+    body = await request.json()
+    name = body.pop("name", "")
+    if not name:
+        raise web.HTTPUnprocessableEntity(reason="name required")
+    try:
+        return web.json_response(_svc(request).add_server(name, body))
+    except ValueError as e:
+        raise web.HTTPConflict(reason=str(e))
+
+
+async def patch_server(request):
+    out = _svc(request).update_server(request.match_info["name"], await request.json())
+    if out is None:
+        raise web.HTTPNotFound(reason="server not found")
+    return web.json_response(out)
+
+
+async def delete_server(request):
+    if not _svc(request).delete_server(request.match_info["name"]):
+        raise web.HTTPNotFound(reason="server not found")
+    return web.json_response({"status": "deleted"})
+
+
+async def toggle_server(request):
+    out = _svc(request).toggle_server(request.match_info["name"])
+    if out is None:
+        raise web.HTTPNotFound(reason="server not found")
+    return web.json_response(out)
+
+
+def setup(app: web.Application) -> None:
+    r = app.router
+    r.add_get("/api/mcp-servers", list_servers)
+    r.add_get("/api/mcp-servers/presets", presets)
+    r.add_post("/api/mcp-servers", add_server)
+    r.add_patch("/api/mcp-servers/{name}/toggle", toggle_server)
+    r.add_patch("/api/mcp-servers/{name}", patch_server)
+    r.add_delete("/api/mcp-servers/{name}", delete_server)

@@ -1,0 +1,106 @@
+"""Session routes (reference api/routes/sessions.py:45-294)."""
+
+from __future__ import annotations
+
+from aiohttp import web
+
+
+def _svc(request):
+    return request.app["services"].session_service
+
+
+async def list_sessions(request):
+    return web.json_response({"sessions": _svc(request).list_sessions()})
+
+
+async def create_session(request):
+    body = await request.json() if request.can_read_body else {}
+    session = _svc(request).create_session(
+        modules=body.get("modules"),
+        params=body.get("params"),
+        title=body.get("title", "New Session"),
+        project_id=body.get("project_id"),
+    )
+    return web.json_response(session)
+
+
+async def get_session(request):
+    session = _svc(request).get_session(request.match_info["session_id"])
+    if session is None:
+        raise web.HTTPNotFound(reason="session not found")
+    return web.json_response(session)
+
+
+async def patch_session(request):
+    body = await request.json()
+    session = _svc(request).update_session(request.match_info["session_id"], body)
+    if session is None:
+        raise web.HTTPNotFound(reason="session not found")
+    return web.json_response(session)
+
+
+async def delete_session(request):
+    if not _svc(request).delete_session(request.match_info["session_id"]):
+        raise web.HTTPNotFound(reason="session not found")
+    return web.json_response({"status": "deleted"})
+
+
+async def get_messages(request):
+    session = _svc(request).get_session(request.match_info["session_id"])
+    if session is None:
+        raise web.HTTPNotFound(reason="session not found")
+    return web.json_response({"messages": session["messages"]})
+
+
+async def add_message(request):
+    body = await request.json()
+    msg = _svc(request).add_message(
+        request.match_info["session_id"],
+        role=body.get("role", "user"),
+        content=body.get("content", ""),
+        sources=body.get("sources"),
+        metrics=body.get("metrics"),
+    )
+    if msg is None:
+        raise web.HTTPNotFound(reason="session not found")
+    return web.json_response(msg)
+
+
+async def delete_message(request):
+    svc = _svc(request)
+    session = svc.get_session(request.match_info["session_id"])
+    if session is None:
+        raise web.HTTPNotFound(reason="session not found")
+    idx = int(request.match_info["message_index"])
+    if not 0 <= idx < len(session["messages"]):
+        raise web.HTTPNotFound(reason="message index out of range")
+    session["messages"].pop(idx)
+    svc.save_session(session)
+    return web.json_response({"status": "deleted"})
+
+
+async def session_stats(request):
+    return web.json_response(_svc(request).stats())
+
+
+async def get_image(request):
+    from tensortruth_tpu.app.paths import get_session_images_dir
+
+    path = get_session_images_dir(request.match_info["session_id"]) / request.match_info["image_id"]
+    if not path.exists():
+        raise web.HTTPNotFound(reason="image not found")
+    return web.FileResponse(path)
+
+
+def setup(app: web.Application) -> None:
+    r = app.router
+    r.add_get("/api/sessions", list_sessions)
+    r.add_post("/api/sessions", create_session)
+    r.add_get("/api/sessions/{session_id}/stats", session_stats)
+    r.add_get("/api/sessions/{session_id}/messages", get_messages)
+    r.add_post("/api/sessions/{session_id}/messages", add_message)
+    r.add_delete("/api/sessions/{session_id}/messages/{message_index}", delete_message)
+    r.add_get("/api/sessions/{session_id}/images/{image_id}", get_image)
+    r.add_get("/api/sessions/{session_id}", get_session)
+    r.add_patch("/api/sessions/{session_id}", patch_session)
+    r.add_delete("/api/sessions/{session_id}", delete_session)

@@ -1,0 +1,157 @@
+"""System introspection routes (reference api/routes/system.py:69-385).
+
+The reference reports CUDA/MPS/Ollama memory; here the equivalents are JAX
+device stats (HBM via ``memory_stats``), resident model accounting from the
+ModelManager, and provider reachability.
+"""
+
+from __future__ import annotations
+
+import asyncio
+
+from aiohttp import web
+
+
+async def memory(request: web.Request):
+    import jax
+
+    devices = []
+    for d in jax.devices():
+        stats = {}
+        try:
+            stats = d.memory_stats() or {}
+        except Exception:
+            pass
+        devices.append(
+            {
+                "id": d.id,
+                "platform": d.platform,
+                "kind": d.device_kind,
+                "bytes_in_use": stats.get("bytes_in_use"),
+                "bytes_limit": stats.get("bytes_limit"),
+            }
+        )
+    import psutil
+
+    vm = psutil.virtual_memory()
+    return web.json_response(
+        {
+            "devices": devices,
+            "ram": {"total": vm.total, "available": vm.available, "percent": vm.percent},
+        }
+    )
+
+
+async def devices(request: web.Request):
+    import jax
+
+    return web.json_response(
+        {
+            "devices": [
+                {"id": d.id, "platform": d.platform, "kind": d.device_kind}
+                for d in jax.devices()
+            ],
+            "backend": jax.default_backend(),
+        }
+    )
+
+
+async def ollama_status(request: web.Request):
+    services = request.app["services"]
+    import requests
+
+    base = services.config.ollama.base_url
+
+    def probe():
+        try:
+            r = requests.get(f"{base}/api/tags", timeout=5)
+            r.raise_for_status()
+            return {"reachable": True, "models": [m["name"] for m in r.json().get("models", [])]}
+        except Exception as e:
+            return {"reachable": False, "error": str(e)}
+
+    return web.json_response(await asyncio.to_thread(probe))
+
+
+async def ollama_load(request: web.Request):
+    services = request.app["services"]
+    body = await request.json()
+    import requests
+
+    def load():
+        r = requests.post(
+            f"{services.config.ollama.base_url}/api/generate",
+            json={"model": body.get("model", ""), "prompt": "", "keep_alive": "10m"},
+            timeout=120,
+        )
+        r.raise_for_status()
+        return {"status": "loaded"}
+
+    try:
+        return web.json_response(await asyncio.to_thread(load))
+    except Exception as e:
+        return web.json_response({"status": "error", "error": str(e)}, status=502)
+
+
+async def ollama_unload(request: web.Request):
+    services = request.app["services"]
+    body = await request.json()
+    import requests
+
+    def unload():
+        requests.post(
+            f"{services.config.ollama.base_url}/api/generate",
+            json={"model": body.get("model", ""), "prompt": "", "keep_alive": 0},
+            timeout=30,
+        )
+        return {"status": "unloaded"}
+
+    try:
+        return web.json_response(await asyncio.to_thread(unload))
+    except Exception as e:
+        return web.json_response({"status": "error", "error": str(e)}, status=502)
+
+
+async def llama_cpp_status(request: web.Request):
+    return web.json_response({"reachable": False, "detail": "llama.cpp provider not configured"})
+
+
+async def rag_status(request: web.Request):
+    """Loaded embedder/reranker + memory (reference system.py:325-360)."""
+    from tensortruth_tpu.models.manager import ModelManager
+
+    services = request.app["services"]
+    status = ModelManager.get_instance().status()
+    engine = services.rag_service.engine
+    status["engine"] = (
+        {
+            "modules": engine.modules,
+            "n_chunks": engine.retriever.n_chunks,
+            "similarity_top_k": engine.similarity_top_k,
+            "params": {k: v for k, v in engine.params.items() if not callable(v)},
+        }
+        if engine
+        else None
+    )
+    return web.json_response(status)
+
+
+async def restart_engine(request: web.Request):
+    services = request.app["services"]
+    services.rag_service.unload()
+    from tensortruth_tpu.models.manager import ModelManager
+
+    ModelManager.get_instance().unload_all()
+    return web.json_response({"status": "restarted"})
+
+
+def setup(app: web.Application) -> None:
+    r = app.router
+    r.add_get("/api/system/memory", memory)
+    r.add_get("/api/system/devices", devices)
+    r.add_get("/api/system/ollama/status", ollama_status)
+    r.add_post("/api/system/ollama/load", ollama_load)
+    r.add_post("/api/system/ollama/unload", ollama_unload)
+    r.add_get("/api/system/llama-cpp/status", llama_cpp_status)
+    r.add_get("/api/system/rag/status", rag_status)
+    r.add_post("/api/system/restart-engine", restart_engine)

@@ -1,0 +1,71 @@
+"""Phase-2 synthesis: final cited answer from gathered tool results.
+
+Mirrors reference services/synthesis_service.py:50-371: a dedicated LLM
+call with a citation-rule system prompt (numbered ``[N]`` references, no
+invented sources), streaming thinking+tokens.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Iterator
+
+from tensortruth_tpu.core.prompts import current_date_context
+from tensortruth_tpu.core.providers import ChatDelta
+
+logger = logging.getLogger(__name__)
+
+SYNTHESIS_SYSTEM_PROMPT = (
+    "You are the answer-synthesis stage of a research assistant. You receive "
+    "the user's question and the full outputs of the research tools that "
+    "ran for it.\n\n"
+    "{date_context}\n\n"
+    "Citation rules:\n"
+    "1. Cite evidence with bracketed numbers [1], [2] matching the source "
+    "list you were given. Never invent sources or numbers.\n"
+    "2. Every factual claim that came from a tool result needs a citation.\n"
+    "3. If the gathered material does not answer the question, say exactly "
+    "what is missing.\n"
+    "4. Use Markdown structure. Include at most 3 images.\n"
+)
+
+
+def build_source_reference(sources: list) -> str:
+    """Numbered citation list (reference orchestrator_service.py:1212-1271)."""
+    lines = []
+    for i, s in enumerate(sources, 1):
+        title = getattr(s, "title", None) or (s.get("title") if isinstance(s, dict) else "")
+        url = getattr(s, "url", None) or (s.get("url") if isinstance(s, dict) else "")
+        lines.append(f"[{i}] {title}" + (f" — {url}" if url else ""))
+    return "\n".join(lines)
+
+
+class SynthesisService:
+    def __init__(self, llm):
+        self.llm = llm
+
+    def synthesize(
+        self,
+        question: str,
+        tool_outputs: list[dict],
+        sources: list | None = None,
+        agent_answer: str = "",
+    ) -> Iterator[ChatDelta]:
+        blocks = []
+        for out in tool_outputs:
+            blocks.append(
+                f"### Tool `{out['tool']}`\nArguments: {out['arguments']}\n\n{out['output']}"
+            )
+        source_ref = build_source_reference(sources or [])
+        prompt_parts = [f"Question: {question}"]
+        if source_ref:
+            prompt_parts.append(f"Sources:\n{source_ref}")
+        if blocks:
+            prompt_parts.append("Tool outputs:\n\n" + "\n\n".join(blocks))
+        if agent_answer:
+            prompt_parts.append(f"Draft answer from the research loop:\n{agent_answer}")
+        prompt_parts.append("Write the final answer now.")
+        system = SYNTHESIS_SYSTEM_PROMPT.format(date_context=current_date_context())
+        yield from self.llm.stream_chat(
+            [{"role": "user", "content": "\n\n".join(prompt_parts)}], system=system
+        )

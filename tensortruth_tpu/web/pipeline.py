@@ -1,0 +1,217 @@
+"""The /web research pipeline: search → rerank → fetch → fit → synthesize.
+
+Mirrors the reference flow (reference utils/web_search.py:1229-1440
+``web_search_stream`` + core/source_pipeline.py:34-485):
+
+1. DDG search (backoff) → SourceNodes;
+2. title+snippet rerank on the TPU cross-encoder, threshold filter
+   (reference web_search.py:118-283, threshold 0.1);
+3. adaptive fetch in batches of needed+2 with per-URL status taxonomy
+   (reference source_pipeline.py:159-318);
+4. content rerank with thin-content penalty (<500 chars → 0.5-1.0×,
+   reference web_search.py:176-251);
+5. greedy context fitting: 60% input budget, 15% per-source cap
+   (reference web_search.py:286-346);
+6. streaming synthesis with hyperlink citations (reference
+   core/synthesis.py:556-658).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import logging
+from typing import AsyncIterator
+
+from tensortruth_tpu.core.source import SourceNode, SourceStatus, SourceType
+
+logger = logging.getLogger(__name__)
+
+CHARS_PER_TOKEN = 4  # reference-wide heuristic
+THIN_CONTENT_CHARS = 500
+
+
+def rerank_sources(
+    reranker, query: str, sources: list[SourceNode], text_fn, threshold: float
+) -> tuple[list[SourceNode], list[SourceNode]]:
+    """Shared rerank+filter for title and content passes."""
+    texts = [text_fn(s) for s in sources]
+    if reranker is None or not texts:
+        return sources, []
+    order, scores = reranker.rerank(query, texts, len(texts))
+    passed, filtered = [], []
+    for i, s in enumerate(sources):
+        score = float(scores[i])
+        # Thin-content penalty (reference web_search.py:176-251).
+        n = len(s.content or "")
+        if s.content and n < THIN_CONTENT_CHARS:
+            score *= 0.5 + 0.5 * (n / THIN_CONTENT_CHARS)
+        s.score = score
+        (passed if score >= threshold else filtered).append(s)
+    for s in filtered:
+        s.status = SourceStatus.FILTERED
+    passed.sort(key=lambda s: -(s.score or 0))
+    return passed, filtered
+
+
+def fit_sources_to_context(
+    sources: list[SourceNode],
+    context_window: int,
+    input_pct: float = 0.6,
+    per_source_pct: float = 0.15,
+) -> list[SourceNode]:
+    """Greedy fill-from-top (reference web_search.py:286-346)."""
+    budget = int(context_window * input_pct) * CHARS_PER_TOKEN
+    per_source_cap = int(context_window * per_source_pct) * CHARS_PER_TOKEN
+    out: list[SourceNode] = []
+    used = 0
+    for s in sorted(sources, key=lambda s: -(s.score or 0)):
+        content = (s.content or "")[:per_source_cap]
+        if used + len(content) > budget:
+            continue
+        s.content = content
+        out.append(s)
+        used += len(content)
+    skipped = len(sources) - len(out)
+    if skipped:
+        logger.info("context fit dropped %d sources (budget %d chars)", skipped, budget)
+    return out
+
+
+async def fetch_adaptive(
+    sources: list[SourceNode], needed: int, emit
+) -> list[SourceNode]:
+    """Fetch in batches of needed+2 until enough succeed
+    (reference source_pipeline.py:159-318)."""
+    from tensortruth_tpu.web.fetch import fetch_url_as_markdown
+
+    fetched: list[SourceNode] = []
+    queue = list(sources)
+    while queue and len(fetched) < needed:
+        batch, queue = queue[: needed + 2], queue[needed + 2 :]
+
+        async def one(s: SourceNode):
+            try:
+                title, md = await asyncio.to_thread(fetch_url_as_markdown, s.url)
+                if len(md.strip()) < 50:
+                    s.status, s.error = SourceStatus.FAILED, "too_short"
+                else:
+                    s.content = md
+                    if title:
+                        s.title = title
+            except asyncio.TimeoutError:
+                s.status, s.error = SourceStatus.FAILED, "timeout"
+            except Exception as e:
+                s.status, s.error = SourceStatus.FAILED, f"http_error: {e}"
+            return s
+
+        results = await asyncio.gather(*(one(s) for s in batch))
+        for s in results:
+            await emit(
+                {
+                    "type": "tool_progress",
+                    "tool": "web_search",
+                    "message": f"fetched {s.url}" if s.status == SourceStatus.SUCCESS else f"failed {s.url}",
+                }
+            )
+            if s.status == SourceStatus.SUCCESS and s.content:
+                fetched.append(s)
+    return fetched
+
+
+SYNTHESIS_PROMPT = (
+    "You are a research assistant writing a cited synthesis of web sources.\n\n"
+    "{sources_block}\n\n"
+    "Rules:\n"
+    "1. Answer the question directly from the sources above.\n"
+    "2. Cite with markdown hyperlinks: [Title](url) — never invent sources.\n"
+    "3. Note disagreements between sources explicitly.\n"
+    "4. If the sources do not answer the question, say so.\n\n"
+    "Question: {query}\n"
+)
+
+
+async def web_search_stream(
+    query: str, context: dict
+) -> AsyncIterator[dict]:
+    """Full /web command flow; yields WS message dicts."""
+    config = context.get("config")
+    ws_cfg = config.web_search if config else None
+    max_results = ws_cfg.ddg_max_results if ws_cfg else 10
+    max_pages = ws_cfg.max_pages_to_fetch if ws_cfg else 5
+    title_threshold = ws_cfg.rerank_title_threshold if ws_cfg else 0.1
+    content_threshold = ws_cfg.rerank_content_threshold if ws_cfg else 0.1
+
+    yield {"type": "status", "status": "searching", "message": f"Searching: {query}"}
+    from tensortruth_tpu.web.search import search_multi
+
+    try:
+        results = await asyncio.to_thread(search_multi, [query], max_results)
+    except Exception as e:
+        yield {"type": "error", "error": f"web search failed: {e}"}
+        return
+    sources = [
+        SourceNode(title=r.title, url=r.url, snippet=r.snippet, type=SourceType.WEB)
+        for r in results
+    ]
+    if not sources:
+        yield {"type": "error", "error": "no search results"}
+        return
+
+    reranker = context.get("reranker")
+    if reranker is not None and (ws_cfg is None or ws_cfg.enable_title_reranking):
+        yield {"type": "status", "status": "reranking", "message": "Ranking results"}
+        sources, _ = rerank_sources(
+            reranker, query, sources,
+            lambda s: f"{s.title}. {s.snippet}", title_threshold,
+        )
+
+    yield {"type": "status", "status": "fetching", "message": "Fetching pages"}
+    emitted: list[dict] = []
+
+    async def emit(msg):
+        emitted.append(msg)
+
+    fetched = await fetch_adaptive(sources, max_pages, emit)
+    for msg in emitted:
+        yield msg
+    if not fetched:
+        yield {"type": "error", "error": "no pages could be fetched"}
+        return
+
+    if reranker is not None and (ws_cfg is None or ws_cfg.enable_content_reranking):
+        fetched, _ = rerank_sources(
+            reranker, query, fetched, lambda s: (s.content or "")[:2000], content_threshold
+        )
+
+    params = context.get("params", {})
+    fitted = fit_sources_to_context(
+        fetched,
+        params.get("context_window", 8192),
+        input_pct=ws_cfg.input_context_pct if ws_cfg else 0.6,
+        per_source_pct=ws_cfg.max_source_context_pct if ws_cfg else 0.15,
+    )
+    yield {"type": "sources", "sources": [s.to_dict() for s in fitted]}
+
+    llm = context.get("llm")
+    if llm is None:
+        yield {"type": "error", "error": "no LLM configured for synthesis"}
+        return
+    block = "\n\n".join(
+        f"### Source: [{s.title}]({s.url})\n{s.content}" for s in fitted
+    )
+    prompt = SYNTHESIS_PROMPT.format(sources_block=block, query=query)
+    yield {"type": "status", "status": "generating", "message": "Synthesizing"}
+    loop = asyncio.get_running_loop()
+
+    def run_stream():
+        return list(llm.stream_chat([{"role": "user", "content": prompt}]))
+
+    deltas = await loop.run_in_executor(None, run_stream)
+    text_parts = []
+    for d in deltas:
+        if d.thinking:
+            yield {"type": "thinking", "content": d.thinking}
+        if d.text:
+            text_parts.append(d.text)
+            yield {"type": "token", "content": d.text}
+    yield {"type": "done", "content": "".join(text_parts)}

@@ -1,0 +1,139 @@
+"""Web search: DDG query with backoff + async tool entry points.
+
+Mirrors reference utils/web_search.py:546-614 (3-attempt exponential
+backoff, cross-query dedup) and services/builtin_tools.py:27-511 (the async
+implementations behind search_web / fetch_page / search_arxiv). The
+``duckduckgo_search`` wheel is unavailable here, so the DDG HTML endpoint is
+parsed directly with bs4.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import logging
+import time
+from dataclasses import dataclass, field
+
+logger = logging.getLogger(__name__)
+
+DDG_HTML_URL = "https://html.duckduckgo.com/html/"
+
+
+@dataclass
+class SearchResult:
+    title: str
+    url: str
+    snippet: str = ""
+    score: float | None = None
+
+    def to_dict(self) -> dict:
+        return {
+            "title": self.title,
+            "url": self.url,
+            "snippet": self.snippet,
+            "score": self.score,
+        }
+
+
+def search_duckduckgo(
+    query: str, max_results: int = 10, attempts: int = 3
+) -> list[SearchResult]:
+    """3-attempt exponential backoff (reference web_search.py:566-607)."""
+    import requests
+    from bs4 import BeautifulSoup
+
+    last_err: Exception | None = None
+    for attempt in range(attempts):
+        try:
+            r = requests.post(
+                DDG_HTML_URL,
+                data={"q": query},
+                headers={"User-Agent": "Mozilla/5.0"},
+                timeout=15,
+            )
+            r.raise_for_status()
+            soup = BeautifulSoup(r.text, "html.parser")
+            out = []
+            for res in soup.select(".result")[:max_results]:
+                a = res.select_one(".result__a")
+                if a is None:
+                    continue
+                snippet_el = res.select_one(".result__snippet")
+                out.append(
+                    SearchResult(
+                        title=a.get_text().strip(),
+                        url=a.get("href", ""),
+                        snippet=snippet_el.get_text().strip() if snippet_el else "",
+                    )
+                )
+            return out
+        except Exception as e:
+            last_err = e
+            wait = 2**attempt
+            logger.warning("DDG attempt %d failed (%s); retry in %ds", attempt + 1, e, wait)
+            time.sleep(wait)
+    raise RuntimeError(f"web search unavailable: {last_err}")
+
+
+def search_multi(queries: list[str], max_results: int = 10) -> list[SearchResult]:
+    """Multi-query with URL dedup (reference builtin_tools.py search_web)."""
+    seen: set[str] = set()
+    merged: list[SearchResult] = []
+    for q in queries:
+        for res in search_duckduckgo(q, max_results):
+            if res.url not in seen:
+                seen.add(res.url)
+                merged.append(res)
+    return merged[: max_results * max(1, len(queries))]
+
+
+def search_arxiv(query: str, max_results: int = 5) -> list[dict]:
+    """arXiv API free-text search (reference builtin_tools.py search_arxiv)."""
+    import xml.etree.ElementTree as ET
+
+    import requests
+
+    r = requests.get(
+        "https://export.arxiv.org/api/query",
+        params={
+            "search_query": f"all:{query}",
+            "max_results": max_results,
+            "sortBy": "relevance",
+        },
+        timeout=20,
+    )
+    r.raise_for_status()
+    ns = {"a": "http://www.w3.org/2005/Atom"}
+    out = []
+    for entry in ET.fromstring(r.text).findall("a:entry", ns):
+        arxiv_id = (entry.findtext("a:id", "", ns) or "").rsplit("/", 1)[-1]
+        out.append(
+            {
+                "arxiv_id": arxiv_id,
+                "title": (entry.findtext("a:title", "", ns) or "").strip(),
+                "summary": (entry.findtext("a:summary", "", ns) or "").strip()[:500],
+                "authors": [
+                    a.findtext("a:name", "", ns) for a in entry.findall("a:author", ns)
+                ],
+            }
+        )
+    return out
+
+
+# -- async tool entry points (ToolService contract) -----------------------------
+
+
+async def search_web_tool(queries: list[str], max_results: int = 10):
+    results = await asyncio.to_thread(search_multi, list(queries), max_results)
+    return [r.to_dict() for r in results]
+
+
+async def fetch_page_tool(url: str):
+    from tensortruth_tpu.web.fetch import fetch_url_as_markdown
+
+    title, markdown = await asyncio.to_thread(fetch_url_as_markdown, url)
+    return {"title": title, "url": url, "markdown": markdown}
+
+
+async def search_arxiv_tool(query: str, max_results: int = 5):
+    return await asyncio.to_thread(search_arxiv, query, max_results)

@@ -26,8 +26,42 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+import asyncio
+import inspect
+
 import numpy as np
 import pytest
+
+# -- minimal asyncio support (pytest-asyncio is not available) -----------------
+
+_loop_holder: dict = {}
+
+
+@pytest.fixture
+def event_loop():
+    loop = asyncio.new_event_loop()
+    _loop_holder["loop"] = loop
+    yield loop
+    _loop_holder.pop("loop", None)
+    loop.close()
+
+
+def pytest_pyfunc_call(pyfuncitem):
+    if inspect.iscoroutinefunction(pyfuncitem.obj):
+        loop = _loop_holder.get("loop")
+        own = loop is None
+        if own:
+            loop = asyncio.new_event_loop()
+        kwargs = {
+            n: pyfuncitem.funcargs[n] for n in pyfuncitem._fixtureinfo.argnames
+        }
+        try:
+            loop.run_until_complete(pyfuncitem.obj(**kwargs))
+        finally:
+            if own:
+                loop.close()
+        return True
+    return None
 
 
 @pytest.fixture

@@ -1,0 +1,292 @@
+"""API integration tests over the real aiohttp app with a temp data dir
+(reference tests/integration/test_api_*.py analogs, TestClient style)."""
+
+import json
+
+import numpy as np
+import pytest
+from aiohttp.test_utils import TestClient, TestServer
+
+from tensortruth_tpu.app.config import TensorTruthTPUConfig
+from tensortruth_tpu.models.manager import ModelManager
+
+pytestmark = pytest.mark.integration
+
+
+@pytest.fixture
+def client(tmp_path, monkeypatch, event_loop):
+    monkeypatch.setenv("TENSOR_TRUTH_TPU_DATA_DIR", str(tmp_path))
+    ModelManager.reset_instance()
+    cfg = TensorTruthTPUConfig.default()
+    cfg.rag.default_embedding_model = "tiny-embedder"
+    cfg.rag.default_reranker = "tiny-reranker"
+    cfg.rag.use_fused_topk = False
+
+    from tensortruth_tpu.server.app import create_app
+
+    app = create_app(data_dir=tmp_path, config=cfg)
+    client = TestClient(TestServer(app, loop=event_loop), loop=event_loop)
+    event_loop.run_until_complete(client.start_server())
+    yield client
+    event_loop.run_until_complete(client.close())
+
+
+async def test_health(client):
+    r = await client.get("/health")
+    assert r.status == 200
+    assert (await r.json())["status"] == "ok"
+
+
+async def test_session_lifecycle(client):
+    r = await client.post("/api/sessions", json={"modules": ["m1"], "title": "T"})
+    session = await r.json()
+    assert r.status == 200
+    sid = session["id"]
+    assert session["params"]["reranker_top_n"] == 5  # config defaults applied
+
+    r = await client.get("/api/sessions")
+    assert any(s["id"] == sid for s in (await r.json())["sessions"])
+
+    r = await client.post(
+        f"/api/sessions/{sid}/messages", json={"role": "user", "content": "hi"}
+    )
+    assert r.status == 200
+    r = await client.get(f"/api/sessions/{sid}/messages")
+    assert len((await r.json())["messages"]) == 1
+
+    r = await client.patch(f"/api/sessions/{sid}", json={"title": "renamed"})
+    assert (await r.json())["title"] == "renamed"
+
+    r = await client.delete(f"/api/sessions/{sid}")
+    assert r.status == 200
+    r = await client.get(f"/api/sessions/{sid}")
+    assert r.status == 404
+
+
+async def test_project_lifecycle_and_session_inheritance(client):
+    r = await client.post(
+        "/api/projects",
+        json={"name": "P", "modules": ["numpy"], "params": {"temperature": 0.3}},
+    )
+    project = await r.json()
+    pid = project["id"]
+
+    r = await client.post(f"/api/projects/{pid}/sessions", json={})
+    session = await r.json()
+    assert session["project_id"] == pid
+    assert session["params"]["temperature"] == 0.3  # inherited
+
+    r = await client.get(f"/api/projects/{pid}/sessions")
+    assert len((await r.json())["sessions"]) == 1
+
+    r = await client.delete(f"/api/projects/{pid}")
+    assert r.status == 200
+
+
+async def test_config_roundtrip(client):
+    r = await client.get("/api/config")
+    cfg = await r.json()
+    assert cfg["rag"]["default_embedding_model"] == "tiny-embedder"
+
+    r = await client.patch("/api/config", json={"llm": {"default_temperature": 0.42}})
+    assert (await r.json())["llm"]["default_temperature"] == 0.42
+    # other sections untouched
+    assert (await r.json() if False else cfg)["rag"]["default_top_n"] == 5
+
+    r = await client.get("/api/config/defaults")
+    assert (await r.json())["rag"]["default_embedding_model"] == "BAAI/bge-m3"
+
+    r = await client.get("/api/config/devices")
+    assert (await r.json())["default_backend"] == "cpu"
+
+
+async def test_rerankers_crud(client):
+    r = await client.get("/api/rerankers")
+    assert "BAAI/bge-reranker-v2-m3" in (await r.json())["rerankers"]
+    r = await client.post("/api/rerankers", json={"model_id": "tiny-reranker"})
+    assert r.status == 200
+    r = await client.post("/api/rerankers", json={"model_id": "no-such-model"})
+    assert r.status == 422
+    r = await client.delete("/api/rerankers/tiny-reranker")
+    assert r.status == 200
+
+
+async def test_system_endpoints(client):
+    r = await client.get("/api/system/devices")
+    assert (await r.json())["backend"] == "cpu"
+    r = await client.get("/api/system/memory")
+    assert "ram" in await r.json()
+    r = await client.get("/api/system/rag/status")
+    data = await r.json()
+    assert data["engine"] is None
+    r = await client.post("/api/system/restart-engine")
+    assert (await r.json())["status"] == "restarted"
+
+
+async def test_startup_status_and_modules(client):
+    r = await client.get("/api/startup/status")
+    data = await r.json()
+    assert data["indexes_present"] is False
+    r = await client.get("/api/modules")
+    assert (await r.json())["modules"] == []
+    r = await client.get("/api/embedding-models")
+    assert (await r.json())["models"] == []
+
+
+async def test_documents_upload_text_and_reindex(client):
+    r = await client.post("/api/sessions", json={})
+    sid = (await r.json())["id"]
+    r = await client.post(
+        f"/api/sessions/{sid}/documents",
+        json={"filename": "notes.md", "text": "TPU systolic arrays. " * 120},
+    )
+    assert r.status == 200
+    doc = await r.json()
+    assert doc["status"] == "success" and doc["chunks"] > 0
+
+    r = await client.get(f"/api/sessions/{sid}/documents")
+    docs = (await r.json())["documents"]
+    assert doc["doc_id"] in docs
+
+    r = await client.post(f"/api/sessions/{sid}/documents/reindex")
+    assert (await r.json())["documents"] == 1
+
+    r = await client.delete(f"/api/sessions/{sid}/documents/{doc['doc_id']}")
+    assert r.status == 200
+    r = await client.get(f"/api/sessions/{sid}/pdfs")  # legacy alias
+    assert (await r.json())["documents"] == []
+
+
+async def test_tools_tasks_commands_mcp(client):
+    r = await client.get("/api/tools")
+    names = {t["name"] for t in (await r.json())["tools"]}
+    assert {"search_web", "fetch_page", "search_arxiv"} <= names
+
+    r = await client.get("/api/agents")
+    assert any(a["name"] == "function" for a in (await r.json())["agents"])
+
+    r = await client.get("/api/tasks")
+    assert (await r.json())["tasks"] == []
+
+    r = await client.get("/api/commands")
+    cmds = {c["name"] for c in (await r.json())["commands"]}
+    assert {"help", "web"} <= cmds
+
+    r = await client.get("/api/mcp-servers")
+    assert (await r.json())["servers"] == []
+    r = await client.post("/api/mcp-servers", json={"name": "t", "command": "python"})
+    assert r.status == 200
+    r = await client.patch("/api/mcp-servers/t/toggle")
+    assert (await r.json())["enabled"] is False
+    r = await client.delete("/api/mcp-servers/t")
+    assert r.status == 200
+
+    r = await client.get("/api/mcp-servers/presets")
+    assert (await r.json())["presets"]
+
+
+async def test_extensions_install_and_command(client):
+    yaml_cmd = """
+name: shout
+description: Upper-case the args
+steps:
+  - tool: echo
+    params: {text: "{{args}}"}
+    result_var: out
+output_template: "{{out}}"
+"""
+    # register a local echo tool so the command can run
+    from tensortruth_tpu.services.tool_service import ToolSpec
+
+    services = client.server.app["services"]
+
+    async def echo(text: str):
+        return text.upper()
+
+    services.tool_service.register(
+        ToolSpec("echo", "echo", {"type": "object", "properties": {"text": {"type": "string"}}}, echo)
+    )
+
+    r = await client.post(
+        "/api/extensions/install",
+        json={"ext_type": "commands", "filename": "shout.yaml", "content": yaml_cmd},
+    )
+    assert r.status == 200
+    r = await client.get("/api/extensions")
+    assert any(e["filename"] == "shout.yaml" for e in (await r.json())["extensions"])
+    # registered as a command
+    r = await client.get("/api/commands")
+    assert "shout" in {c["name"] for c in (await r.json())["commands"]}
+
+    r = await client.delete("/api/extensions/commands/shout.yaml")
+    assert r.status == 200
+
+
+async def test_ws_chat_llm_only(client, monkeypatch):
+    """WS protocol end-to-end with a fake LLM (no modules → LLM-only)."""
+    from tensortruth_tpu.core.providers import ChatDelta
+
+    class FakeLLM:
+        def complete(self, prompt):
+            return "standalone"
+
+        def stream_chat(self, messages, system=None):
+            yield ChatDelta(thinking="let me think")
+            yield ChatDelta(text="Hello ")
+            yield ChatDelta(text="world")
+
+    services = client.server.app["services"]
+    services.rag_service._llm_factory = lambda params: FakeLLM()
+
+    r = await client.post("/api/sessions", json={})
+    sid = (await r.json())["id"]
+
+    ws = await client.ws_connect(f"/ws/chat/{sid}")
+    await ws.send_json({"message": "hi there"})
+    events = []
+    while True:
+        msg = await ws.receive_json(timeout=30)
+        events.append(msg)
+        if msg["type"] in ("done", "error"):
+            break
+    types = [e["type"] for e in events]
+    assert "error" not in types
+    assert "token" in types and "thinking" in types and "done" in types
+    done = events[-1]
+    assert done["content"] == "Hello world"
+    # title generated on first exchange
+    title_msg = await ws.receive_json(timeout=10)
+    assert title_msg["type"] == "title"
+    await ws.close()
+
+    # messages persisted
+    r = await client.get(f"/api/sessions/{sid}/messages")
+    msgs = (await r.json())["messages"]
+    assert [m["role"] for m in msgs] == ["user", "assistant"]
+    assert msgs[1]["content"] == "Hello world"
+
+
+async def test_ws_help_command(client):
+    r = await client.post("/api/sessions", json={})
+    sid = (await r.json())["id"]
+    ws = await client.ws_connect(f"/ws/chat/{sid}")
+    await ws.send_json({"message": "/help"})
+    events = []
+    while True:
+        msg = await ws.receive_json(timeout=30)
+        events.append(msg)
+        if msg["type"] in ("done", "error"):
+            break
+    assert events[-1]["type"] == "done"
+    assert any("Available commands" in e.get("content", "") for e in events)
+    await ws.close()
+
+
+async def test_ws_unknown_command(client):
+    r = await client.post("/api/sessions", json={})
+    sid = (await r.json())["id"]
+    ws = await client.ws_connect(f"/ws/chat/{sid}")
+    await ws.send_json({"message": "/nope args"})
+    msg = await ws.receive_json(timeout=30)
+    assert msg["type"] == "error"
+    await ws.close()

@@ -1,0 +1,115 @@
+"""Orchestrator loop + synthesis handoff
+(reference tests/unit/test_orchestrator_service.py analog)."""
+
+import numpy as np
+import pytest
+
+from tensortruth_tpu.core.providers import ChatDelta
+from tensortruth_tpu.core.source import SourceNode
+from tensortruth_tpu.services.orchestrator_service import (
+    OrchestratorService,
+    budget_history,
+)
+from tensortruth_tpu.services.rag_service import RetrievalResult
+from tensortruth_tpu.services.synthesis_service import build_source_reference
+from tensortruth_tpu.services.tool_service import ToolService
+
+
+class ToolCallingLLM:
+    """First turn: call rag_query; second: answer."""
+
+    def __init__(self):
+        self.turns = 0
+
+    def chat_with_tools(self, messages, tools, system=None):
+        self.turns += 1
+        if self.turns == 1:
+            assert any(t["name"] == "rag_query" for t in tools)
+            assert "rag_query" in (system or "")
+            return "", [{"name": "rag_query", "arguments": {"query": "broadcasting"}}]
+        assert messages[-1]["role"] == "tool"
+        return "Broadcasting aligns array shapes.", []
+
+    def stream_chat(self, messages, system=None):
+        assert "[1]" in messages[-1]["content"] or "Tool outputs" in messages[-1]["content"]
+        yield ChatDelta(text="Final answer [1].")
+
+
+class FakeRAGService:
+    def retrieve(self, query, params=None, session_messages=None):
+        src = SourceNode(id="n1", title="numpy doc", content="broadcast rules",
+                         score=0.9, metadata={"module": "numpy"})
+        return RetrievalResult(sources=[src], confidence="normal")
+
+
+class OfflineToolService(ToolService):
+    def load_tools(self):  # no web tools (offline unit test)
+        self._tools = {}
+
+
+async def _collect(gen):
+    return [e async for e in gen]
+
+
+async def test_orchestrator_rag_then_synthesis():
+    llm = ToolCallingLLM()
+    orch = OrchestratorService(FakeRAGService(), OfflineToolService())
+    events = await _collect(
+        orch.execute("what is broadcasting?", llm, modules=["numpy"])
+    )
+    types = [e["type"] for e in events]
+    assert "tool_phase" in types
+    assert "tool_progress" in types
+    assert "sources" in types
+    assert types[-1] == "done"
+    assert events[-1]["content"] == "Final answer [1]."
+    src_event = next(e for e in events if e["type"] == "sources")
+    assert src_event["sources"][0]["title"] == "numpy doc"
+
+
+async def test_orchestrator_no_tools_direct_answer():
+    class NoToolLLM:
+        def chat_with_tools(self, messages, tools, system=None):
+            return "plain answer", []
+
+    orch = OrchestratorService(FakeRAGService(), OfflineToolService())
+    events = await _collect(orch.execute("hi", NoToolLLM(), modules=[]))
+    assert events[-1]["type"] == "done"
+    assert events[-1]["content"] == "plain answer"
+
+
+async def test_orchestrator_tool_error_continues():
+    """A failing tool surfaces as an ERROR result, loop continues."""
+
+    class BadToolLLM:
+        def __init__(self):
+            self.turns = 0
+
+        def chat_with_tools(self, messages, tools, system=None):
+            self.turns += 1
+            if self.turns == 1:
+                return "", [{"name": "rag_query", "arguments": {"bogus": 1}}]
+            assert "ERROR" in messages[-1]["content"]
+            return "recovered", []
+
+        def stream_chat(self, messages, system=None):
+            yield ChatDelta(text="synthesized")
+
+    orch = OrchestratorService(FakeRAGService(), OfflineToolService())
+    events = await _collect(orch.execute("q", BadToolLLM(), modules=["numpy"]))
+    assert events[-1]["type"] == "done"
+
+
+def test_budget_history_trims_oldest():
+    history = [{"role": "user", "content": "x" * 1000} for _ in range(100)]
+    out = budget_history(history, context_window=1000)
+    # 18% of 1000 tokens * 4 chars = 720 chars -> 0 full messages fit? budget
+    # floor keeps newest-first whole messages only.
+    assert len(out) < len(history)
+    assert out == history[-len(out):] if out else True
+
+
+def test_build_source_reference():
+    srcs = [SourceNode(title="A", url="http://a"), SourceNode(title="B")]
+    ref = build_source_reference(srcs)
+    assert ref.splitlines() == ["[1] A — http://a", "[2] B"]
