@@ -80,6 +80,9 @@ class MultiIndexEngine:
         balance_strategy: str = "top_k_per_index",
         mesh=None,
         use_fused: bool | None = None,
+        ivf_threshold: int = 2_000_000,
+        ivf_clusters: int = 1024,
+        ivf_nprobe: int = 32,
     ):
         self.modules = list(indexes.keys())
         self.indexes = indexes
@@ -95,8 +98,12 @@ class MultiIndexEngine:
             if use_fused is not None
             else jax.default_backend() == "tpu"
         )
+        self.ivf_threshold = ivf_threshold
+        self.ivf_clusters = ivf_clusters
+        self.ivf_nprobe = ivf_nprobe
         self._cache: OrderedDict[str, list[RetrievedNode]] = OrderedDict()
         self._stacked: jax.Array | None = None
+        self._ivf = None  # IVFIndex for the 10M tier (ops/ivf.py)
         self._row_map: np.ndarray | None = None  # global row → (module_i, phys row)
         self._module_of_row: np.ndarray | None = None
         self._n_actual = 0
@@ -121,7 +128,15 @@ class MultiIndexEngine:
         self._module_of_row = np.concatenate(mods)
         self._row_map = np.concatenate(rows)
         self._n_actual = emb.shape[0]
-        if self.mesh is not None:
+        self._ivf = None
+        if self._n_actual >= self.ivf_threshold:
+            # 10M tier: coarse partitioning instead of a full scan
+            # (SURVEY.md §2.14; BASELINE config 5).
+            from tensortruth_tpu.ops.ivf import build_ivf
+
+            self._ivf = build_ivf(emb, n_clusters=self.ivf_clusters)
+            self._stacked = self._ivf.blocks  # keep a handle for n_chunks math
+        elif self.mesh is not None:
             self._stacked, _ = shard_corpus(emb, self.mesh)
         else:
             self._stacked = jnp.asarray(emb)
@@ -160,6 +175,11 @@ class MultiIndexEngine:
         # retrieves top_k per index then merges).
         k = min(self.similarity_top_k * max(1, len(self.modules)), self._n_actual)
         q = jnp.asarray(query_embs, dtype=self._stacked.dtype)
+        if self._ivf is not None:
+            from tensortruth_tpu.ops.ivf import ivf_search
+
+            vals, idx = ivf_search(self._ivf, q, k, nprobe=self.ivf_nprobe)
+            return [self._postprocess(vals[i], idx[i]) for i in range(vals.shape[0])]
         if self.mesh is not None:
             vals, idx = sharded_topk(
                 q,

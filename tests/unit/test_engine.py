@@ -122,3 +122,17 @@ def test_sharded_engine_matches_single_device(tiny_tokenizer, sample_text):
 def test_empty_engine():
     eng = MultiIndexEngine({}, similarity_top_k=5, use_fused=False)
     assert eng.retrieve_batch(np.zeros((1, DIM), np.float32)) == [[]]
+
+
+def test_ivf_tier_selected_for_large_corpus(tiny_tokenizer, sample_text):
+    idx = _index(tiny_tokenizer, sample_text, "docA", "mod_a")
+    eng = MultiIndexEngine(
+        {"mod_a": idx}, similarity_top_k=5, use_fused=False,
+        ivf_threshold=1, ivf_clusters=4, ivf_nprobe=4,
+    )
+    assert eng._ivf is not None
+    mat, rows = idx.matrix()
+    results = eng.retrieve_batch(mat[2][None, :])[0]
+    assert results
+    expected = idx.node_of_row(int(rows[2]))
+    assert results[0].node_id in (expected.node_id, expected.parent_id)

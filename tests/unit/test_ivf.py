@@ -1,0 +1,103 @@
+"""IVF coarse-partitioned search vs exact (BASELINE config 5 tier)."""
+
+import numpy as np
+import pytest
+
+from tensortruth_tpu.ops.ivf import build_ivf, ivf_search
+from tensortruth_tpu.ops.topk import exact_topk
+
+import jax.numpy as jnp
+
+
+def _corpus(rng, n, d):
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+@pytest.fixture(scope="module")
+def ivf_setup():
+    rng = np.random.default_rng(0)
+    n, d = 20_000, 32
+    emb = _corpus(rng, n, d)
+    index = build_ivf(emb, n_clusters=32, sample_size=5_000, kmeans_iters=5)
+    return emb, index
+
+
+def test_all_rows_packed(ivf_setup):
+    emb, index = ivf_setup
+    packed = index.row_map[index.row_map >= 0]
+    assert len(packed) == len(set(packed.tolist()))
+    # allow tiny truncation loss only
+    assert len(packed) >= emb.shape[0] * 0.999
+
+
+def test_self_retrieval(ivf_setup):
+    emb, index = ivf_setup
+    q = emb[:16]
+    vals, rows = ivf_search(index, q, k=1, nprobe=4)
+    assert (rows[:, 0] == np.arange(16)).mean() >= 0.95
+    assert vals[:, 0] == pytest.approx(np.ones(16), abs=1e-3)
+
+
+def test_recall_vs_exact_clustered_data():
+    """Mixture-of-gaussians corpus — the structure real text embeddings have."""
+    rng = np.random.default_rng(1)
+    n, d, n_centers = 20_000, 32, 64
+    centers = _corpus(rng, n_centers, d)
+    assign = rng.integers(0, n_centers, n)
+    emb = centers[assign] + 0.25 * rng.standard_normal((n, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    index = build_ivf(emb, n_clusters=32, sample_size=5_000, kmeans_iters=8)
+
+    q = emb[rng.choice(n, 16, replace=False)] + 0.05 * rng.standard_normal((16, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    k = 10
+    _, exact_idx = exact_topk(jnp.asarray(q), jnp.asarray(emb), k)
+    exact_idx = np.asarray(exact_idx)
+    _, ivf_rows = ivf_search(index, q, k=k, nprobe=8)
+    recall = np.mean(
+        [len(set(exact_idx[i]) & set(ivf_rows[i])) / k for i in range(len(q))]
+    )
+    assert recall >= 0.9
+
+
+def test_recall_vs_exact_random_data(ivf_setup):
+    """Worst case (no cluster structure): recall still climbs with nprobe."""
+    emb, index = ivf_setup
+    rng = np.random.default_rng(1)
+    q = _corpus(rng, 8, emb.shape[1])
+    k = 10
+    _, exact_idx = exact_topk(jnp.asarray(q), jnp.asarray(emb), k)
+    exact_idx = np.asarray(exact_idx)
+
+    def recall(nprobe):
+        _, rows = ivf_search(index, q, k=k, nprobe=nprobe)
+        return np.mean(
+            [len(set(exact_idx[i]) & set(rows[i])) / k for i in range(len(q))]
+        )
+
+    r8, r16 = recall(8), recall(16)
+    assert r16 >= r8
+    assert r16 >= 0.8
+
+
+def test_probe_all_clusters_is_near_exact(ivf_setup):
+    emb, index = ivf_setup
+    rng = np.random.default_rng(2)
+    q = _corpus(rng, 4, emb.shape[1])
+    k = 5
+    _, exact_idx = exact_topk(jnp.asarray(q), jnp.asarray(emb), k)
+    _, rows = ivf_search(index, q, k=k, nprobe=index.n_clusters)
+    recall = np.mean(
+        [len(set(np.asarray(exact_idx)[i]) & set(rows[i])) / k for i in range(len(q))]
+    )
+    assert recall >= 0.999  # only truncation could lose anything
+
+
+def test_k_exceeds_candidates():
+    rng = np.random.default_rng(3)
+    emb = _corpus(rng, 300, 16)
+    index = build_ivf(emb, n_clusters=4, sample_size=300, kmeans_iters=3)
+    vals, rows = ivf_search(index, emb[:2], k=250, nprobe=1)
+    assert vals.shape == (2, 250)
+    assert (rows[vals == float("-inf")] == -1).all()
