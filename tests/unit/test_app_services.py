@@ -20,6 +20,12 @@ from tensortruth_tpu.utils.pdf import (
     split_pages_into_chunks,
 )
 
+import hashlib
+
+
+def _stable_seed(t: str) -> int:
+    return int.from_bytes(hashlib.blake2b(t.encode(), digest_size=4).digest(), "little")
+
 
 class FakeEmbedder:
     tokenizer = load_tokenizer()
@@ -28,7 +34,7 @@ class FakeEmbedder:
     def encode(self, texts, **kw):
         out = np.zeros((len(texts), 8), np.float32)
         for i, t in enumerate(texts):
-            rng = np.random.default_rng(abs(hash(t)) % 2**32)
+            rng = np.random.default_rng(_stable_seed(t))
             v = rng.standard_normal(8)
             out[i] = v / np.linalg.norm(v)
         return out

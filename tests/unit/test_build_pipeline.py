@@ -25,6 +25,12 @@ from tensortruth_tpu.indexing.metadata import (
     resolve_model_id,
 )
 
+import hashlib
+
+
+def _stable_seed(t: str) -> int:
+    return int.from_bytes(hashlib.blake2b(t.encode(), digest_size=4).digest(), "little")
+
 DIM = 16
 
 
@@ -35,7 +41,7 @@ class FakeEmbedder:
     def encode(self, texts, **kw):
         out = np.zeros((len(texts), DIM), np.float32)
         for i, t in enumerate(texts):
-            rng = np.random.default_rng(abs(hash(t)) % 2**32)
+            rng = np.random.default_rng(_stable_seed(t))
             v = rng.standard_normal(DIM)
             out[i] = v / np.linalg.norm(v)
         return out

@@ -9,6 +9,13 @@ from tensortruth_tpu.index.store import VectorIndex
 from tensortruth_tpu.parallel import make_mesh
 from tensortruth_tpu.retrieval.engine import MultiIndexEngine
 
+import hashlib
+
+
+def _stable_seed(t: str) -> int:
+    return int.from_bytes(hashlib.blake2b(t.encode(), digest_size=4).digest(), "little")
+
+
 DIM = 16
 
 
@@ -16,7 +23,7 @@ def _embed_fn(seed_base=0):
     def fn(texts):
         out = np.zeros((len(texts), DIM), np.float32)
         for i, t in enumerate(texts):
-            rng = np.random.default_rng((abs(hash(t)) + seed_base) % 2**32)
+            rng = np.random.default_rng((_stable_seed(t) + seed_base) % 2**32)
             v = rng.standard_normal(DIM)
             out[i] = v / np.linalg.norm(v)
         return out
@@ -56,15 +63,33 @@ def test_retrieve_returns_exact_top_hit(engine):
 
 
 def test_balancing_caps_per_index(engine):
+    """Direct _balance contract: per-index limit = max(1, total//n_indexes)
+    computed on the PRE-balance pool, re-sorted by score
+    (reference rag_engine.py:463-507)."""
+    from tensortruth_tpu.index.nodes import Node
+    from tensortruth_tpu.retrieval.engine import RetrievedNode
+
+    def rn(i, idx, score):
+        return RetrievedNode(
+            node=Node(node_id=f"n{i}", text="t", level=0, doc_id="d"),
+            score=score, module=f"m{idx}", source_index=idx,
+        )
+
+    # 7 from index 0, 3 from index 1 → limit = 10//2 = 5 per index.
+    pool = [rn(i, 0, 0.9 - i * 0.01) for i in range(7)]
+    pool += [rn(10 + i, 1, 0.5 - i * 0.01) for i in range(3)]
+    balanced = engine._balance(pool)
+    by_idx = {}
+    for r in balanced:
+        by_idx.setdefault(r.source_index, []).append(r)
+    assert len(by_idx[0]) == 5  # capped
+    assert len(by_idx[1]) == 3  # untouched
+    scores = [r.score for r in balanced]
+    assert scores == sorted(scores, reverse=True)
+
+    # end-to-end retrieve still returns score-sorted results
     q = np.ones(DIM, np.float32) / np.sqrt(DIM)
     results = engine.retrieve(q, "balance-q")
-    by_idx = {}
-    for r in results:
-        by_idx.setdefault(r.source_index, []).append(r)
-    assert len(by_idx) >= 1
-    limit = max(1, len(results) // len(by_idx))
-    for group in by_idx.values():
-        assert len(group) <= limit
     scores = [r.score for r in results]
     assert scores == sorted(scores, reverse=True)
 

@@ -6,12 +6,19 @@ import numpy as np
 from tensortruth_tpu.index.chunker import hierarchical_chunk
 from tensortruth_tpu.index.store import VectorIndex, sanitize_model_id
 
+import hashlib
+
+
+def _stable_seed(t: str) -> int:
+    return int.from_bytes(hashlib.blake2b(t.encode(), digest_size=4).digest(), "little")
+
+
 
 def _embed_fn(dim=8):
     def fn(texts):
         out = np.zeros((len(texts), dim), np.float32)
         for i, t in enumerate(texts):
-            rng = np.random.default_rng(abs(hash(t)) % 2**32)
+            rng = np.random.default_rng(_stable_seed(t))
             v = rng.standard_normal(dim)
             out[i] = v / np.linalg.norm(v)
         return out

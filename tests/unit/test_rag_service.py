@@ -14,6 +14,13 @@ from tensortruth_tpu.retrieval.ranking import ConfidenceLevel
 from tensortruth_tpu.services.rag_service import RAGService
 from tensortruth_tpu.tokenization import load_tokenizer
 
+import hashlib
+
+
+def _stable_seed(t: str) -> int:
+    return int.from_bytes(hashlib.blake2b(t.encode(), digest_size=4).digest(), "little")
+
+
 
 class FakeLLM:
     def __init__(self, reply="The answer is 42."):
@@ -47,7 +54,7 @@ def env(tmp_path, monkeypatch, tiny_tokenizer):
         def encode(self, texts, **kw):
             out = np.zeros((len(texts), 64), np.float32)
             for i, t in enumerate(texts):
-                rng = np.random.default_rng(abs(hash(t)) % 2**32)
+                rng = np.random.default_rng(_stable_seed(t))
                 v = rng.standard_normal(64)
                 out[i] = v / np.linalg.norm(v)
             return out
