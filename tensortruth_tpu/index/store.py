@@ -32,8 +32,62 @@ from tensortruth_tpu.index.nodes import HierarchyStore, Node
 INDEX_VERSION = "1.0"
 METADATA_FILE = "index_metadata.json"
 EMB_FILE = "embeddings.npy"
+EMB_MANIFEST = "embeddings.manifest.json"
 ROWS_FILE = "rows.json"
 HIER_FILE = "hierarchy.jsonl"
+
+# Matrices above this row count persist as per-shard arrays + a manifest
+# (orbax-style; SURVEY.md §5.4 TPU checkpointing equivalent) so 1M+-row
+# indexes stream shard-by-shard at load and individual shards can be placed
+# directly onto mesh devices.
+SHARD_ROWS = 250_000
+
+
+def _save_matrix(path: Path, emb: np.ndarray) -> None:
+    for old in path.glob("embeddings.shard*.npy"):
+        old.unlink()
+    if emb.shape[0] <= SHARD_ROWS:
+        np.save(path / EMB_FILE, emb)
+        manifest = path / EMB_MANIFEST
+        if manifest.exists():
+            manifest.unlink()
+        return
+    n_shards = -(-emb.shape[0] // SHARD_ROWS)
+    shards = []
+    for i in range(n_shards):
+        rows = emb[i * SHARD_ROWS : (i + 1) * SHARD_ROWS]
+        fname = f"embeddings.shard{i:04d}.npy"
+        np.save(path / fname, rows)
+        shards.append({"file": fname, "rows": int(rows.shape[0])})
+    (path / EMB_MANIFEST).write_text(
+        json.dumps(
+            {
+                "n_rows": int(emb.shape[0]),
+                "dim": int(emb.shape[1]),
+                "dtype": str(emb.dtype),
+                "shard_rows": SHARD_ROWS,
+                "shards": shards,
+            }
+        )
+    )
+    legacy = path / EMB_FILE
+    if legacy.exists():
+        legacy.unlink()
+
+
+def _load_matrix(path: Path) -> np.ndarray:
+    manifest = path / EMB_MANIFEST
+    if not manifest.exists():
+        return np.load(path / EMB_FILE)
+    m = json.loads(manifest.read_text())
+    out = np.empty((m["n_rows"], m["dim"]), dtype=np.dtype(m["dtype"]))
+    row = 0
+    for shard in m["shards"]:
+        arr = np.load(path / shard["file"])
+        out[row : row + arr.shape[0]] = arr
+        row += arr.shape[0]
+    assert row == m["n_rows"], "manifest/shard mismatch"
+    return out
 
 
 def sanitize_model_id(model_id: str) -> str:
@@ -174,7 +228,7 @@ class VectorIndex:
     def save(self, path: str | Path) -> None:
         path = Path(path)
         path.mkdir(parents=True, exist_ok=True)
-        np.save(path / EMB_FILE, self._emb)
+        _save_matrix(path, self._emb)
         tmp = path / (ROWS_FILE + ".tmp")  # atomic write (reference file_utils.py:10)
         tmp.write_text(
             json.dumps(
@@ -190,7 +244,7 @@ class VectorIndex:
     @classmethod
     def load(cls, path: str | Path) -> "VectorIndex":
         path = Path(path)
-        emb = np.load(path / EMB_FILE)
+        emb = _load_matrix(path)
         rows = json.loads((path / ROWS_FILE).read_text())
         store = HierarchyStore.load(path / HIER_FILE)
         meta = json.loads((path / METADATA_FILE).read_text())
@@ -206,4 +260,5 @@ class VectorIndex:
     def is_valid(path: str | Path) -> bool:
         """Validity = artifacts exist (reference metadata.py:202-219)."""
         path = Path(path)
-        return (path / EMB_FILE).exists() and (path / METADATA_FILE).exists()
+        has_matrix = (path / EMB_FILE).exists() or (path / EMB_MANIFEST).exists()
+        return has_matrix and (path / METADATA_FILE).exists()

@@ -101,6 +101,15 @@ def create_app(data_dir: str | Path | None = None, config=None) -> web.Applicati
     async def on_startup(app: web.Application):
         services.task_runner  # start the queue
         try:
+            from tensortruth_tpu.app.paths import get_base_indexes_dir
+            from tensortruth_tpu.indexing.migration import check_and_migrate_on_startup
+
+            check_and_migrate_on_startup(
+                get_base_indexes_dir(), services.config.rag.default_embedding_model
+            )
+        except Exception as e:
+            logger.warning("index migration check failed: %s", e)
+        try:
             from tensortruth_tpu.extensions.loader import load_user_extensions
 
             load_user_extensions(services)

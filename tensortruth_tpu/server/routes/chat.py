@@ -245,7 +245,7 @@ async def ws_chat(request: web.Request):
         )
         # Smart title from the first exchange (reference chat.py:501-537).
         if session.get("title_needs_update") and response.text:
-            title = _smart_title(prompt)
+            title = _smart_title(prompt, services, ctx["params"])
             services.session_service.set_title(session_id, title)
             await ws.send_json({"type": "title", "title": title})
     return ws
@@ -308,17 +308,18 @@ async def _run_orchestrator(
         session_id, "assistant", done_msg.get("content", ""), sources=sources
     )
     if session.get("title_needs_update") and done_msg.get("content"):
-        title = _smart_title(prompt)
+        title = _smart_title(prompt, services, ctx["params"])
         services.session_service.set_title(session_id, title)
         await ws.send_json({"type": "title", "title": title})
     return True
 
 
-def _smart_title(prompt: str, max_len: int = 48) -> str:
-    """Heuristic title (LLM titling needs a provider; reference
-    app_utils/title_generation.py falls back similarly)."""
-    title = re.sub(r"\s+", " ", prompt).strip()
-    return title[: max_len - 1] + "…" if len(title) > max_len else (title or "New Session")
+def _smart_title(prompt: str, services=None, params=None) -> str:
+    """LLM title with heuristic fallback (app/title_generation.py)."""
+    from tensortruth_tpu.app.title_generation import generate_smart_title
+
+    llm = _make_llm(services, params or {}) if services is not None else None
+    return generate_smart_title(prompt, llm=llm)
 
 
 def _make_llm(services, params):

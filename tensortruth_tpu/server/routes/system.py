@@ -122,6 +122,7 @@ async def rag_status(request: web.Request):
 
     services = request.app["services"]
     status = ModelManager.get_instance().status()
+    status["last_query_timings"] = services.rag_service.last_timings
     engine = services.rag_service.engine
     status["engine"] = (
         {

@@ -85,6 +85,7 @@ class RAGService:
         self.chat_history_service = ChatHistoryService(self.config)
         self._engine: RAGEngine | None = None
         self._engine_hash: str | None = None
+        self.last_timings: dict = {}  # stage timings of the latest query
         # injectable for tests; default = provider-backed factory
         self._llm_factory = llm_factory
 
@@ -138,35 +139,42 @@ class RAGService:
     def _retrieve_and_rank(
         self, prompt: str, history_str: str, params: dict
     ) -> RetrievalResult:
+        from tensortruth_tpu.utils.profiling import StageTimer
+
         engine = self._engine
         assert engine is not None
+        timer = StageTimer()
 
         condensed = prompt
         if history_str.strip():
-            try:
-                condensed = condense_query(
-                    self._get_llm({**params, "temperature": 0.1}),
-                    history_str,
-                    prompt,
-                )
-            except Exception as e:
-                logger.warning("condenser unavailable (%s)", e)
+            with timer.stage("condense"):
+                try:
+                    condensed = condense_query(
+                        self._get_llm({**params, "temperature": 0.1}),
+                        history_str,
+                        prompt,
+                    )
+                except Exception as e:
+                    logger.warning("condenser unavailable (%s)", e)
 
-        q_emb = engine.embedder.encode([condensed], is_query=True)[0]
-        retrieved = engine.retriever.retrieve(q_emb, condensed)
+        with timer.stage("embed"):
+            q_emb = engine.embedder.encode([condensed], is_query=True)[0]
+        with timer.stage("topk_merge"):
+            retrieved = engine.retriever.retrieve(q_emb, condensed)
         sources = [SourceNode.from_retrieved(r) for r in retrieved]
 
         top_n = engine.params.get("reranker_top_n", 5)
-        if engine.reranker is not None and sources:
-            stage = RankingStage(reranker=engine.reranker)
-            try:
-                result = stage.rank(sources, condensed, top_n=top_n)
-                sources = result.passed[:top_n]
-            except Exception as e:  # postprocessor failure → unranked nodes
-                logger.warning("rerank failed (%s); using dense order", e)
+        with timer.stage("rerank"):
+            if engine.reranker is not None and sources:
+                stage = RankingStage(reranker=engine.reranker)
+                try:
+                    result = stage.rank(sources, condensed, top_n=top_n)
+                    sources = result.passed[:top_n]
+                except Exception as e:  # postprocessor failure → unranked nodes
+                    logger.warning("rerank failed (%s); using dense order", e)
+                    sources = sources[:top_n]
+            else:
                 sources = sources[:top_n]
-        else:
-            sources = sources[:top_n]
 
         kept, level = apply_confidence_gate(
             sources,
@@ -175,9 +183,10 @@ class RAGService:
         )
         metrics = compute_retrieval_metrics(kept)
         metrics.configured_top_n = top_n
+        self.last_timings = timer.to_dict()
         return RetrievalResult(
             sources=kept,
-            metrics=metrics.to_dict(),
+            metrics={**metrics.to_dict(), "timings": self.last_timings},
             confidence=level.value,
             condensed_query=condensed,
         )
