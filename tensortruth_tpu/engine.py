@@ -40,6 +40,7 @@ class RAGEngine:
     reranker: object | None
     modules: list[str]
     params: dict = field(default_factory=dict)
+    pipeline: object | None = None  # fused embed→top-k step (pipeline.py)
 
     @property
     def similarity_top_k(self) -> int:
@@ -120,7 +121,11 @@ def load_engine_for_modules(
         mesh=mesh,
         use_fused=config.rag.use_fused_topk,
     )
+    from tensortruth_tpu.pipeline import QueryPipeline
+
+    pipeline = QueryPipeline(embedder, retriever)
     return RAGEngine(
+        pipeline=pipeline if pipeline.applicable() else None,
         retriever=retriever,
         embedder=embedder,
         reranker=reranker,

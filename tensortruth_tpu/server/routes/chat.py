@@ -279,11 +279,16 @@ async def _run_orchestrator(
     orch = OrchestratorService(
         services.rag_service, services.tool_service, services.config
     )
+    from tensortruth_tpu.services.orchestrator_tools import create_service_tools
+
+    service_tools = create_service_tools(
+        services, session_id=session_id, emit=ws.send_json
+    )
     done_msg = None
     sources: list[dict] = []
     try:
         async for event in orch.execute(
-            prompt, llm, synthesis_llm=synth_llm,
+            prompt, llm, synthesis_llm=synth_llm, extra_tools=service_tools,
             modules=ctx["modules"], params=ctx["params"],
             history=[
                 {"role": m["role"], "content": m["content"]}

@@ -118,13 +118,20 @@ class OrchestratorService:
         modules: list[str] | None = None,
         params: dict | None = None,
         history: list[dict] | None = None,
+        extra_tools: dict | None = None,
     ) -> AsyncIterator[dict]:
-        """Yields WS events; final 'done' carries the synthesized answer."""
+        """Yields WS events; final 'done' carries the synthesized answer.
+
+        ``extra_tools`` lets the caller add service-backed tools (MCP
+        management, project ingestion — services/orchestrator_tools.py).
+        """
         params = params or {}
         modules = modules or []
         self.last_sources = []
 
-        extra_tools = {"rag_query": self._rag_tool(params)} if modules else {}
+        extra_tools = dict(extra_tools or {})
+        if modules:
+            extra_tools["rag_query"] = self._rag_tool(params)
         agent = FunctionAgent(
             context={
                 "llm": llm,

@@ -157,10 +157,15 @@ class RAGService:
                 except Exception as e:
                     logger.warning("condenser unavailable (%s)", e)
 
-        with timer.stage("embed"):
-            q_emb = engine.embedder.encode([condensed], is_query=True)[0]
-        with timer.stage("topk_merge"):
-            retrieved = engine.retriever.retrieve(q_emb, condensed)
+        if engine.pipeline is not None and engine.pipeline.applicable():
+            # Fused single-dispatch embed→top-k (pipeline.py).
+            with timer.stage("embed_topk_fused"):
+                retrieved = engine.pipeline.retrieve_one(condensed)
+        else:
+            with timer.stage("embed"):
+                q_emb = engine.embedder.encode([condensed], is_query=True)[0]
+            with timer.stage("topk_merge"):
+                retrieved = engine.retriever.retrieve(q_emb, condensed)
         sources = [SourceNode.from_retrieved(r) for r in retrieved]
 
         top_n = engine.params.get("reranker_top_n", 5)

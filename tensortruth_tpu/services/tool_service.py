@@ -52,6 +52,8 @@ class ToolService:
         """Built-ins (reference tool_service.py:40-219)."""
         from tensortruth_tpu.web.search import (
             fetch_page_tool,
+            fetch_pages_batch_tool,
+            get_arxiv_paper_tool,
             search_arxiv_tool,
             search_web_tool,
         )
@@ -89,6 +91,24 @@ class ToolService:
         )
         self.register(
             ToolSpec(
+                name="fetch_pages_batch",
+                description=(
+                    "Download several pages at once; returns markdown excerpts "
+                    "plus links discovered in each page for follow-up fetches."
+                ),
+                parameters={
+                    "type": "object",
+                    "properties": {
+                        "urls": {"type": "array", "items": {"type": "string"}},
+                        "max_chars_per_page": {"type": "integer", "default": 4000},
+                    },
+                    "required": ["urls"],
+                },
+                fn=fetch_pages_batch_tool,
+            )
+        )
+        self.register(
+            ToolSpec(
                 name="search_arxiv",
                 description="Search arXiv for papers by free-text query.",
                 parameters={
@@ -100,6 +120,18 @@ class ToolService:
                     "required": ["query"],
                 },
                 fn=search_arxiv_tool,
+            )
+        )
+        self.register(
+            ToolSpec(
+                name="get_arxiv_paper",
+                description="Fetch one arXiv paper's title/authors/abstract by id.",
+                parameters={
+                    "type": "object",
+                    "properties": {"arxiv_id": {"type": "string"}},
+                    "required": ["arxiv_id"],
+                },
+                fn=get_arxiv_paper_tool,
             )
         )
 

@@ -137,3 +137,35 @@ async def fetch_page_tool(url: str):
 
 async def search_arxiv_tool(query: str, max_results: int = 5):
     return await asyncio.to_thread(search_arxiv, query, max_results)
+
+
+async def fetch_pages_batch_tool(urls: list[str], max_chars_per_page: int = 4000):
+    """Parallel page fetch with per-page link discovery
+    (reference orchestrator_tool_wrappers.py:651-929)."""
+    from tensortruth_tpu.web.fetch import fetch_url_as_markdown
+    from tensortruth_tpu.web.metrics import extract_links_from_markdown
+
+    async def one(url: str):
+        try:
+            title, md = await asyncio.to_thread(fetch_url_as_markdown, url)
+            return {
+                "url": url,
+                "title": title,
+                "markdown": md[:max_chars_per_page],
+                "links": extract_links_from_markdown(md),
+                "status": "success",
+            }
+        except Exception as e:
+            return {"url": url, "status": "failed", "error": str(e)}
+
+    return await asyncio.gather(*(one(u) for u in urls))
+
+
+async def get_arxiv_paper_tool(arxiv_id: str):
+    from tensortruth_tpu.web.fetch import ArxivHandler
+
+    handler = ArxivHandler()
+    title, md = await asyncio.to_thread(
+        handler.fetch, f"https://arxiv.org/abs/{arxiv_id}"
+    )
+    return {"arxiv_id": arxiv_id, "title": title, "markdown": md}
