@@ -86,8 +86,34 @@ async def reindex(request: web.Request):
     return web.json_response({"status": "reindexed", "documents": n})
 
 
+async def file_url_info(request: web.Request):
+    """Probe a URL before ingestion: content type + suggested handler
+    (reference documents.py:402)."""
+    url = request.query.get("url", "")
+    if not url:
+        raise web.HTTPUnprocessableEntity(reason="url query param required")
+    from tensortruth_tpu.web.fetch import _HANDLERS
+
+    handler = next((type(h).__name__ for h in _HANDLERS if h.matches(url)), None)
+    info = {"url": url, "handler": handler, "content_type": None}
+    try:
+        import asyncio
+
+        import requests
+
+        def probe():
+            r = requests.head(url, timeout=10, allow_redirects=True)
+            return r.headers.get("Content-Type", "")
+
+        info["content_type"] = await asyncio.to_thread(probe)
+    except Exception as e:
+        info["error"] = str(e)
+    return web.json_response(info)
+
+
 def setup(app: web.Application) -> None:
     r = app.router
+    r.add_get("/api/file-url-info", file_url_info)
     for scope in ("sessions/{session_id}", "projects/{project_id}"):
         r.add_get(f"/api/{scope}/documents", list_documents)
         r.add_post(f"/api/{scope}/documents", upload_document)
