@@ -142,6 +142,38 @@ class ServiceContainer:
             self._confirmation_service = ToolConfirmationService()
         return self._confirmation_service
 
+    # -- MCP tools (lazy connect, cached until config change) ------------------
+
+    _mcp_tools_cache: tuple | None = None
+
+    async def get_mcp_tools(self) -> dict:
+        """name→ToolSpec from enabled MCP servers (agents/mcp_client.py)."""
+        if self._mcp_tools_cache is None:
+            from tensortruth_tpu.agents.mcp_client import load_mcp_tools
+
+            self._mcp_tools_cache = await load_mcp_tools(self.mcp_service)
+        return self._mcp_tools_cache[0]
+
+    async def invalidate_mcp_tools(self) -> None:
+        if self._mcp_tools_cache is not None:
+            for client in self._mcp_tools_cache[1]:
+                try:
+                    await client.close()
+                except Exception:
+                    pass
+            self._mcp_tools_cache = None
+
     def shutdown(self):
         if self._task_runner is not None:
             self._task_runner.stop()
+        if self._mcp_tools_cache is not None:
+            import asyncio
+
+            clients = self._mcp_tools_cache[1]
+            self._mcp_tools_cache = None
+            try:
+                loop = asyncio.get_running_loop()
+                for c in clients:
+                    loop.create_task(c.close())
+            except RuntimeError:
+                pass

@@ -284,6 +284,10 @@ async def _run_orchestrator(
     service_tools = create_service_tools(
         services, session_id=session_id, emit=ws.send_json
     )
+    try:  # live MCP tools (reference tool_service.py:221-244 startup load)
+        service_tools.update(await services.get_mcp_tools())
+    except Exception as e:
+        logger.warning("MCP tool load failed: %s", e)
     done_msg = None
     sources: list[dict] = []
     try:

@@ -18,6 +18,7 @@ async def presets(request):
 
 
 async def add_server(request):
+    await request.app["services"].invalidate_mcp_tools()
     body = await request.json()
     name = body.pop("name", "")
     if not name:
@@ -29,6 +30,7 @@ async def add_server(request):
 
 
 async def patch_server(request):
+    await request.app["services"].invalidate_mcp_tools()
     out = _svc(request).update_server(request.match_info["name"], await request.json())
     if out is None:
         raise web.HTTPNotFound(reason="server not found")
@@ -36,12 +38,14 @@ async def patch_server(request):
 
 
 async def delete_server(request):
+    await request.app["services"].invalidate_mcp_tools()
     if not _svc(request).delete_server(request.match_info["name"]):
         raise web.HTTPNotFound(reason="server not found")
     return web.json_response({"status": "deleted"})
 
 
 async def toggle_server(request):
+    await request.app["services"].invalidate_mcp_tools()
     out = _svc(request).toggle_server(request.match_info["name"])
     if out is None:
         raise web.HTTPNotFound(reason="server not found")
