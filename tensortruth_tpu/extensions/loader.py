@@ -16,14 +16,16 @@ from tensortruth_tpu.extensions.schema import AgentSpec, CommandSpec, ExtensionE
 
 logger = logging.getLogger(__name__)
 
-BUNDLED_CATALOG = [
-    {
-        "name": "arxiv",
-        "ext_type": "commands",
-        "filename": "arxiv.yaml",
-        "description": "Look up an arXiv paper and summarize its abstract",
-    },
-]
+BUNDLED_LIBRARY = Path(__file__).resolve().parent.parent.parent / "extension_library"
+
+
+def _bundled_catalog() -> list[dict]:
+    import json
+
+    catalog_file = BUNDLED_LIBRARY / "catalog.json"
+    if catalog_file.exists():
+        return json.loads(catalog_file.read_text())
+    return []
 
 
 def _ext_dirs() -> dict[str, Path]:
@@ -110,7 +112,8 @@ def uninstall_extension(ext_type: str, filename: str, services=None) -> bool:
 
 
 def get_extension_catalog(config=None) -> list[dict]:
-    """Remote catalog (reference extension_catalog.py) with offline fallback."""
+    """Remote catalog (reference extension_catalog.py) with the bundled
+    extension_library/ as offline fallback."""
     url = getattr(config, "extension_catalog_url", "") if config else ""
     if url:
         try:
@@ -121,4 +124,18 @@ def get_extension_catalog(config=None) -> list[dict]:
             return r.json()
         except Exception as e:
             logger.warning("catalog fetch failed (%s); using bundled", e)
-    return list(BUNDLED_CATALOG)
+    return _bundled_catalog()
+
+
+def install_from_catalog(name: str, services=None) -> dict:
+    """Install a bundled extension_library entry by name
+    (reference extension_library_service.py)."""
+    entry = next((e for e in _bundled_catalog() if e["name"] == name), None)
+    if entry is None:
+        raise ValueError(f"unknown catalog extension: {name}")
+    src = BUNDLED_LIBRARY / entry["ext_type"] / entry["filename"]
+    if not src.exists():
+        raise ValueError(f"catalog file missing: {src}")
+    return install_extension(
+        entry["ext_type"], entry["filename"], src.read_text(), services=services
+    )

@@ -148,6 +148,48 @@ def extract_library_module_metadata(filename: str, module: str, sources: dict) -
     return meta
 
 
+LLM_METADATA_PROMPT = (
+    "Extract the document's title and author names from the excerpt below.\n\n"
+    "Rules:\n"
+    "1. The title is the main article/chapter/paper title; join multi-line "
+    "titles into one string and skip any journal name printed above it.\n"
+    "2. Authors are PEOPLE only — never journals, publishers, conferences, "
+    "institutions, or honorifics like 'Member, IEEE'. List every author.\n"
+    "3. Use null when a field cannot be determined.\n"
+    "4. Reply with ONLY this JSON, nothing else:\n"
+    '{"title": "string or null", "authors": "string or null"}\n\n'
+    "Excerpt:\n---\n{excerpt}\n---"
+)
+
+
+def extract_metadata_with_llm(text: str, llm, max_chars: int = 3000) -> dict:
+    """LLM title/author extraction for uploads (reference utils/metadata.py:158).
+
+    ``llm`` needs ``complete(prompt) -> str``; any failure returns {} so
+    ingestion never blocks on a provider.
+    """
+    import json as _json
+    import re as _re
+
+    prompt = LLM_METADATA_PROMPT.replace("{excerpt}", text[:max_chars])
+    try:
+        raw = llm.complete(prompt)
+        m = _re.search(r"\{.*\}", raw, _re.DOTALL)
+        if not m:
+            return {}
+        data = _json.loads(m.group(0))
+        out = {}
+        if data.get("title"):
+            out["title"] = str(data["title"])
+        if data.get("authors"):
+            out["authors"] = format_authors(
+                [a.strip() for a in str(data["authors"]).split(",")]
+            )
+        return out
+    except Exception:
+        return {}
+
+
 def extract_metadata(
     text: str, filename: str, module: str, document_type: DocumentType, sources: dict
 ) -> dict:

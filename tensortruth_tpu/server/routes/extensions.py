@@ -19,16 +19,21 @@ async def library(request: web.Request):
 
 
 async def install(request: web.Request):
-    from tensortruth_tpu.extensions.loader import install_extension
+    from tensortruth_tpu.extensions.loader import install_extension, install_from_catalog
 
     body = await request.json()
     try:
-        result = install_extension(
-            body.get("ext_type", "commands"),
-            body.get("filename", ""),
-            body.get("content", ""),
-            services=request.app["services"],
-        )
+        if body.get("catalog_name"):  # install a bundled catalog entry
+            result = install_from_catalog(
+                body["catalog_name"], services=request.app["services"]
+            )
+        else:
+            result = install_extension(
+                body.get("ext_type", "commands"),
+                body.get("filename", ""),
+                body.get("content", ""),
+                services=request.app["services"],
+            )
     except ValueError as e:
         raise web.HTTPUnprocessableEntity(reason=str(e))
     return web.json_response(result)

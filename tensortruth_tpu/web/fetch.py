@@ -123,9 +123,41 @@ class GitHubHandler(ContentHandler):
         return f"{owner}/{repo}", ""
 
 
+class YouTubeHandler(ContentHandler):
+    """Video transcript via the timedtext API (reference
+    utils/youtube_handler.py; the youtube-transcript-api wheel is not
+    available here, so the caption endpoint is called directly)."""
+
+    _RE = re.compile(r"(?:youtube\.com/watch\?v=|youtu\.be/)([\w-]{11})")
+
+    def matches(self, url: str) -> bool:
+        return bool(self._RE.search(url))
+
+    def fetch(self, url: str) -> tuple[str, str]:
+        import requests
+        import xml.etree.ElementTree as ET
+
+        video_id = self._RE.search(url).group(1)
+        r = requests.get(
+            "https://www.youtube.com/api/timedtext",
+            params={"v": video_id, "lang": "en"},
+            headers=BROWSER_HEADERS,
+            timeout=DEFAULT_TIMEOUT,
+        )
+        r.raise_for_status()
+        if not r.text.strip():
+            return video_id, ""
+        lines = [
+            (el.text or "").replace("&#39;", "'")
+            for el in ET.fromstring(r.text).findall("text")
+        ]
+        return f"YouTube {video_id}", "\n".join(l for l in lines if l)
+
+
 register_handler(ArxivHandler())
 register_handler(WikipediaHandler())
 register_handler(GitHubHandler())
+register_handler(YouTubeHandler())
 
 
 def fetch_generic_html(url: str) -> tuple[str, str]:

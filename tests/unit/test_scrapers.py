@@ -117,3 +117,46 @@ def test_fetch_sources_cli_list_add_validate(tmp_path, monkeypatch, capsys):
     assert "numpy" in out
     # validate fails: docs not fetched yet
     assert main(["validate"]) == 1
+
+
+def test_llm_metadata_extraction():
+    from tensortruth_tpu.indexing.metadata import extract_metadata_with_llm
+
+    class LLM:
+        def complete(self, prompt):
+            return 'Sure: {"title": "Deep Nets", "authors": "A One, B Two, C Three, D Four"}'
+
+    out = extract_metadata_with_llm("some text", LLM())
+    assert out["title"] == "Deep Nets"
+    assert out["authors"] == "A One et al."
+
+    class BadLLM:
+        def complete(self, prompt):
+            raise RuntimeError("offline")
+
+    assert extract_metadata_with_llm("x", BadLLM()) == {}
+
+
+def test_llama_cpp_display_name():
+    from tensortruth_tpu.core.llama_cpp import format_display_name
+
+    assert format_display_name("models/Qwen2.5-7B-Q4_K_M.gguf") == "Qwen2.5 7B Q4 K M"
+
+
+def test_bundled_extension_catalog(tmp_path, monkeypatch):
+    monkeypatch.setenv("TENSOR_TRUTH_TPU_DATA_DIR", str(tmp_path))
+    from tensortruth_tpu.extensions.loader import (
+        get_extension_catalog,
+        install_from_catalog,
+        list_installed_extensions,
+    )
+
+    catalog = get_extension_catalog()
+    assert any(e["name"] == "arxiv" for e in catalog)
+    result = install_from_catalog("arxiv")
+    assert result["status"] == "installed"
+    assert any(e["filename"] == "arxiv.yaml" for e in list_installed_extensions())
+    import pytest
+
+    with pytest.raises(ValueError):
+        install_from_catalog("nope")
