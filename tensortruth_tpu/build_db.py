@@ -22,7 +22,6 @@ from tensortruth_tpu.app.sources import (
     load_user_sources,
     module_docs_dirname,
 )
-from tensortruth_tpu.core.types import DocumentType
 from tensortruth_tpu.index.chunker import DEFAULT_CHUNK_OVERLAP, DEFAULT_CHUNK_SIZES
 from tensortruth_tpu.indexing.builder import build_module
 

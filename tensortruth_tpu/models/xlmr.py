@@ -21,8 +21,7 @@ compatibility): post-LN BERT blocks, exact (erf) GELU, learned positions with
 
 from __future__ import annotations
 
-from dataclasses import dataclass, replace
-from functools import partial
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
@@ -42,6 +41,9 @@ class XLMRConfig:
     layer_norm_eps: float = 1e-5
     # classification head (reranker only)
     num_labels: int = 0
+    # Pallas blocked attention (ops/attention.py): None = auto (TPU and
+    # seq ≥ 512), True/False forces. Matters for 2048-token build chunks.
+    flash_attention: bool | None = None
 
     @property
     def head_dim(self) -> int:
@@ -116,12 +118,20 @@ def _dense(x: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
     return (y + b.astype(jnp.float32)).astype(x.dtype)
 
 
+def _use_flash(cfg: XLMRConfig, s: int) -> bool:
+    if cfg.flash_attention is not None:
+        return cfg.flash_attention and s % 256 == 0
+    return jax.default_backend() == "tpu" and s >= 512 and s % 256 == 0
+
+
 def _attention(
-    x: jax.Array, mask_bias: jax.Array, lp: dict, cfg: XLMRConfig
+    x: jax.Array, mask: jax.Array, mask_bias: jax.Array, lp: dict, cfg: XLMRConfig
 ) -> jax.Array:
     """Bidirectional multi-head self-attention with padding mask.
 
-    x: (B, S, H); mask_bias: (B, 1, 1, S) additive f32 bias (0 or -inf-ish).
+    x: (B, S, H); mask: (B, S) int; mask_bias: (B, 1, 1, S) additive f32.
+    Long sequences route to the Pallas blocked kernel (ops/attention.py)
+    so the (S, S) score tensor never reaches HBM.
     """
     b, s, h = x.shape
     nh, dh = cfg.num_heads, cfg.head_dim
@@ -133,17 +143,28 @@ def _attention(
     k = split(_dense(x, lp["k_w"], lp["k_b"]))
     v = split(_dense(x, lp["v_w"], lp["v_b"]))
 
-    scores = jnp.einsum("bnqd,bnkd->bnqk", q, k, preferred_element_type=jnp.float32)
-    scores = scores / np.sqrt(dh) + mask_bias
-    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
-    ctx = jnp.einsum("bnqk,bnkd->bnqd", probs, v, preferred_element_type=jnp.float32)
+    if _use_flash(cfg, s):
+        from tensortruth_tpu.ops.attention import blocked_attention
+
+        ctx = blocked_attention(q, k, v, mask)
+    else:
+        scores = jnp.einsum(
+            "bnqd,bnkd->bnqk", q, k, preferred_element_type=jnp.float32
+        )
+        scores = scores / np.sqrt(dh) + mask_bias
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
+        ctx = jnp.einsum(
+            "bnqk,bnkd->bnqd", probs, v, preferred_element_type=jnp.float32
+        ).astype(x.dtype)
     ctx = ctx.astype(x.dtype).transpose(0, 2, 1, 3).reshape(b, s, h)
     return _dense(ctx, lp["o_w"], lp["o_b"])
 
 
-def _layer(x: jax.Array, lp: dict, mask_bias: jax.Array, cfg: XLMRConfig) -> jax.Array:
+def _layer(
+    x: jax.Array, lp: dict, mask: jax.Array, mask_bias: jax.Array, cfg: XLMRConfig
+) -> jax.Array:
     """One post-LN transformer block (attention → add&LN → FFN → add&LN)."""
-    attn = _attention(x, mask_bias, lp, cfg)
+    attn = _attention(x, mask, mask_bias, lp, cfg)
     x = _layer_norm(x + attn, lp["ln1_scale"], lp["ln1_bias"], cfg.layer_norm_eps)
     ffn = _dense(x, lp["fc1_w"], lp["fc1_b"])
     ffn = jax.nn.gelu(ffn.astype(jnp.float32), approximate=False).astype(x.dtype)
@@ -171,7 +192,7 @@ def encoder_forward(
     mask_bias = jnp.where(mask[:, None, None, :] > 0, 0.0, -1e9).astype(jnp.float32)
 
     def body(h, lp):
-        return _layer(h, lp, mask_bias, cfg), None
+        return _layer(h, lp, mask, mask_bias, cfg), None
 
     x, _ = jax.lax.scan(body, x, params["layers"])
     return x

@@ -28,7 +28,7 @@ Behavioral contracts preserved:
 from __future__ import annotations
 
 from collections import OrderedDict
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
@@ -37,7 +37,6 @@ import numpy as np
 from tensortruth_tpu.index.nodes import Node
 from tensortruth_tpu.index.store import VectorIndex
 from tensortruth_tpu.ops.topk import topk_search
-from tensortruth_tpu.parallel.mesh import SHARD_AXIS
 from tensortruth_tpu.parallel.sharded_topk import shard_corpus, sharded_topk
 from tensortruth_tpu.retrieval.automerge import auto_merge
 

@@ -9,7 +9,7 @@ clear error when offline.
 from __future__ import annotations
 
 import logging
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Awaitable, Callable
 
 logger = logging.getLogger(__name__)

@@ -10,7 +10,7 @@ from __future__ import annotations
 import re
 import statistics
 
-from tensortruth_tpu.core.source import SourceNode, SourceStatus
+from tensortruth_tpu.core.source import SourceNode
 
 _MD_LINK_RE = re.compile(r"\[([^\]]+)\]\((https?://[^)\s]+)\)")
 
