@@ -68,3 +68,25 @@ def test_k_larger_than_corpus(rng):
     assert (idx[0, :n] >= 0).all()
     assert set(idx[0, :n].tolist()) == set(range(n))
     assert (idx[0, n:] == -1).all()
+
+
+def test_q_sharded_2d_mesh(rng):
+    """DP-sharded queries x corpus shards (the dryrun_multichip layout)."""
+    from tensortruth_tpu.parallel.mesh import make_mesh
+
+    n, d, k, b = 256, 16, 5, 4
+    emb = _normed(rng, n, d)
+    q = _normed(rng, b, d)
+    mesh = make_mesh(n_shards=4, n_data=2)
+    emb_dev, n_actual = shard_corpus(emb, mesh)
+
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    q_dev = jax.device_put(q, NamedSharding(mesh, P("data")))
+    vals, idx = sharded_topk(
+        q_dev, emb_dev, k=k, mesh=mesh, n_actual=n_actual, q_sharded=True
+    )
+    ref_vals, ref_idx = exact_topk(jnp.asarray(q), jnp.asarray(emb), k)
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(ref_vals), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
