@@ -1,4 +1,5 @@
 from tensortruth_tpu.index.nodes import Node, HierarchyStore
+from tensortruth_tpu.index.store import VectorIndex, sanitize_model_id
 from tensortruth_tpu.index.chunker import (
     ChunkingStrategy,
     hierarchical_chunk,
@@ -8,6 +9,8 @@ from tensortruth_tpu.index.chunker import (
 )
 
 __all__ = [
+    "VectorIndex",
+    "sanitize_model_id",
     "Node",
     "HierarchyStore",
     "ChunkingStrategy",
