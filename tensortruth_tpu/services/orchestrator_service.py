@@ -130,7 +130,9 @@ class OrchestratorService:
         self.last_sources = []
 
         extra_tools = dict(extra_tools or {})
-        if modules:
+        # rag_query exists whenever a retrieval engine is loaded — catalog
+        # modules AND/OR session/project document indexes.
+        if modules or getattr(self.rag_service, "engine", None) is not None:
             extra_tools["rag_query"] = self._rag_tool(params)
         agent = FunctionAgent(
             context={

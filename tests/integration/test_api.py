@@ -290,3 +290,105 @@ async def test_ws_unknown_command(client):
     msg = await ws.receive_json(timeout=30)
     assert msg["type"] == "error"
     await ws.close()
+
+
+async def test_session_document_upload_then_rag_query(client):
+    """Full e2e: upload a doc to a session → WS chat retrieves from the
+    session's own index (extra_index_paths path) with a fake LLM."""
+    from tensortruth_tpu.core.providers import ChatDelta
+
+    class FakeLLM:
+        def complete(self, prompt):
+            return "standalone"
+
+        def stream_chat(self, messages, system=None):
+            yield ChatDelta(text="answered from context")
+
+    services = client.server.app["services"]
+    services.rag_service._llm_factory = lambda params: FakeLLM()
+
+    r = await client.post("/api/sessions", json={})
+    sid = (await r.json())["id"]
+    r = await client.post(
+        f"/api/sessions/{sid}/documents",
+        json={"filename": "tpu.md",
+              "text": "The MXU is a 128x128 systolic array. " * 150},
+    )
+    assert (await r.json())["status"] == "success"
+
+    ws = await client.ws_connect(f"/ws/chat/{sid}")
+    await ws.send_json({"message": "what is the MXU?"})
+    events = []
+    while True:
+        msg = await ws.receive_json(timeout=60)
+        events.append(msg)
+        if msg["type"] in ("done", "error"):
+            break
+    await ws.close()
+    types = [e["type"] for e in events]
+    assert "error" not in types
+    sources_msg = next(e for e in events if e["type"] == "sources")
+    assert sources_msg["sources"], "session-document index produced no sources"
+    assert "systolic" in sources_msg["sources"][0]["content"]
+    done = events[-1]
+    assert done["metrics"]["coverage"]["total_chunks"] >= 1
+    assert "timings" in done["metrics"]
+
+
+async def test_ws_orchestrator_path(client):
+    """Orchestrator path over WS: tool-capable fake LLM calls rag_query,
+    synthesis streams the final answer."""
+    from tensortruth_tpu.core.providers import ChatDelta
+
+    class ToolLLM:
+        def __init__(self):
+            self.turns = 0
+
+        def complete(self, prompt):
+            return "standalone"
+
+        def chat_with_tools(self, messages, tools, system=None):
+            self.turns += 1
+            if self.turns == 1 and any(t["name"] == "rag_query" for t in tools):
+                return "", [{"name": "rag_query", "arguments": {"query": "mxu"}}]
+            return "draft answer", []
+
+        def stream_chat(self, messages, system=None):
+            yield ChatDelta(text="final synthesized answer")
+
+    services = client.server.app["services"]
+    llm = ToolLLM()
+    services.rag_service._llm_factory = lambda params: llm
+
+    # orchestrator needs a tool-capable model: declare capability on provider
+    services.config.providers[0].default_capabilities = ["tools"]
+    services.config.providers[0].models = [{"name": "fake-model"}]
+    from tensortruth_tpu.core.providers import ProviderRegistry
+
+    ProviderRegistry.reset_instance()
+
+    r = await client.post("/api/sessions", json={})
+    sid = (await r.json())["id"]
+    # add a session document so modules/extra paths exist → rag_query tool
+    await client.post(
+        f"/api/sessions/{sid}/documents",
+        json={"filename": "d.md", "text": "MXU details. " * 200},
+    )
+    await client.patch(
+        f"/api/sessions/{sid}",
+        json={"params": {"orchestrator_enabled": True, "model": "fake-model"}},
+    )
+
+    ws = await client.ws_connect(f"/ws/chat/{sid}")
+    await ws.send_json({"message": "explain the MXU"})
+    events = []
+    while True:
+        msg = await ws.receive_json(timeout=60)
+        events.append(msg)
+        if msg["type"] in ("done", "error"):
+            break
+    await ws.close()
+    types = [e["type"] for e in events]
+    assert "error" not in types
+    assert "tool_phase" in types  # the agent loop ran
+    assert events[-1]["content"] == "final synthesized answer"
