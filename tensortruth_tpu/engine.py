@@ -72,6 +72,14 @@ def load_engine_for_modules(
 
     params = dict(params or {})
     config = config or load_config()
+    if mesh is None and config.rag.mesh.get("enabled"):
+        # Config-driven mesh (config.yaml rag.mesh) for multi-chip slices.
+        from tensortruth_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(
+            n_shards=config.rag.mesh.get("n_shards") or None,
+            n_data=config.rag.mesh.get("n_data", 1),
+        )
     embedding_model = params.get(
         "embedding_model", config.rag.default_embedding_model
     )
