@@ -37,15 +37,21 @@ import numpy as np
 
 # Measured on this host (see BASELINE.md "Measured reference baseline"):
 # torch-2.9 CPU reference-equivalent pipeline, same shapes as below
-# (scripts/measure_reference_baseline.py, 2026-08-16).
-REFERENCE_BASELINE_QPS = 0.128
+# (scripts/measure_reference_baseline.py, 2026-08-16; rerank stage scaled
+# linearly to RERANK_TOP=10 pairs/query → 22.5s embed + 1.4s topk + 454.0s
+# rerank per 32-query batch).
+REFERENCE_BASELINE_QPS = 0.067
 
 BATCH = 32          # queries per dispatch (server-side batching tier)
 SEQ_Q = 128         # query token length bucket
 N_CHUNKS = 1_000_000
 DIM = 1024
 TOP_K = 100         # dense candidates (two-stage: top-100 → rerank)
-RERANK_TOP = 5      # pairs per query through the cross-encoder
+# Pairs per query through the cross-encoder = the engine's adaptive
+# similarity_top_k = max(5, 2*top_n) = 10 (engine.py; reference
+# rag_engine.py:590-593) — every retrieved candidate is scored, the top 5
+# survive.
+RERANK_TOP = 10
 SEQ_PAIR = 256      # (query, chunk) pair length bucket
 
 

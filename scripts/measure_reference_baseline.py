@@ -22,7 +22,7 @@ torch.manual_seed(0)
 
 BATCH, SEQ_Q = 32, 128
 N_CHUNKS, DIM, TOP_K = 1_000_000, 1024, 100
-RERANK_PAIRS, SEQ_PAIR = 32 * 5, 256
+RERANK_PAIRS, SEQ_PAIR = 32 * 10, 256
 
 
 def xlmr_large(num_labels=0):

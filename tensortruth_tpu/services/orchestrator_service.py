@@ -170,7 +170,10 @@ class OrchestratorService:
             yield {"type": "done", "content": agent_answer}
             return
 
-        synthesis = SynthesisService(synthesis_llm or llm)
+        synthesis = SynthesisService(
+            synthesis_llm or llm,
+            context_window=params.get("context_window", 8192),
+        )
         parts: list[str] = []
         loop = asyncio.get_running_loop()
         deltas = await loop.run_in_executor(

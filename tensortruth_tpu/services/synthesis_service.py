@@ -40,9 +40,14 @@ def build_source_reference(sources: list) -> str:
     return "\n".join(lines)
 
 
+CHARS_PER_TOKEN = 4
+INPUT_BUDGET_PCT = 0.5  # half the window for evidence, half for the answer
+
+
 class SynthesisService:
-    def __init__(self, llm):
+    def __init__(self, llm, context_window: int = 8192):
         self.llm = llm
+        self.context_window = context_window
 
     def synthesize(
         self,
@@ -51,10 +56,17 @@ class SynthesisService:
         sources: list | None = None,
         agent_answer: str = "",
     ) -> Iterator[ChatDelta]:
+        # Char-budget the evidence so the response keeps its share of the
+        # window (reference orchestrator budget split :59-65).
+        budget = int(self.context_window * INPUT_BUDGET_PCT) * CHARS_PER_TOKEN
+        per_tool = max(500, budget // max(1, len(tool_outputs)))
         blocks = []
         for out in tool_outputs:
+            text = out["output"]
+            if len(text) > per_tool:
+                text = text[:per_tool] + "\n[...truncated]"
             blocks.append(
-                f"### Tool `{out['tool']}`\nArguments: {out['arguments']}\n\n{out['output']}"
+                f"### Tool `{out['tool']}`\nArguments: {out['arguments']}\n\n{text}"
             )
         source_ref = build_source_reference(sources or [])
         prompt_parts = [f"Question: {question}"]

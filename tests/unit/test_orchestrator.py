@@ -113,3 +113,37 @@ def test_build_source_reference():
     srcs = [SourceNode(title="A", url="http://a"), SourceNode(title="B")]
     ref = build_source_reference(srcs)
     assert ref.splitlines() == ["[1] A — http://a", "[2] B"]
+
+
+def test_startup_service_status(tmp_path, monkeypatch):
+    monkeypatch.setenv("TENSOR_TRUTH_TPU_DATA_DIR", str(tmp_path))
+    from tensortruth_tpu.services.startup_service import StartupService
+
+    status = StartupService().check_startup_status()
+    assert status.first_run  # no config.yaml before the check
+    assert status.config_ok
+    assert not status.indexes_present
+    d = status.to_dict()
+    assert d["index_count"] == 0
+
+    # second run: config now exists
+    status2 = StartupService().check_startup_status()
+    assert not status2.first_run
+
+
+def test_synthesis_truncates_to_budget():
+    from tensortruth_tpu.core.providers import ChatDelta
+    from tensortruth_tpu.services.synthesis_service import SynthesisService
+
+    captured = {}
+
+    class LLM:
+        def stream_chat(self, messages, system=None):
+            captured["prompt"] = messages[-1]["content"]
+            yield ChatDelta(text="ok")
+
+    svc = SynthesisService(LLM(), context_window=1000)
+    outputs = [{"tool": "t", "arguments": {}, "output": "x" * 50_000}]
+    list(svc.synthesize("q", outputs))
+    assert len(captured["prompt"]) < 10_000
+    assert "[...truncated]" in captured["prompt"]
