@@ -137,6 +137,19 @@ async def ws_chat(request: web.Request):
             await ws.send_json({"type": "error", "error": "session not found"})
             continue
 
+        # Attached base64 images persist under the session and get local
+        # URLs (reference chat.py image handling + services/image_service.py).
+        image_ids: list[str] = []
+        if data.get("images"):
+            from tensortruth_tpu.services.image_service import ImageService
+
+            img_svc = ImageService()
+            for b64 in data["images"]:
+                try:
+                    image_ids.append(img_svc.save_base64(session_id, b64))
+                except Exception as e:
+                    logger.warning("image save failed: %s", e)
+
         # -- slash command? (reference chat.py:676-789) ----------------------
         m = COMMAND_RE.match(prompt.strip())
         if m:
@@ -180,7 +193,10 @@ async def ws_chat(request: web.Request):
             continue
 
         messages = session.get("messages", [])
-        services.session_service.add_message(session_id, "user", prompt)
+        services.session_service.add_message(
+            session_id, "user", prompt,
+            **({"images": image_ids} if image_ids else {}),
+        )
 
         # -- orchestrator path (reference chat.py:245-537): enabled param +
         # tool-capable model; any failure falls back to the direct pipeline.
