@@ -116,13 +116,16 @@ class ModelManager:
             params = convert_local_checkpoint(
                 spec.local_dir, num_layers=cfg.num_layers, dtype=dtype
             )
-            return Embedder(params, cfg, tokenizer, max_length=spec.max_length)
-        logger.warning(
-            "no local checkpoint for %s — using random-init weights", spec.model_id
-        )
-        return Embedder.random_init(
-            cfg, tokenizer, dtype=dtype, max_length=spec.max_length
-        )
+            embedder = Embedder(params, cfg, tokenizer, max_length=spec.max_length)
+        else:
+            logger.warning(
+                "no local checkpoint for %s — using random-init weights", spec.model_id
+            )
+            embedder = Embedder.random_init(
+                cfg, tokenizer, dtype=dtype, max_length=spec.max_length
+            )
+        embedder.model_id = spec.model_id
+        return embedder
 
     # -- reranker ------------------------------------------------------------
 
@@ -149,13 +152,16 @@ class ModelManager:
                 spec.local_dir, num_layers=cfg.num_layers,
                 num_labels=cfg.num_labels, dtype=dtype,
             )
-            return Reranker(params, cfg, tokenizer, max_length=spec.max_length)
-        logger.warning(
-            "no local checkpoint for %s — using random-init weights", spec.model_id
-        )
-        return Reranker.random_init(
-            cfg, tokenizer, dtype=dtype, max_length=spec.max_length
-        )
+            reranker = Reranker(params, cfg, tokenizer, max_length=spec.max_length)
+        else:
+            logger.warning(
+                "no local checkpoint for %s — using random-init weights", spec.model_id
+            )
+            reranker = Reranker.random_init(
+                cfg, tokenizer, dtype=dtype, max_length=spec.max_length
+            )
+        reranker.model_id = spec.model_id
+        return reranker
 
     # -- lifecycle / accounting (reference model_manager.py:385-510) ---------
 
