@@ -73,7 +73,23 @@ class RetrievalResult:
 
 
 def _params_hash(modules: list[str], params: dict, paths: list[str]) -> str:
-    blob = json.dumps([sorted(modules), params, sorted(paths)], sort_keys=True, default=str)
+    """Engine identity hash. Extra index paths contribute their rows.json
+    mtime so a session/project document add/remove forces a reload — the
+    analog of the reference's Chroma singleton-cache eviction
+    (reference document_index.py:102-133)."""
+    import os
+
+    path_state = []
+    for p in sorted(paths):
+        rows = os.path.join(p, "rows.json")
+        try:
+            mtime = os.stat(rows).st_mtime_ns
+        except OSError:
+            mtime = 0
+        path_state.append([p, mtime])
+    blob = json.dumps(
+        [sorted(modules), params, path_state], sort_keys=True, default=str
+    )
     return hashlib.sha256(blob.encode()).hexdigest()
 
 

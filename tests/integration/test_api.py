@@ -392,3 +392,49 @@ async def test_ws_orchestrator_path(client):
     assert "error" not in types
     assert "tool_phase" in types  # the agent loop ran
     assert events[-1]["content"] == "final synthesized answer"
+
+
+async def test_engine_reloads_after_session_doc_mutation(client):
+    """Adding a second doc mid-session must surface in retrieval
+    (mtime-aware reload hash)."""
+    from tensortruth_tpu.core.providers import ChatDelta
+
+    class FakeLLM:
+        def complete(self, prompt):
+            return "standalone"
+
+        def stream_chat(self, messages, system=None):
+            yield ChatDelta(text="ok")
+
+    services = client.server.app["services"]
+    services.rag_service._llm_factory = lambda params: FakeLLM()
+
+    r = await client.post("/api/sessions", json={})
+    sid = (await r.json())["id"]
+    await client.post(
+        f"/api/sessions/{sid}/documents",
+        json={"filename": "a.md", "text": "alpha topic only. " * 150},
+    )
+
+    ws = await client.ws_connect(f"/ws/chat/{sid}")
+    await ws.send_json({"message": "zebra quantum"})
+    while (msg := await ws.receive_json(timeout=60))["type"] not in ("done", "error"):
+        pass
+
+    # add a second document AFTER the engine loaded
+    await client.post(
+        f"/api/sessions/{sid}/documents",
+        json={"filename": "b.md", "text": "zebra quantum flux. " * 150},
+    )
+    await ws.send_json({"message": "zebra quantum"})
+    events = []
+    while True:
+        msg = await ws.receive_json(timeout=60)
+        events.append(msg)
+        if msg["type"] in ("done", "error"):
+            break
+    await ws.close()
+    sources = next(e for e in events if e["type"] == "sources")["sources"]
+    assert any("zebra" in s["content"] for s in sources), (
+        "new document not retrievable — engine did not reload"
+    )
