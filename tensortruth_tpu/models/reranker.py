@@ -93,3 +93,32 @@ class Reranker:
         scores = self.score(query, docs)
         order = np.argsort(-scores, kind="stable")[:top_n]
         return order, scores
+
+    def score_pairs(self, pairs: Sequence[tuple[str, str]]) -> np.ndarray:
+        """Cross-query pair scoring: [(query, doc), ...] → (N,) sigmoid scores.
+
+        Server-side micro-batching shapes pairs from MANY concurrent queries
+        into the same bucketed device batches (services/batcher.py), keeping
+        the MXU full regardless of per-query candidate counts.
+        """
+        if not pairs:
+            return np.zeros((0,), dtype=np.float32)
+        max_batch = self.batch_buckets[-1]
+        out = np.empty((len(pairs),), dtype=np.float32)
+        for start in range(0, len(pairs), max_batch):
+            chunk = pairs[start : start + max_batch]
+            ids, mask = self.tokenizer.encode_batch(
+                [q for q, _ in chunk], self.max_length, pair=[d for _, d in chunk]
+            )
+            real_len = int(mask.sum(axis=1).max())
+            seq = _bucket(real_len, self.seq_buckets)
+            bsz = _bucket(len(chunk), self.batch_buckets)
+            ids_p = np.full((bsz, seq), self.tokenizer.pad_id, dtype=np.int32)
+            mask_p = np.zeros((bsz, seq), dtype=np.int32)
+            ids_p[: len(chunk)] = ids[:, :seq]
+            mask_p[: len(chunk)] = mask[:, :seq]
+            logits = self._fwd(self.params, jnp.asarray(ids_p), jnp.asarray(mask_p))
+            out[start : start + len(chunk)] = np.asarray(
+                jax.nn.sigmoid(logits[: len(chunk)]), dtype=np.float32
+            )
+        return out

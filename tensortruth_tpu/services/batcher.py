@@ -1,0 +1,109 @@
+"""Server-side query micro-batching.
+
+SURVEY.md §7 step 6: the throughput target comes from batching — one TPU
+dispatch amortizes over every concurrent query. ``QueryBatcher`` coalesces
+retrieval requests arriving within ``max_wait_ms`` (or until ``max_batch``)
+and runs them as ONE fused embed→top-k dispatch (pipeline.py) followed by
+ONE cross-query rerank pass (models/reranker.py ``score_pairs``). Callers
+block on a future, so per-request code is unchanged.
+
+Thread-based (not asyncio) because the RAG query path runs in executor
+threads (server/routes/chat.py pump); a single worker thread owns the
+device, mirroring the reference's serial TaskRunner discipline for builds.
+"""
+
+from __future__ import annotations
+
+import logging
+import queue
+import threading
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class _Request:
+    text: str
+    future: Future = field(default_factory=Future)
+
+
+class QueryBatcher:
+    """Coalesces ``retrieve(text)`` calls into batched device dispatches."""
+
+    def __init__(self, run_batch, max_batch: int = 32, max_wait_ms: float = 8.0):
+        """``run_batch(texts: list[str]) -> list[result]`` does the device work."""
+        self.run_batch = run_batch
+        self.max_batch = max_batch
+        self.max_wait_ms = max_wait_ms
+        self._queue: queue.Queue[_Request] = queue.Queue()
+        self._worker: threading.Thread | None = None
+        self._stop = threading.Event()
+        self.batches_run = 0  # introspection/tests
+        self.requests_served = 0
+
+    def start(self) -> None:
+        if self._worker is None or not self._worker.is_alive():
+            self._stop.clear()
+            self._worker = threading.Thread(
+                target=self._loop, name="query-batcher", daemon=True
+            )
+            self._worker.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+
+    def submit(self, text: str) -> Future:
+        self.start()
+        req = _Request(text)
+        self._queue.put(req)
+        return req.future
+
+    def retrieve(self, text: str, timeout: float = 120.0):
+        """Blocking convenience wrapper."""
+        return self.submit(text).result(timeout)
+
+    # -- worker ----------------------------------------------------------------
+
+    def _collect(self) -> list[_Request]:
+        try:
+            first = self._queue.get(timeout=0.1)
+        except queue.Empty:
+            return []
+        batch = [first]
+        deadline = self.max_wait_ms / 1e3
+        import time
+
+        t0 = time.perf_counter()
+        while len(batch) < self.max_batch:
+            remaining = deadline - (time.perf_counter() - t0)
+            if remaining <= 0:
+                break
+            try:
+                batch.append(self._queue.get(timeout=remaining))
+            except queue.Empty:
+                break
+        return batch
+
+    def _loop(self) -> None:
+        while not self._stop.is_set():
+            batch = self._collect()
+            if not batch:
+                continue
+            try:
+                results = self.run_batch([r.text for r in batch])
+                if len(results) != len(batch):
+                    raise RuntimeError(
+                        f"run_batch returned {len(results)} results for {len(batch)} requests"
+                    )
+                for req, res in zip(batch, results):
+                    req.future.set_result(res)
+            except Exception as e:
+                logger.exception("batched dispatch failed")
+                for req in batch:
+                    if not req.future.done():
+                        req.future.set_exception(e)
+            else:
+                self.batches_run += 1
+                self.requests_served += len(batch)

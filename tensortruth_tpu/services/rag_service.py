@@ -102,6 +102,7 @@ class RAGService:
         self._engine: RAGEngine | None = None
         self._engine_hash: str | None = None
         self.last_timings: dict = {}  # stage timings of the latest query
+        self._batcher = None  # services/batcher.py micro-batching (optional)
         # injectable for tests; default = provider-backed factory
         self._llm_factory = llm_factory
 
@@ -150,6 +151,56 @@ class RAGService:
 
         return create_llm(params)
 
+    # -- server-side micro-batching (SURVEY §7 step 6) -------------------------
+
+    def enable_batching(self, max_batch: int = 32, max_wait_ms: float = 8.0) -> None:
+        """Coalesce concurrent retrievals into batched device dispatches."""
+        from tensortruth_tpu.services.batcher import QueryBatcher
+
+        self._batcher = QueryBatcher(
+            self._run_retrieval_batch, max_batch=max_batch, max_wait_ms=max_wait_ms
+        )
+        self._batcher.start()
+
+    def disable_batching(self) -> None:
+        if self._batcher is not None:
+            self._batcher.stop()
+            self._batcher = None
+
+    def _run_retrieval_batch(self, texts: list[str]) -> list[list[SourceNode]]:
+        """Device work for N queries at once: one embed→top-k dispatch + one
+        cross-query rerank pass. Returns reranked sources per query."""
+        engine = self._engine
+        assert engine is not None
+        if engine.pipeline is not None and engine.pipeline.applicable():
+            retrieved_all = engine.pipeline.retrieve_batch(texts)
+        else:
+            q_embs = engine.embedder.encode(list(texts), is_query=True)
+            retrieved_all = engine.retriever.retrieve_batch(q_embs)
+        sources_all = [
+            [SourceNode.from_retrieved(r) for r in retrieved]
+            for retrieved in retrieved_all
+        ]
+        top_n = engine.params.get("reranker_top_n", 5)
+        reranker = engine.reranker
+        if reranker is not None and hasattr(reranker, "score_pairs"):
+            pairs, owners = [], []
+            for qi, (text, sources) in enumerate(zip(texts, sources_all)):
+                for s in sources:
+                    pairs.append((text, s.get_display_text()))
+                    owners.append((qi, s))
+            if pairs:
+                scores = reranker.score_pairs(pairs)
+                for (qi, s), score in zip(owners, scores):
+                    s.score = float(score)
+            sources_all = [
+                sorted(srcs, key=lambda s: -(s.score or 0.0))[:top_n]
+                for srcs in sources_all
+            ]
+        else:
+            sources_all = [srcs[:top_n] for srcs in sources_all]
+        return sources_all
+
     # -- retrieval core shared by query() and retrieve() ----------------------
 
     def _retrieve_and_rank(
@@ -173,29 +224,35 @@ class RAGService:
                 except Exception as e:
                     logger.warning("condenser unavailable (%s)", e)
 
-        if engine.pipeline is not None and engine.pipeline.applicable():
-            # Fused single-dispatch embed→top-k (pipeline.py).
-            with timer.stage("embed_topk_fused"):
-                retrieved = engine.pipeline.retrieve_one(condensed)
-        else:
-            with timer.stage("embed"):
-                q_emb = engine.embedder.encode([condensed], is_query=True)[0]
-            with timer.stage("topk_merge"):
-                retrieved = engine.retriever.retrieve(q_emb, condensed)
-        sources = [SourceNode.from_retrieved(r) for r in retrieved]
-
         top_n = engine.params.get("reranker_top_n", 5)
-        with timer.stage("rerank"):
-            if engine.reranker is not None and sources:
-                stage = RankingStage(reranker=engine.reranker)
-                try:
-                    result = stage.rank(sources, condensed, top_n=top_n)
-                    sources = result.passed[:top_n]
-                except Exception as e:  # postprocessor failure → unranked nodes
-                    logger.warning("rerank failed (%s); using dense order", e)
-                    sources = sources[:top_n]
+        if self._batcher is not None:
+            # Micro-batched path: embed→top-k→rerank coalesced with every
+            # other in-flight query (services/batcher.py).
+            with timer.stage("batched_retrieve_rerank"):
+                sources = self._batcher.retrieve(condensed)
+        else:
+            if engine.pipeline is not None and engine.pipeline.applicable():
+                # Fused single-dispatch embed→top-k (pipeline.py).
+                with timer.stage("embed_topk_fused"):
+                    retrieved = engine.pipeline.retrieve_one(condensed)
             else:
-                sources = sources[:top_n]
+                with timer.stage("embed"):
+                    q_emb = engine.embedder.encode([condensed], is_query=True)[0]
+                with timer.stage("topk_merge"):
+                    retrieved = engine.retriever.retrieve(q_emb, condensed)
+            sources = [SourceNode.from_retrieved(r) for r in retrieved]
+
+            with timer.stage("rerank"):
+                if engine.reranker is not None and sources:
+                    stage = RankingStage(reranker=engine.reranker)
+                    try:
+                        result = stage.rank(sources, condensed, top_n=top_n)
+                        sources = result.passed[:top_n]
+                    except Exception as e:  # postprocessor failure → unranked
+                        logger.warning("rerank failed (%s); using dense order", e)
+                        sources = sources[:top_n]
+                else:
+                    sources = sources[:top_n]
 
         kept, level = apply_confidence_gate(
             sources,

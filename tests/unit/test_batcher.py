@@ -1,0 +1,119 @@
+"""Query micro-batching: coalescing, correctness, error propagation."""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from tensortruth_tpu.services.batcher import QueryBatcher
+
+
+def test_coalesces_concurrent_requests():
+    calls = []
+
+    def run_batch(texts):
+        calls.append(list(texts))
+        time.sleep(0.02)
+        return [t.upper() for t in texts]
+
+    b = QueryBatcher(run_batch, max_batch=8, max_wait_ms=30)
+    futures = [b.submit(f"q{i}") for i in range(6)]
+    results = [f.result(5) for f in futures]
+    assert results == [f"Q{i}" for i in range(6)]
+    assert b.requests_served == 6
+    assert b.batches_run < 6  # at least some coalescing happened
+    assert max(len(c) for c in calls) > 1
+    b.stop()
+
+
+def test_max_batch_respected():
+    def run_batch(texts):
+        assert len(texts) <= 3
+        return texts
+
+    b = QueryBatcher(run_batch, max_batch=3, max_wait_ms=50)
+    futures = [b.submit(f"q{i}") for i in range(10)]
+    assert [f.result(5) for f in futures] == [f"q{i}" for i in range(10)]
+    b.stop()
+
+
+def test_error_propagates_to_all():
+    def run_batch(texts):
+        raise RuntimeError("device on fire")
+
+    b = QueryBatcher(run_batch, max_batch=4, max_wait_ms=20)
+    futures = [b.submit("x") for _ in range(3)]
+    for f in futures:
+        with pytest.raises(RuntimeError, match="device on fire"):
+            f.result(5)
+    b.stop()
+
+
+def test_rag_service_batched_matches_unbatched(tmp_path, monkeypatch, tiny_tokenizer):
+    """Batched retrieval returns the same sources as the unbatched path."""
+    from tensortruth_tpu.app.config import TensorTruthTPUConfig
+    from tensortruth_tpu.app.sources import save_user_sources
+    from tensortruth_tpu.indexing.builder import build_module
+    from tensortruth_tpu.models.manager import ModelManager
+    from tensortruth_tpu.services.rag_service import RAGService
+    from tensortruth_tpu.tokenization import load_tokenizer
+
+    monkeypatch.setenv("TENSOR_TRUTH_TPU_DATA_DIR", str(tmp_path))
+    ModelManager.reset_instance()
+    sources = {"libraries": {"m": {}}, "papers": {}, "books": {}}
+    save_user_sources(sources, tmp_path / "sources.json")
+    docs = tmp_path / "library_docs" / "library_m"
+    docs.mkdir(parents=True)
+    docs.joinpath("a.md").write_text("Mesh sharding and collectives. " * 150)
+
+    class E:
+        tokenizer = load_tokenizer()
+
+        def encode(self, texts, **kw):
+            import hashlib
+
+            out = np.zeros((len(texts), 64), np.float32)
+            for i, t in enumerate(texts):
+                seed = int.from_bytes(
+                    hashlib.blake2b(t.encode(), digest_size=4).digest(), "little"
+                )
+                rng = np.random.default_rng(seed)
+                v = rng.standard_normal(64)
+                out[i] = v / np.linalg.norm(v)
+            return out
+
+    build_module("m", E(), library_docs_dir=tmp_path / "library_docs",
+                 indexes_dir=tmp_path / "indexes", sources=sources,
+                 embedding_model="tiny-embedder", chunk_sizes=[128, 32], chunk_overlap=8)
+    cfg = TensorTruthTPUConfig.default()
+    cfg.rag.default_embedding_model = "tiny-embedder"
+    cfg.rag.default_reranker = "tiny-reranker"
+    cfg.rag.use_fused_topk = False
+
+    svc = RAGService(config=cfg, llm_factory=lambda p: None)
+    svc.load_engine(["m"], {"reranker_top_n": 3}, indexes_dir=tmp_path / "indexes")
+
+    queries = [f"sharding question {i}" for i in range(4)]
+    unbatched = [svc.retrieve(q) for q in queries]
+
+    svc.enable_batching(max_batch=4, max_wait_ms=40)
+    results = [None] * 4
+
+    def worker(i):
+        results[i] = svc.retrieve(queries[i])
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    svc.disable_batching()
+
+    for u, b in zip(unbatched, results):
+        assert [s.id for s in u.sources] == [s.id for s in b.sources]
+        np.testing.assert_allclose(
+            [s.score for s in u.sources], [s.score for s in b.sources],
+            rtol=1e-3, atol=1e-3,
+        )
+    assert svc._batcher is None
