@@ -107,6 +107,11 @@ class RAGConfig:
     reranker_models: list = field(default_factory=list)
     mesh: dict = field(default_factory=lambda: asdict(MeshConfig()))
     use_fused_topk: bool | None = None  # None = auto (fused on TPU)
+    # Server-side query micro-batching (services/batcher.py): coalesce
+    # concurrent retrievals into one device dispatch.
+    query_batching: bool = True
+    query_batching_max_wait_ms: float = 8.0
+    query_batching_max_batch: int = 32
 
     def get_embedding_model_config(self, model_name: str) -> EmbeddingModelConfig:
         if model_name in self.embedding_model_configs:

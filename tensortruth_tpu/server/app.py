@@ -100,6 +100,11 @@ def create_app(data_dir: str | Path | None = None, config=None) -> web.Applicati
 
     async def on_startup(app: web.Application):
         services.task_runner  # start the queue
+        if services.config.rag.query_batching:
+            services.rag_service.enable_batching(
+                max_batch=services.config.rag.query_batching_max_batch,
+                max_wait_ms=services.config.rag.query_batching_max_wait_ms,
+            )
         try:
             from tensortruth_tpu.app.paths import get_base_indexes_dir
             from tensortruth_tpu.indexing.migration import check_and_migrate_on_startup
@@ -117,6 +122,7 @@ def create_app(data_dir: str | Path | None = None, config=None) -> web.Applicati
             logger.warning("extension loading failed: %s", e)
 
     async def on_cleanup(app: web.Application):
+        services.rag_service.disable_batching()
         services.shutdown()
 
     app.on_startup.append(on_startup)

@@ -359,8 +359,20 @@ def _make_llm(services, params):
 
 
 def _current_reranker(services):
+    """Engine reranker, else load the default for web reranking
+    (reference web_search.py get_reranker_for_web via ModelManager)."""
     engine = services.rag_service.engine
-    return engine.reranker if engine else None
+    if engine is not None and engine.reranker is not None:
+        return engine.reranker
+    try:
+        from tensortruth_tpu.models.manager import ModelManager, ModelSpec
+
+        return ModelManager.get_instance().get_reranker(
+            ModelSpec(services.config.rag.default_reranker)
+        )
+    except Exception as e:
+        logger.warning("web reranker unavailable: %s", e)
+        return None
 
 
 def setup(app: web.Application) -> None:
