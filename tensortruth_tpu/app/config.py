@@ -107,6 +107,7 @@ class RAGConfig:
     reranker_models: list = field(default_factory=list)
     mesh: dict = field(default_factory=lambda: asdict(MeshConfig()))
     use_fused_topk: bool | None = None  # None = auto (fused on TPU)
+    corpus_dtype: str = "bfloat16"  # "int8" halves HBM per chunk (~0 recall cost)
     # Server-side query micro-batching (services/batcher.py): coalesce
     # concurrent retrievals into one device dispatch.
     query_batching: bool = True

@@ -128,6 +128,7 @@ def load_engine_for_modules(
         ),
         mesh=mesh,
         use_fused=config.rag.use_fused_topk,
+        corpus_dtype=params.get("corpus_dtype", config.rag.corpus_dtype),
     )
     from tensortruth_tpu.pipeline import QueryPipeline
 

@@ -82,6 +82,7 @@ class MultiIndexEngine:
         ivf_threshold: int = 2_000_000,
         ivf_clusters: int = 1024,
         ivf_nprobe: int = 32,
+        corpus_dtype: str = "bfloat16",
     ):
         self.modules = list(indexes.keys())
         self.indexes = indexes
@@ -100,6 +101,10 @@ class MultiIndexEngine:
         self.ivf_threshold = ivf_threshold
         self.ivf_clusters = ivf_clusters
         self.ivf_nprobe = ivf_nprobe
+        # "int8" halves HBM per chunk (ops/topk.py quantize_corpus) — only
+        # the single-device fused path; mesh/IVF tiers stay bf16.
+        self.corpus_dtype = corpus_dtype
+        self._stacked_scales = None
         self._cache: OrderedDict[str, list[RetrievedNode]] = OrderedDict()
         self._stacked: jax.Array | None = None
         self._ivf = None  # IVFIndex for the 10M tier (ops/ivf.py)
@@ -137,6 +142,12 @@ class MultiIndexEngine:
             self._stacked = self._ivf.blocks  # keep a handle for n_chunks math
         elif self.mesh is not None:
             self._stacked, _ = shard_corpus(emb, self.mesh)
+        elif self.corpus_dtype == "int8" and self.use_fused:
+            from tensortruth_tpu.ops.topk import quantize_corpus
+
+            emb_q, scales = quantize_corpus(emb)
+            self._stacked = jnp.asarray(emb_q)
+            self._stacked_scales = jnp.asarray(scales)
         else:
             self._stacked = jnp.asarray(emb)
         self._cache.clear()
@@ -173,7 +184,10 @@ class MultiIndexEngine:
         # Over-retrieve so every module could fill its quota (reference
         # retrieves top_k per index then merges).
         k = min(self.similarity_top_k * max(1, len(self.modules)), self._n_actual)
-        q = jnp.asarray(query_embs, dtype=self._stacked.dtype)
+        q_dtype = (
+            jnp.bfloat16 if self._stacked_scales is not None else self._stacked.dtype
+        )
+        q = jnp.asarray(query_embs, dtype=q_dtype)
         if self._ivf is not None:
             from tensortruth_tpu.ops.ivf import ivf_search
 
@@ -188,6 +202,10 @@ class MultiIndexEngine:
                 n_actual=self._n_actual,
                 use_fused=self.use_fused,
             )
+        elif self._stacked_scales is not None:
+            from tensortruth_tpu.ops.topk import fused_topk_int8
+
+            vals, idx = fused_topk_int8(q, self._stacked, self._stacked_scales, k)
         else:
             vals, idx = topk_search(q, self._stacked, k, exact=not self.use_fused)
         vals, idx = np.asarray(vals), np.asarray(idx)

@@ -161,3 +161,18 @@ def test_ivf_tier_selected_for_large_corpus(tiny_tokenizer, sample_text):
     assert results
     expected = idx.node_of_row(int(rows[2]))
     assert results[0].node_id in (expected.node_id, expected.parent_id)
+
+
+def test_int8_corpus_tier(tiny_tokenizer, sample_text):
+    idx = _index(tiny_tokenizer, sample_text, "docA", "mod_a")
+    bf = MultiIndexEngine({"mod_a": idx}, similarity_top_k=5, use_fused=False)
+    q8 = MultiIndexEngine(
+        {"mod_a": idx}, similarity_top_k=5, use_fused=True, corpus_dtype="int8"
+    )
+    assert q8._stacked_scales is not None
+    mat, rows = idx.matrix()
+    r_bf = bf.retrieve_batch(mat[1][None, :])[0]
+    r_q8 = q8.retrieve_batch(mat[1][None, :])[0]
+    # top hit identical; ordering may swap near-ties under quantization
+    assert r_q8[0].node_id == r_bf[0].node_id
+    assert abs(r_q8[0].score - r_bf[0].score) < 0.02

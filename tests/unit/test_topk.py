@@ -137,3 +137,48 @@ def test_fused_topk_bf16_inputs(rng):
         np.asarray(q, dtype=np.float32), np.asarray(e, dtype=np.float32), 10
     )
     np.testing.assert_allclose(np.asarray(vals), ref_vals, rtol=2e-2, atol=2e-2)
+
+
+def test_fused_topk_int8_matches_exact(rng):
+    from tensortruth_tpu.ops.topk import exact_topk, fused_topk_int8, quantize_corpus
+
+    n, d, b, k = 6000, 64, 4, 10
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+
+    emb_q, scales = quantize_corpus(emb)
+    assert emb_q.dtype == np.int8
+    # reconstruction error small
+    recon = emb_q.astype(np.float32) * scales[:, None]
+    assert np.abs(recon - emb).max() < 0.01
+
+    vals, idx = fused_topk_int8(
+        jnp.asarray(q), jnp.asarray(emb_q), jnp.asarray(scales), k,
+        m=4, tile_n=512, c_out=1024,
+    )
+    ref_vals, ref_idx = exact_topk(jnp.asarray(q), jnp.asarray(emb), k)
+    idx, ref_idx = np.asarray(idx), np.asarray(ref_idx)
+    # quantization may swap near-ties: require >=90% overlap and score match
+    overlap = np.mean([len(set(idx[i]) & set(ref_idx[i])) / k for i in range(b)])
+    assert overlap >= 0.9
+    np.testing.assert_allclose(
+        np.asarray(vals)[:, 0], np.asarray(ref_vals)[:, 0], atol=5e-3
+    )
+
+
+def test_fused_topk_int8_padded_rows(rng):
+    from tensortruth_tpu.ops.topk import fused_topk_int8, quantize_corpus
+
+    n, d = 700, 32  # not a tile multiple
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    emb_q, scales = quantize_corpus(emb)
+    vals, idx = fused_topk_int8(
+        jnp.asarray(emb[:2]), jnp.asarray(emb_q), jnp.asarray(scales), 5,
+        m=4, tile_n=512, c_out=512,
+    )
+    idx = np.asarray(idx)
+    assert idx.max() < n
+    assert idx[0, 0] == 0 and idx[1, 0] == 1  # self-retrieval survives quant
