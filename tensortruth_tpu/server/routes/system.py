@@ -137,6 +137,31 @@ async def rag_status(request: web.Request):
     return web.json_response(status)
 
 
+async def profile_start(request: web.Request):
+    """Start a jax.profiler trace (SURVEY §5.1 TPU observability)."""
+    import jax
+
+    body = await request.json() if request.can_read_body else {}
+    log_dir = body.get("log_dir") or str(
+        request.app["services"].data_dir / "profiles"
+    )
+    try:
+        jax.profiler.start_trace(log_dir)
+    except Exception as e:
+        return web.json_response({"status": "error", "error": str(e)}, status=409)
+    return web.json_response({"status": "tracing", "log_dir": log_dir})
+
+
+async def profile_stop(request: web.Request):
+    import jax
+
+    try:
+        jax.profiler.stop_trace()
+    except Exception as e:
+        return web.json_response({"status": "error", "error": str(e)}, status=409)
+    return web.json_response({"status": "stopped"})
+
+
 async def restart_engine(request: web.Request):
     services = request.app["services"]
     services.rag_service.unload()
@@ -156,3 +181,5 @@ def setup(app: web.Application) -> None:
     r.add_get("/api/system/llama-cpp/status", llama_cpp_status)
     r.add_get("/api/system/rag/status", rag_status)
     r.add_post("/api/system/restart-engine", restart_engine)
+    r.add_post("/api/system/profile/start", profile_start)
+    r.add_post("/api/system/profile/stop", profile_stop)
