@@ -438,3 +438,18 @@ async def test_engine_reloads_after_session_doc_mutation(client):
     assert any("zebra" in s["content"] for s in sources), (
         "new document not retrievable — engine did not reload"
     )
+
+
+async def test_multipart_document_upload(client):
+    """SPA upload button path: multipart/form-data → indexed."""
+    import aiohttp
+
+    r = await client.post("/api/sessions", json={})
+    sid = (await r.json())["id"]
+    form = aiohttp.FormData()
+    form.add_field("file", b"TPU upload notes. " * 120, filename="n.md",
+                   content_type="text/markdown")
+    r = await client.post(f"/api/sessions/{sid}/documents", data=form)
+    assert r.status == 200
+    data = await r.json()
+    assert data["status"] == "success" and data["chunks"] > 0
