@@ -20,12 +20,7 @@ from dataclasses import dataclass, field
 from pathlib import Path
 
 from tensortruth_tpu.index.store import VectorIndex, sanitize_model_id
-from tensortruth_tpu.models.manager import (
-    DEFAULT_EMBEDDING_MODEL,
-    DEFAULT_RERANKER_MODEL,
-    ModelManager,
-    ModelSpec,
-)
+from tensortruth_tpu.models.manager import ModelManager, ModelSpec
 from tensortruth_tpu.retrieval.engine import MultiIndexEngine
 
 logger = logging.getLogger(__name__)
