@@ -95,11 +95,15 @@ class FunctionAgent(Agent):
                 final_text = text or ""
                 break
 
+            # tool_call ids keep OpenAI-compatible servers happy; Ollama
+            # ignores the extra fields.
+            call_ids = [f"call_{iteration}_{j}" for j in range(len(calls))]
             messages.append(
                 {"role": "assistant", "content": text or "",
                  "tool_calls": [
-                     {"function": {"name": c["name"], "arguments": c["arguments"]}}
-                     for c in calls
+                     {"id": cid, "type": "function",
+                      "function": {"name": c["name"], "arguments": c["arguments"]}}
+                     for cid, c in zip(call_ids, calls)
                  ]}
             )
             # Parallel tool execution (reference orchestrator_service.py:504-515).
@@ -120,7 +124,7 @@ class FunctionAgent(Agent):
                 return name, args, result
 
             results = await asyncio.gather(*(run_one(c) for c in calls))
-            for name, args, result in results:
+            for cid, (name, args, result) in zip(call_ids, results):
                 text_result = (
                     result if isinstance(result, str)
                     else json.dumps(result, ensure_ascii=False, default=str)
@@ -135,7 +139,7 @@ class FunctionAgent(Agent):
                 }
                 # Scratchpad gets a summary; synthesis sees full output.
                 messages.append(
-                    {"role": "tool", "name": name,
+                    {"role": "tool", "name": name, "tool_call_id": cid,
                      "content": text_result[:SCRATCHPAD_SUMMARY_CHARS]}
                 )
         else:
