@@ -44,6 +44,10 @@ class XLMRConfig:
     # Pallas blocked attention (ops/attention.py): None = auto (TPU and
     # seq ≥ 512), True/False forces. Matters for 2048-token build chunks.
     flash_attention: bool | None = None
+    # Position-id convention: "xlmr" = cumsum(mask)+pad_id (RoBERTa family),
+    # "bert" = plain arange (BERT/MiniLM rerankers like
+    # cross-encoder/ms-marco-MiniLM).
+    position_style: str = "xlmr"
 
     @property
     def head_dim(self) -> int:
@@ -180,8 +184,13 @@ def encoder_forward(
     emb = params["embeddings"]
     dtype = emb["word"].dtype
 
-    # XLM-R position ids: padding_idx=1, real tokens get 2, 3, ...
-    pos_ids = (jnp.cumsum(mask, axis=1) * mask + cfg.pad_token_id).astype(jnp.int32)
+    if cfg.position_style == "bert":
+        pos_ids = jnp.broadcast_to(
+            jnp.arange(ids.shape[1], dtype=jnp.int32)[None, :], ids.shape
+        )
+    else:
+        # XLM-R position ids: padding_idx=1, real tokens get 2, 3, ...
+        pos_ids = (jnp.cumsum(mask, axis=1) * mask + cfg.pad_token_id).astype(jnp.int32)
     x = (
         emb["word"][ids]
         + emb["position"][pos_ids]

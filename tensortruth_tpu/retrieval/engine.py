@@ -140,16 +140,22 @@ class MultiIndexEngine:
 
             self._ivf = build_ivf(emb, n_clusters=self.ivf_clusters)
             self._stacked = self._ivf.blocks  # keep a handle for n_chunks math
-        elif self.mesh is not None:
-            self._stacked, _ = shard_corpus(emb, self.mesh)
-        elif self.corpus_dtype == "int8" and self.use_fused:
+        elif self.corpus_dtype == "int8" and self.use_fused and self.mesh is None:
             from tensortruth_tpu.ops.topk import quantize_corpus
 
             emb_q, scales = quantize_corpus(emb)
             self._stacked = jnp.asarray(emb_q)
             self._stacked_scales = jnp.asarray(scales)
         else:
-            self._stacked = jnp.asarray(emb)
+            # bf16 on device by default: halves HBM and keeps the fused
+            # kernel inside the VMEM budget (f32 tiles double-buffer past
+            # 16MB); scores accumulate in f32 regardless (ops/topk.py).
+            dtype = jnp.float32 if self.corpus_dtype == "float32" else jnp.bfloat16
+            emb = emb.astype(dtype) if hasattr(emb, "astype") else emb
+            if self.mesh is not None:
+                self._stacked, _ = shard_corpus(emb, self.mesh)
+            else:
+                self._stacked = jnp.asarray(emb, dtype=dtype)
         self._cache.clear()
 
     def refresh(self) -> None:
