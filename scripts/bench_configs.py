@@ -34,7 +34,9 @@ B, D, K = 32, 1024, 10
 
 
 def _sync(x):
-    np.asarray(jax.tree_util.tree_leaves(x)[0].reshape(-1)[:1])
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    if hasattr(leaf, "reshape"):  # device array → force real round-trip
+        np.asarray(leaf.reshape(-1)[:1])
     return x
 
 

@@ -166,14 +166,16 @@ async def web_search_stream(
         )
 
     yield {"type": "status", "status": "fetching", "message": "Fetching pages"}
-    emitted: list[dict] = []
-
-    async def emit(msg):
-        emitted.append(msg)
-
-    fetched = await fetch_adaptive(sources, max_pages, emit)
-    for msg in emitted:
-        yield msg
+    progress_q: asyncio.Queue = asyncio.Queue()
+    fetch_task = asyncio.create_task(
+        fetch_adaptive(sources, max_pages, progress_q.put)
+    )
+    while not (fetch_task.done() and progress_q.empty()):
+        try:
+            yield await asyncio.wait_for(progress_q.get(), 0.2)
+        except asyncio.TimeoutError:
+            continue
+    fetched = await fetch_task
     if not fetched:
         yield {"type": "error", "error": "no pages could be fetched"}
         return
