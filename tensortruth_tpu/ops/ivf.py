@@ -27,11 +27,14 @@ clustered real text embeddings do better).
 from __future__ import annotations
 
 import functools
+import logging
 from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 NEG_INF = float("-inf")
 
@@ -117,18 +120,35 @@ def build_ivf(
     rows_per_cluster = -(-rows_per_cluster // 128) * 128
     blocks = np.zeros((n_clusters, rows_per_cluster, d), emb.dtype)
     row_map = np.full((n_clusters, rows_per_cluster), -1, np.int64)
+
+    def pack(rows: np.ndarray, cluster_of: np.ndarray, fill: np.ndarray):
+        """Vectorized cluster-major packing; returns overflow row indices.
+
+        Within-cluster slot = fill[c] + rank of the row among this call's
+        rows for c (stable order). O(N log N), no Python per-row loop —
+        10M rows pack in seconds.
+        """
+        order = np.argsort(cluster_of, kind="stable")
+        rows_s, clus_s = rows[order], cluster_of[order]
+        # rank within each cluster run
+        boundary = np.r_[True, clus_s[1:] != clus_s[:-1]]
+        run_start = np.maximum.accumulate(np.where(boundary, np.arange(len(clus_s)), 0))
+        rank = np.arange(len(clus_s)) - run_start
+        slot = fill[clus_s] + rank
+        ok = slot < rows_per_cluster
+        blocks[clus_s[ok], slot[ok]] = emb[rows_s[ok]]
+        row_map[clus_s[ok], slot[ok]] = rows_s[ok]
+        np.add.at(fill, clus_s[ok], 1)  # counts, capped by ok mask
+        return rows_s[~ok]
+
     fill = np.zeros(n_clusters, np.int64)
-    spilled = 0
-    for row in range(n):
-        c = assign[row]
-        if fill[c] >= rows_per_cluster:  # spill to second-best
-            c = second[row]
-            spilled += 1
-            if fill[c] >= rows_per_cluster:
-                continue  # truncate (overflow sized to make this ~impossible)
-        blocks[c, fill[c]] = emb[row]
-        row_map[c, fill[c]] = row
-        fill[c] += 1
+    overflow_rows = pack(np.arange(n, dtype=np.int64), assign, fill)
+    if len(overflow_rows):  # one spill round into second-best clusters
+        leftover = pack(overflow_rows, second[overflow_rows], fill)
+        if len(leftover):
+            logger.warning(
+                "IVF truncated %d rows (raise overflow=%s)", len(leftover), overflow
+            )
     return IVFIndex(
         centroids=jnp.asarray(centroids),
         blocks=jnp.asarray(blocks),
