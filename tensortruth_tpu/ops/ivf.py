@@ -86,6 +86,7 @@ def build_ivf(
     kmeans_iters: int = 10,
     seed: int = 0,
     overflow: float = 1.5,
+    block_dtype=jnp.bfloat16,
 ) -> IVFIndex:
     """Fit centroids on a sample, assign all rows, pack cluster-major.
 
@@ -151,7 +152,7 @@ def build_ivf(
             )
     return IVFIndex(
         centroids=jnp.asarray(centroids),
-        blocks=jnp.asarray(blocks),
+        blocks=jnp.asarray(blocks, dtype=block_dtype),
         row_map=row_map,
         n_actual=n,
     )
@@ -178,13 +179,20 @@ def _ivf_search_device(
     )
     _, probe = jax.lax.top_k(cscores, nprobe)  # (B, nprobe)
 
-    gathered = blocks[probe]  # (B, nprobe, rpc, D)
-    gvalid = valid[probe]  # (B, nprobe, rpc)
-    scores = jnp.einsum(
-        "bd,bprd->bpr", q, gathered, preferred_element_type=jnp.float32
-    )
-    scores = jnp.where(gvalid, scores, NEG_INF)
-    flat = scores.reshape(b, nprobe * rpc)
+    # One probe step at a time: gather (B, rpc, D) — NOT the full
+    # (B, nprobe, rpc, D) tensor, which is tens of GB at the multi-million
+    # tier. lax.map keeps peak HBM at one step's gather.
+    def one_probe(p_col):
+        gathered = blocks[p_col]  # (B, rpc, D)
+        gvalid = valid[p_col]  # (B, rpc)
+        s = jnp.einsum(
+            "bd,brd->br", q.astype(blocks.dtype), gathered,
+            preferred_element_type=jnp.float32,
+        )
+        return jnp.where(gvalid, s, NEG_INF)
+
+    scores = jax.lax.map(one_probe, probe.T)  # (nprobe, B, rpc)
+    flat = scores.transpose(1, 0, 2).reshape(b, nprobe * rpc)
     pos = (probe[:, :, None] * rpc + jax.lax.broadcasted_iota(jnp.int32, (1, 1, rpc), 2)
            ).reshape(b, nprobe * rpc)
     k_eff = min(k, nprobe * rpc)

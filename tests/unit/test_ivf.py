@@ -36,7 +36,7 @@ def test_self_retrieval(ivf_setup):
     q = emb[:16]
     vals, rows = ivf_search(index, q, k=1, nprobe=4)
     assert (rows[:, 0] == np.arange(16)).mean() >= 0.95
-    assert vals[:, 0] == pytest.approx(np.ones(16), abs=1e-3)
+    assert vals[:, 0] == pytest.approx(np.ones(16), abs=5e-3)  # bf16 blocks
 
 
 def test_recall_vs_exact_clustered_data():
