@@ -80,6 +80,34 @@ async def delete_message(request):
 
 
 async def session_stats(request):
+    """Per-session history stats (reference sessions.py:200): stored vs
+    compiled-for-LLM message/char counts, model + context window."""
+    services = request.app["services"]
+    session = _svc(request).get_session(request.match_info["session_id"])
+    if session is None:
+        raise web.HTTPNotFound(reason="session not found")
+    messages = session.get("messages", [])
+    params = session.get("params", {})
+
+    from tensortruth_tpu.services.chat_history import ChatHistoryService
+
+    history = ChatHistoryService(services.config).build_history(
+        messages, max_turns=params.get("max_history_turns")
+    )
+    compiled = history.to_prompt_string()
+    return web.json_response(
+        {
+            "history_messages": len(messages),
+            "history_chars": sum(len(m.get("content", "")) for m in messages),
+            "compiled_history_messages": len(history.messages),
+            "compiled_history_chars": len(compiled),
+            "model_name": params.get("model"),
+            "context_length": params.get("context_window"),
+        }
+    )
+
+
+async def global_stats(request):
     return web.json_response(_svc(request).stats())
 
 
@@ -96,6 +124,7 @@ def setup(app: web.Application) -> None:
     r = app.router
     r.add_get("/api/sessions", list_sessions)
     r.add_post("/api/sessions", create_session)
+    r.add_get("/api/sessions/stats", global_stats)
     r.add_get("/api/sessions/{session_id}/stats", session_stats)
     r.add_get("/api/sessions/{session_id}/messages", get_messages)
     r.add_post("/api/sessions/{session_id}/messages", add_message)

@@ -453,3 +453,21 @@ async def test_multipart_document_upload(client):
     assert r.status == 200
     data = await r.json()
     assert data["status"] == "success" and data["chunks"] > 0
+
+
+async def test_per_session_stats(client):
+    r = await client.post("/api/sessions", json={"params": {"model": "m1", "context_window": 4096}})
+    sid = (await r.json())["id"]
+    await client.post(f"/api/sessions/{sid}/messages",
+                      json={"role": "user", "content": "hello world"})
+    await client.post(f"/api/sessions/{sid}/messages",
+                      json={"role": "assistant", "content": "hi"})
+    r = await client.get(f"/api/sessions/{sid}/stats")
+    stats = await r.json()
+    assert stats["history_messages"] == 2
+    assert stats["history_chars"] == len("hello world") + len("hi")
+    assert stats["compiled_history_messages"] == 2
+    assert stats["model_name"] == "m1"
+    assert stats["context_length"] == 4096
+    r = await client.get("/api/sessions/stats")
+    assert (await r.json())["total_messages"] == 2
