@@ -33,10 +33,72 @@ from dataclasses import dataclass
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 logger = logging.getLogger(__name__)
 
 NEG_INF = float("-inf")
+PROBE_TILE = 1024  # rows of one cluster block scored per grid step
+
+
+def _is_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def _probe_kernel(probe_ref, q_ref, block_ref, valid_ref, out_ref):
+    """Score one (query, probe, row-tile) cell: (1, D) @ (TILE, D)^T.
+
+    ``probe_ref`` is scalar-prefetched, so Mosaic issues the DMA for the
+    right cluster block before the step runs — no XLA gather materializes.
+    """
+    s = jax.lax.dot_general(
+        q_ref[...],
+        block_ref[0],
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (1, TILE)
+    out_ref[0, 0] = jnp.where(valid_ref[0] > 0, s[0], NEG_INF)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _probe_scores(
+    probe: jax.Array,  # (B, nprobe) int32 cluster ids
+    q: jax.Array,  # (B, D)
+    blocks: jax.Array,  # (n_clusters, rpc, D)
+    valid: jax.Array,  # (n_clusters, rpc) int32
+    interpret: bool | None = None,
+) -> jax.Array:
+    """(B, nprobe, rpc) scores via scalar-prefetch DMA of probed blocks."""
+    if interpret is None:
+        interpret = not _is_tpu()
+    b, nprobe = probe.shape
+    n_clusters, rpc, d = blocks.shape
+    tile = next((t for t in (PROBE_TILE, 512, 256, 128) if rpc % t == 0), rpc)
+    n_tiles = rpc // tile
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, nprobe, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, d), lambda bi, pi, ti, probe: (bi, 0)),
+            pl.BlockSpec(
+                (1, tile, d), lambda bi, pi, ti, probe: (probe[bi, pi], ti, 0)
+            ),
+            pl.BlockSpec(
+                (1, tile), lambda bi, pi, ti, probe: (probe[bi, pi], ti)
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, tile), lambda bi, pi, ti, probe: (bi, pi, ti)
+        ),
+    )
+    return pl.pallas_call(
+        _probe_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, nprobe, rpc), jnp.float32),
+        interpret=interpret,
+    )(probe, q.astype(blocks.dtype), blocks, valid)
 
 
 @functools.partial(jax.jit, static_argnames=("n_clusters", "iters"))
@@ -179,20 +241,25 @@ def _ivf_search_device(
     )
     _, probe = jax.lax.top_k(cscores, nprobe)  # (B, nprobe)
 
-    # One probe step at a time: gather (B, rpc, D) — NOT the full
-    # (B, nprobe, rpc, D) tensor, which is tens of GB at the multi-million
-    # tier. lax.map keeps peak HBM at one step's gather.
-    def one_probe(p_col):
-        gathered = blocks[p_col]  # (B, rpc, D)
-        gvalid = valid[p_col]  # (B, rpc)
-        s = jnp.einsum(
-            "bd,brd->br", q.astype(blocks.dtype), gathered,
-            preferred_element_type=jnp.float32,
-        )
-        return jnp.where(gvalid, s, NEG_INF)
+    if _is_tpu():
+        # Scalar-prefetch Pallas kernel: probed blocks DMA straight from
+        # HBM to VMEM per (query, probe, tile) — no XLA gather ever
+        # materializes a (B, ·, rpc, D) tensor.
+        scores = _probe_scores(probe, q, blocks, valid.astype(jnp.int32))
+    else:
+        # CPU/interpret fallback: one probe column at a time bounds peak
+        # memory to a single (B, rpc, D) gather.
+        def one_probe(p_col):
+            gathered = blocks[p_col]  # (B, rpc, D)
+            gvalid = valid[p_col]  # (B, rpc)
+            s = jnp.einsum(
+                "bd,brd->br", q.astype(blocks.dtype), gathered,
+                preferred_element_type=jnp.float32,
+            )
+            return jnp.where(gvalid, s, NEG_INF)
 
-    scores = jax.lax.map(one_probe, probe.T)  # (nprobe, B, rpc)
-    flat = scores.transpose(1, 0, 2).reshape(b, nprobe * rpc)
+        scores = jax.lax.map(one_probe, probe.T).transpose(1, 0, 2)
+    flat = scores.reshape(b, nprobe * rpc)
     pos = (probe[:, :, None] * rpc + jax.lax.broadcasted_iota(jnp.int32, (1, 1, rpc), 2)
            ).reshape(b, nprobe * rpc)
     k_eff = min(k, nprobe * rpc)

@@ -101,3 +101,28 @@ def test_k_exceeds_candidates():
     vals, rows = ivf_search(index, emb[:2], k=250, nprobe=1)
     assert vals.shape == (2, 250)
     assert (rows[vals == float("-inf")] == -1).all()
+
+
+def test_probe_kernel_interpret_matches_map(ivf_setup):
+    """Pallas scalar-prefetch probe kernel (interpret) vs the gather path."""
+    import jax
+
+    from tensortruth_tpu.ops.ivf import _probe_scores
+
+    emb, index = ivf_setup
+    rng = np.random.default_rng(7)
+    q = _corpus(rng, 3, emb.shape[1])
+    valid = jnp.asarray(index.row_map >= 0)
+    probe = jnp.asarray(rng.integers(0, index.n_clusters, (3, 4)), jnp.int32)
+
+    kernel_scores = np.asarray(
+        _probe_scores(probe, jnp.asarray(q, index.blocks.dtype), index.blocks,
+                      valid.astype(jnp.int32), interpret=True)
+    )
+    # reference: plain gather math
+    gathered = np.asarray(index.blocks)[np.asarray(probe)]
+    gvalid = np.asarray(valid)[np.asarray(probe)]
+    ref = np.einsum("bd,bprd->bpr", q.astype(np.float32),
+                    gathered.astype(np.float32))
+    ref = np.where(gvalid, ref, float("-inf"))
+    np.testing.assert_allclose(kernel_scores, ref, atol=2e-2, rtol=2e-2)
