@@ -53,12 +53,12 @@ def _probe_kernel(probe_ref, q_ref, block_ref, valid_ref, out_ref):
     right cluster block before the step runs — no XLA gather materializes.
     """
     s = jax.lax.dot_general(
-        q_ref[...],
-        block_ref[0],
+        q_ref[0],  # (1, D)
+        block_ref[0],  # (TILE, D)
         (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (1, TILE)
-    out_ref[0, 0] = jnp.where(valid_ref[0] > 0, s[0], NEG_INF)
+    out_ref[0, 0] = jnp.where(valid_ref[0] > 0, s, NEG_INF)  # (1, TILE)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -77,28 +77,33 @@ def _probe_scores(
     tile = next((t for t in (PROBE_TILE, 512, 256, 128) if rpc % t == 0), rpc)
     n_tiles = rpc // tile
 
+    # Mosaic block rule: the last two block dims must divide (8, 128) or
+    # equal the array dims — hence the explicit singleton axes below.
+    q3 = q.astype(blocks.dtype)[:, None, :]  # (B, 1, D)
+    valid3 = valid[:, None, :]  # (n_clusters, 1, rpc)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b, nprobe, n_tiles),
         in_specs=[
-            pl.BlockSpec((1, d), lambda bi, pi, ti, probe: (bi, 0)),
+            pl.BlockSpec((1, 1, d), lambda bi, pi, ti, probe: (bi, 0, 0)),
             pl.BlockSpec(
                 (1, tile, d), lambda bi, pi, ti, probe: (probe[bi, pi], ti, 0)
             ),
             pl.BlockSpec(
-                (1, tile), lambda bi, pi, ti, probe: (probe[bi, pi], ti)
+                (1, 1, tile), lambda bi, pi, ti, probe: (probe[bi, pi], 0, ti)
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, tile), lambda bi, pi, ti, probe: (bi, pi, ti)
+            (1, 1, 1, tile), lambda bi, pi, ti, probe: (bi, pi, 0, ti)
         ),
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _probe_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, nprobe, rpc), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, nprobe, 1, rpc), jnp.float32),
         interpret=interpret,
-    )(probe, q.astype(blocks.dtype), blocks, valid)
+    )(probe, q3, blocks, valid3)
+    return out[:, :, 0, :]
 
 
 @functools.partial(jax.jit, static_argnames=("n_clusters", "iters"))
