@@ -133,7 +133,9 @@ class MultiIndexEngine:
         self._row_map = np.concatenate(rows)
         self._n_actual = emb.shape[0]
         self._ivf = None
-        if self._n_actual >= self.ivf_threshold:
+        if self._n_actual >= self.ivf_threshold and self.mesh is None:
+            # Tier precedence: a mesh shards large corpora across chips
+            # (full-recall scan); IVF is the single-device beyond-HBM tier.
             # 10M tier: coarse partitioning instead of a full scan
             # (SURVEY.md §2.14; BASELINE config 5).
             from tensortruth_tpu.ops.ivf import build_ivf

@@ -176,3 +176,15 @@ def test_int8_corpus_tier(tiny_tokenizer, sample_text):
     # top hit identical; ordering may swap near-ties under quantization
     assert r_q8[0].node_id == r_bf[0].node_id
     assert abs(r_q8[0].score - r_bf[0].score) < 0.02
+
+
+def test_mesh_takes_precedence_over_ivf(tiny_tokenizer, sample_text):
+    idx = _index(tiny_tokenizer, sample_text, "docA", "mod_a")
+    eng = MultiIndexEngine(
+        {"mod_a": idx}, similarity_top_k=5, use_fused=False,
+        mesh=make_mesh(), ivf_threshold=1,
+    )
+    assert eng._ivf is None  # mesh shards large corpora; IVF is single-device
+    mat, rows = idx.matrix()
+    results = eng.retrieve_batch(np.asarray(mat[0][None, :], np.float32))[0]
+    assert results
