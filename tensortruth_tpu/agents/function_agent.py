@@ -95,6 +95,11 @@ class FunctionAgent(Agent):
                 final_text = text or ""
                 break
 
+            if text and context.get("show_reasoning"):
+                # Loop-internal commentary (reference orchestrator
+                # `show_orchestrator_reasoning`, config_schema.py AgentConfig).
+                yield {"type": "reasoning", "content": text}
+
             # tool_call ids keep OpenAI-compatible servers happy; Ollama
             # ignores the extra fields.
             call_ids = [f"call_{iteration}_{j}" for j in range(len(calls))]

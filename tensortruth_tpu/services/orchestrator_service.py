@@ -142,6 +142,9 @@ class OrchestratorService:
                 "history": budget_history(
                     history or [], params.get("context_window", 8192)
                 ),
+                "show_reasoning": bool(
+                    self.config and self.config.agent.show_orchestrator_reasoning
+                ),
             },
             max_iterations=params.get("max_iterations", MAX_ITERATIONS),
         )
