@@ -98,27 +98,32 @@ class Reranker:
         """Cross-query pair scoring: [(query, doc), ...] → (N,) sigmoid scores.
 
         Server-side micro-batching shapes pairs from MANY concurrent queries
-        into the same bucketed device batches (services/batcher.py), keeping
-        the MXU full regardless of per-query candidate counts.
+        into the same bucketed device batches (services/batcher.py). Pairs
+        are tokenized once and processed longest-first so each device batch
+        lands in the tightest (batch, seq) bucket — mixed-length workloads
+        waste no MXU cycles on padding.
         """
         if not pairs:
             return np.zeros((0,), dtype=np.float32)
+        ids, mask = self.tokenizer.encode_batch(
+            [q for q, _ in pairs], self.max_length, pair=[d for _, d in pairs]
+        )
+        lengths = mask.sum(axis=1)
+        order = np.argsort(-lengths, kind="stable")  # longest first
+
         max_batch = self.batch_buckets[-1]
         out = np.empty((len(pairs),), dtype=np.float32)
         for start in range(0, len(pairs), max_batch):
-            chunk = pairs[start : start + max_batch]
-            ids, mask = self.tokenizer.encode_batch(
-                [q for q, _ in chunk], self.max_length, pair=[d for _, d in chunk]
-            )
-            real_len = int(mask.sum(axis=1).max())
+            sel = order[start : start + max_batch]
+            real_len = int(lengths[sel].max())
             seq = _bucket(real_len, self.seq_buckets)
-            bsz = _bucket(len(chunk), self.batch_buckets)
+            bsz = _bucket(len(sel), self.batch_buckets)
             ids_p = np.full((bsz, seq), self.tokenizer.pad_id, dtype=np.int32)
             mask_p = np.zeros((bsz, seq), dtype=np.int32)
-            ids_p[: len(chunk)] = ids[:, :seq]
-            mask_p[: len(chunk)] = mask[:, :seq]
+            ids_p[: len(sel)] = ids[sel, :seq]
+            mask_p[: len(sel)] = mask[sel, :seq]
             logits = self._fwd(self.params, jnp.asarray(ids_p), jnp.asarray(mask_p))
-            out[start : start + len(chunk)] = np.asarray(
-                jax.nn.sigmoid(logits[: len(chunk)]), dtype=np.float32
+            out[sel] = np.asarray(
+                jax.nn.sigmoid(logits[: len(sel)]), dtype=np.float32
             )
         return out

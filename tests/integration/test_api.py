@@ -471,3 +471,27 @@ async def test_per_session_stats(client):
     assert stats["context_length"] == 4096
     r = await client.get("/api/sessions/stats")
     assert (await r.json())["total_messages"] == 2
+
+
+async def test_rest_chat_endpoint(client):
+    """Non-streaming REST chat (reference chat.py:540-593)."""
+    from tensortruth_tpu.core.providers import ChatDelta
+
+    class FakeLLM:
+        def complete(self, prompt):
+            return "standalone"
+
+        def stream_chat(self, messages, system=None):
+            yield ChatDelta(text="rest answer")
+
+    services = client.server.app["services"]
+    services.rag_service._llm_factory = lambda params: FakeLLM()
+    r = await client.post("/api/sessions", json={})
+    sid = (await r.json())["id"]
+    r = await client.post(f"/api/sessions/{sid}/chat", json={"message": "hi"})
+    assert r.status == 200
+    data = await r.json()
+    assert data["response"] == "rest answer"
+    r = await client.get(f"/api/sessions/{sid}/messages")
+    msgs = (await r.json())["messages"]
+    assert [m["role"] for m in msgs] == ["user", "assistant"]

@@ -98,3 +98,18 @@ def test_model_manager_singleton_and_swap():
     mgr.unload_all()
     assert mgr.status()["embedder"] is None
     ModelManager.reset_instance()
+
+
+def test_score_pairs_matches_score():
+    """Length-sorted cross-query batching returns the same scores as the
+    per-query path, in input order."""
+    import numpy as np
+
+    from tensortruth_tpu.models.manager import ModelManager, ModelSpec
+
+    ModelManager.reset_instance()
+    rr = ModelManager.get_instance().get_reranker(ModelSpec("tiny-reranker"))
+    docs = ["short", "a much longer candidate document " * 10, "mid length text here"]
+    per_query = rr.score("the query", docs)
+    pairs = rr.score_pairs([("the query", d) for d in docs])
+    np.testing.assert_allclose(pairs, per_query, atol=2e-2, rtol=2e-2)
