@@ -116,10 +116,11 @@ class DocumentIndexBuilder:
         return index
 
     def add_documents(self, documents: dict[str, str], metadata: dict[str, dict] | None = None) -> int:
-        """Incremental add (reference :478-534). Creates the index if absent."""
+        """Incremental add (reference :478-534). Creates the index if absent.
+        Returns the number of leaf chunks indexed."""
         if not self.exists:
-            self.build_index(documents, metadata)
-            return sum(1 for _ in documents)
+            index = self.build_index(documents, metadata)
+            return index.n_alive
         index = self.load()
         assert index is not None
         metadata = metadata or {}
