@@ -161,3 +161,31 @@ def test_position_ids_respect_padding(torch_model, rng):
     mask_pad[:, :10] = 1
     e2 = np.asarray(cls_embed(params, jnp.asarray(ids_pad), jnp.asarray(mask_pad), cfg))
     np.testing.assert_allclose(e1, e2, rtol=1e-5, atol=1e-5)
+
+
+def test_convert_local_checkpoint_safetensors(tmp_path):
+    """Production weight-loading path: HF dir with model.safetensors."""
+    import numpy as np
+    from safetensors.numpy import save_file
+
+    from tensortruth_tpu.models.convert import convert_local_checkpoint
+
+    cfg = _tiny_cfg(num_labels=1)
+    hf = transformers.XLMRobertaForSequenceClassification(
+        transformers.XLMRobertaConfig(**TINY, num_labels=1)
+    ).eval()
+    sd = {k: v.detach().cpu().numpy() for k, v in hf.state_dict().items()}
+    save_file(sd, str(tmp_path / "model.safetensors"))
+
+    params = convert_local_checkpoint(
+        str(tmp_path), num_layers=cfg.num_layers, num_labels=1, dtype=jnp.float32
+    )
+    ids = jnp.asarray(np.ones((2, 8), np.int64) * 5, jnp.int32)
+    mask = jnp.ones((2, 8), jnp.int32)
+    ours = rerank_logits(params, ids, mask, cfg)
+
+    import torch
+
+    with torch.no_grad():
+        theirs = hf(input_ids=torch.full((2, 8), 5), attention_mask=torch.ones(2, 8)).logits[:, 0]
+    np.testing.assert_allclose(np.asarray(ours), theirs.numpy(), atol=2e-4, rtol=2e-4)
