@@ -182,3 +182,26 @@ def test_fused_topk_int8_padded_rows(rng):
     idx = np.asarray(idx)
     assert idx.max() < n
     assert idx[0, 0] == 0 and idx[1, 0] == 1  # self-retrieval survives quant
+
+
+def test_fused_topk_property_grid(rng):
+    """Fused kernel (interpret) equals exact across a shape grid."""
+    from tensortruth_tpu.ops.topk import exact_topk, fused_topk
+
+    for n, b, k, m, tile_n in [
+        (1024, 1, 1, 2, 256),
+        (1500, 3, 7, 4, 512),
+        (4096, 17, 20, 2, 256),
+    ]:
+        emb = rng.standard_normal((n, 32)).astype(np.float32)
+        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        q = rng.standard_normal((b, 32)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        ev, ei = exact_topk(jnp.asarray(q), jnp.asarray(emb), k)
+        fv, fi = fused_topk(jnp.asarray(q), jnp.asarray(emb), k, m=m, tile_n=tile_n,
+                            c_out=4096)
+        ev, fv = np.asarray(ev), np.asarray(fv)
+        ei, fi = np.asarray(ei), np.asarray(fi)
+        # c_out >= n/m here → zero collision loss → exact match
+        np.testing.assert_array_equal(ei, fi, err_msg=f"shape {(n,b,k,m,tile_n)}")
+        np.testing.assert_allclose(ev, fv, rtol=1e-5)
