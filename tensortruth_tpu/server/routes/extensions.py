@@ -62,6 +62,7 @@ async def reload_extensions(request: web.Request):
 def setup(app: web.Application) -> None:
     r = app.router
     r.add_get("/api/extensions", list_extensions)
+    r.add_get("/api/extensions/", list_extensions)
     r.add_get("/api/extensions/library", library)
     r.add_post("/api/extensions/install", install)
     r.add_delete("/api/extensions/{ext_type}/{filename}", uninstall)

@@ -55,6 +55,7 @@ async def toggle_server(request):
 def setup(app: web.Application) -> None:
     r = app.router
     r.add_get("/api/mcp-servers", list_servers)
+    r.add_get("/api/mcp-servers/", list_servers)
     r.add_get("/api/mcp-servers/presets", presets)
     r.add_post("/api/mcp-servers", add_server)
     r.add_patch("/api/mcp-servers/{name}/toggle", toggle_server)
