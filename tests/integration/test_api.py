@@ -495,3 +495,89 @@ async def test_rest_chat_endpoint(client):
     r = await client.get(f"/api/sessions/{sid}/messages")
     msgs = (await r.json())["messages"]
     assert [m["role"] for m in msgs] == ["user", "assistant"]
+
+
+async def test_project_document_flow_and_chat(client):
+    """Project-scoped docs: upload → project session retrieves them."""
+    from tensortruth_tpu.core.providers import ChatDelta
+
+    class FakeLLM:
+        def complete(self, prompt):
+            return "standalone"
+
+        def stream_chat(self, messages, system=None):
+            yield ChatDelta(text="project answer")
+
+    services = client.server.app["services"]
+    services.rag_service._llm_factory = lambda params: FakeLLM()
+
+    r = await client.post("/api/projects", json={"name": "Proj"})
+    pid = (await r.json())["id"]
+    r = await client.post(
+        f"/api/projects/{pid}/documents",
+        json={"filename": "spec.md", "text": "flux capacitor spec. " * 150},
+    )
+    assert (await r.json())["status"] == "success"
+    r = await client.get(f"/api/projects/{pid}/documents")
+    assert len((await r.json())["documents"]) == 1
+
+    r = await client.post(f"/api/projects/{pid}/sessions", json={})
+    sid = (await r.json())["id"]
+    ws = await client.ws_connect(f"/ws/chat/{sid}")
+    await ws.send_json({"message": "what is the flux capacitor?"})
+    events = []
+    while True:
+        msg = await ws.receive_json(timeout=60)
+        events.append(msg)
+        if msg["type"] in ("done", "error"):
+            break
+    await ws.close()
+    assert events[-1]["type"] == "done"
+    sources = next(e for e in events if e["type"] == "sources")["sources"]
+    assert any("flux" in s["content"] for s in sources)
+
+
+async def test_ws_web_command_with_stubs(client, monkeypatch):
+    """/web over WS with stubbed network + fake LLM."""
+    from tensortruth_tpu.core.providers import ChatDelta
+    from tensortruth_tpu.web import fetch as fetch_mod
+    from tensortruth_tpu.web import search as search_mod
+    from tensortruth_tpu.web.search import SearchResult
+
+    class FakeLLM:
+        def complete(self, prompt):
+            return "t"
+
+        def stream_chat(self, messages, system=None):
+            yield ChatDelta(text="web synthesis")
+
+    services = client.server.app["services"]
+    services.rag_service._llm_factory = lambda params: FakeLLM()
+    monkeypatch.setattr(
+        search_mod, "search_multi",
+        lambda queries, n: [SearchResult(title="R", url="https://r.com", snippet="s")],
+    )
+    monkeypatch.setattr(
+        fetch_mod, "fetch_url_as_markdown",
+        lambda url: ("T", "long page content " * 100),
+    )
+
+    r = await client.post("/api/sessions", json={})
+    sid = (await r.json())["id"]
+    ws = await client.ws_connect(f"/ws/chat/{sid}")
+    await ws.send_json({"message": "/web what is a tpu"})
+    events = []
+    while True:
+        msg = await ws.receive_json(timeout=60)
+        events.append(msg)
+        if msg["type"] in ("done", "error"):
+            break
+    await ws.close()
+    types = [e["type"] for e in events]
+    assert "error" not in types, events[-1]
+    assert "sources" in types
+    assert events[-1]["content"] == "web synthesis"
+    # persisted as assistant message
+    r = await client.get(f"/api/sessions/{sid}/messages")
+    msgs = (await r.json())["messages"]
+    assert msgs[-1]["content"] == "web synthesis"
