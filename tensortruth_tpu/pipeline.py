@@ -43,8 +43,8 @@ def embed_topk(
     """One program: encoder forward → normalized CLS → corpus top-k."""
     q = cls_embed(params, ids, mask, cfg).astype(emb.dtype)
     n = emb.shape[0]
-    if use_fused and n > 4096:
-        vals, idx = fused_topk(q, emb, k, m=m, tile_n=tile_n)
+    if use_fused and n_actual > 4096:
+        vals, idx = fused_topk(q, emb, k, m=m, tile_n=tile_n, n_actual=n_actual)
     else:
         k_eff = min(k, n)
         vals, idx = exact_topk(q, emb, k_eff)

@@ -143,9 +143,11 @@ class MultiIndexEngine:
             self._ivf = build_ivf(emb, n_clusters=self.ivf_clusters)
             self._stacked = self._ivf.blocks  # keep a handle for n_chunks math
         elif self.corpus_dtype == "int8" and self.use_fused and self.mesh is None:
-            from tensortruth_tpu.ops.topk import quantize_corpus
+            from tensortruth_tpu.ops.topk import pad_corpus_for_fused, quantize_corpus
 
             emb_q, scales = quantize_corpus(emb)
+            emb_q, _ = pad_corpus_for_fused(emb_q)
+            scales = np.pad(scales, (0, emb_q.shape[0] - len(scales)))
             self._stacked = jnp.asarray(emb_q)
             self._stacked_scales = jnp.asarray(scales)
         else:
@@ -157,6 +159,11 @@ class MultiIndexEngine:
             if self.mesh is not None:
                 self._stacked, _ = shard_corpus(emb, self.mesh)
             else:
+                # Pre-pad to the kernel tile multiple so the fused path never
+                # copies the corpus inside the jit (ops/topk.py note).
+                from tensortruth_tpu.ops.topk import pad_corpus_for_fused
+
+                emb, _ = pad_corpus_for_fused(emb)
                 self._stacked = jnp.asarray(emb, dtype=dtype)
         self._cache.clear()
 
@@ -213,9 +220,14 @@ class MultiIndexEngine:
         elif self._stacked_scales is not None:
             from tensortruth_tpu.ops.topk import fused_topk_int8
 
-            vals, idx = fused_topk_int8(q, self._stacked, self._stacked_scales, k)
+            vals, idx = fused_topk_int8(
+                q, self._stacked, self._stacked_scales, k, n_actual=self._n_actual
+            )
         else:
-            vals, idx = topk_search(q, self._stacked, k, exact=not self.use_fused)
+            vals, idx = topk_search(
+                q, self._stacked, k, exact=not self.use_fused,
+                n_actual=self._n_actual,
+            )
         vals, idx = np.asarray(vals), np.asarray(idx)
         return [self._postprocess(vals[i], idx[i]) for i in range(vals.shape[0])]
 
