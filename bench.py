@@ -105,7 +105,7 @@ def main() -> None:
 
     if on_tpu:
         topk_fn = jax.jit(
-            lambda q, e: fused_topk(q.astype(jnp.bfloat16), e, TOP_K, m=16, tile_n=2048)
+            lambda q, e: fused_topk(q.astype(jnp.bfloat16), e, TOP_K)
         )
     else:
         topk_fn = jax.jit(lambda q, e: exact_topk(q, e, min(TOP_K, n_chunks)))

@@ -9,22 +9,24 @@ reduction riding along, so the full (B, N) score matrix never touches HBM.
 Design (cf. TPU-KNN "K Nearest Neighbor Search at Peak FLOP/s"):
 
 * Grid over row-tiles of E. Per tile the kernel computes ``(B, TILE_N)``
-  scores on the MXU, then reduces each row to ``TILE_N / m`` *strided
-  bucket maxima* (+ their global row indices) with ``m`` unrolled VPU max
-  passes — no reshape, no sort, O(TILE_N) work per row.
-* Buckets are strided (bucket ``j`` holds columns ``{j, j+C, j+2C, …}``), so
-  adjacent chunks of the same document — the common correlated-score case —
-  land in *different* buckets, minimising top-k collisions.
-* Per-tile bucket maxima are **max-merged into a fixed (B, C_OUT) candidate
-  accumulator held in VMEM scratch** (tile i's C candidates land in the
-  rotating slot slice ``[(i*C) % C_OUT, +C)``), written to HBM once in the
-  final grid step — the host-visible output is O(C_OUT), independent of N,
-  so the full (B, N) score matrix never exists anywhere.
-* An exact ``jax.lax.top_k`` over the C_OUT candidates finishes the job.
-  A true top-k item is lost only when a strictly better item maps to the
-  same accumulator slot: expected loss ≈ k(k-1)/(2·C_OUT) items — for
-  k=100, C_OUT=8192 that is ~0.6 of 100 (recall@100 ≈ 0.994); for k=10,
-  ~0.005 (recall@10 ≈ 0.9995). Larger ``c_out`` → higher recall.
+  scores on the MXU, reduces each row to ``C = TILE_N/m`` strided bucket
+  maxima (+ global row indices) with ``m`` unrolled VPU passes, and
+  max-merges them into a (B, C_OUT) candidate accumulator living in the
+  kernel's OUTPUT blocks — the (B, N) score matrix never exists anywhere.
+  An exact ``lax.top_k`` over the C_OUT candidates finishes the job.
+* A true top-k item is lost only when a strictly better item maps to the
+  same accumulator slot: expected loss ≈ k(k-1)/(2·c_out) items.
+* **Default m=1, c_out=tile_n=2048**: the accumulator is ONE VMEM-resident
+  output block revisited by every grid step — fully static addressing, no
+  block transitions. Measured on v5e at 1M×1024 bf16: **4.1 ms/32-query
+  batch (488 GB/s ≈ 60% of HBM peak), recall@10 = 1.000,
+  recall@100 = 0.980**. Variants measured and rejected: dynamic-slice VMEM
+  scratch accumulator (10.8 ms — scalar-core dynamic addressing serializes
+  the pipeline), multi-block rotation via the outer grid dim (10.7 ms —
+  per-transition bubbles), aliased in/out candidate blocks (fast but TPU
+  output blocks are write-only on revisit → wrong results). Raising
+  ``c_out`` above ``tile_n/m`` re-enables block rotation for higher
+  recall at large k, at the ~10.7 ms cost point.
 
 ``exact_topk`` is the XLA reference path (full score matrix + lax.top_k) used
 for parity tests and as the small-N fallback.
@@ -73,12 +75,15 @@ def _fused_kernel(
     """One grid step: score a TILE_N row-tile of E, bucket-reduce, max-merge
     into this step's rotating candidate block.
 
-    The candidate accumulator IS the output: tile ``i`` owns output block
-    ``i % n_rot`` via the BlockSpec index map, so every per-step offset is
-    static (measured 2.4× faster than a dynamic-slice VMEM scratch
-    accumulator — the scalar-core dynamic addressing serialized the
-    pipeline). Blocks are initialized on their first visit
-    (``step < n_rot``).
+    The candidate accumulator IS the output. Grid = (n_rot, inner): the
+    OUTER dimension picks the candidate block, the INNER dimension streams
+    the tiles assigned to it (tile = t·n_rot + b, strided so neighbouring
+    corpus tiles land in different blocks). Consecutive inner steps revisit
+    the SAME output block, which Mosaic keeps resident in VMEM — giving a
+    legal read-modify-write accumulator with fully static addressing
+    (measured 2.4× faster than a dynamic-slice VMEM scratch accumulator:
+    the scalar-core dynamic addressing serialized the pipeline; and unlike
+    non-consecutive output revisiting, resident blocks are readable).
 
     ``quantized`` (int8 corpus mode): the tile arrives int8 plus a
     (1, TILE_N) per-row scale input, and scores are rescaled column-wise —
@@ -90,10 +95,10 @@ def _fused_kernel(
         q_ref, e_ref, vals_ref, idx_ref = refs
         scale_ref = None
     c = tile_n // m  # candidates per tile
-    step = pl.program_id(0)
-    tile_start = step * tile_n
+    block, t = pl.program_id(0), pl.program_id(1)
+    tile_start = (t * n_rot + block) * tile_n
 
-    @pl.when(step < n_rot)
+    @pl.when(t == 0)
     def _init():
         vals_ref[:] = jnp.full_like(vals_ref, NEG_INF)
         idx_ref[:] = jnp.full_like(idx_ref, -1)
@@ -126,6 +131,7 @@ def _fused_kernel(
         best_vals = jnp.where(take, seg, best_vals)
         best_idx = jnp.where(take, gidx, best_idx)
 
+    # Same output block across all inner steps → resident in VMEM → RMW ok.
     take = best_vals > vals_ref[:]
     vals_ref[:] = jnp.where(take, best_vals, vals_ref[:])
     idx_ref[:] = jnp.where(take, best_idx, idx_ref[:])
@@ -138,9 +144,9 @@ def fused_topk(
     q: jax.Array,
     emb: jax.Array,
     k: int,
-    m: int = 16,
+    m: int = 1,
     tile_n: int = 2048,
-    c_out: int = 8192,
+    c_out: int = 2048,
     interpret: bool | None = None,
     n_actual: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
@@ -180,7 +186,11 @@ def fused_topk(
         emb = jnp.pad(emb, ((0, n_pad - n), (0, 0)))
 
     num_tiles = n_pad // tile_n
-    n_rot = c_out // c  # candidate blocks; tile i owns block i % n_rot
+    n_rot = c_out // c  # candidate blocks; block b accumulates tiles t·n_rot+b
+    inner = -(-num_tiles // n_rot)
+    tiles_padded = n_rot * inner
+    if tiles_padded != num_tiles:  # round the grid up (masked via n_actual)
+        emb = jnp.pad(emb, ((0, (tiles_padded - num_tiles) * tile_n), (0, 0)))
 
     kernel = functools.partial(
         _fused_kernel,
@@ -189,17 +199,20 @@ def fused_topk(
         n_rot=n_rot,
         n_actual=n_actual,
     )
+    rot_spec = pl.BlockSpec(
+        (b_pad, c), lambda b_, t: (0, b_), memory_space=pltpu.VMEM
+    )
     cand_vals, cand_idx = pl.pallas_call(
         kernel,
-        grid=(num_tiles,),
+        grid=(n_rot, inner),
         in_specs=[
-            pl.BlockSpec((b_pad, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_n, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_pad, d), lambda b_, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (tile_n, d), lambda b_, t: (t * n_rot + b_, 0),
+                memory_space=pltpu.VMEM,
+            ),
         ],
-        out_specs=[
-            pl.BlockSpec((b_pad, c), lambda i: (0, i % n_rot), memory_space=pltpu.VMEM),
-            pl.BlockSpec((b_pad, c), lambda i: (0, i % n_rot), memory_space=pltpu.VMEM),
-        ],
+        out_specs=[rot_spec, rot_spec],
         out_shape=[
             jax.ShapeDtypeStruct((b_pad, c_out), jnp.float32),
             jax.ShapeDtypeStruct((b_pad, c_out), jnp.int32),
@@ -252,9 +265,9 @@ def fused_topk_int8(
     emb_q: jax.Array,
     scales: jax.Array,
     k: int,
-    m: int = 16,
+    m: int = 1,
     tile_n: int = 2048,
-    c_out: int = 8192,
+    c_out: int = 2048,
     interpret: bool | None = None,
     n_actual: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
@@ -287,6 +300,11 @@ def fused_topk_int8(
 
     num_tiles = n_pad // tile_n
     n_rot = c_out // c
+    inner = -(-num_tiles // n_rot)
+    tiles_padded = n_rot * inner
+    if tiles_padded != num_tiles:
+        emb_q = jnp.pad(emb_q, ((0, (tiles_padded - num_tiles) * tile_n), (0, 0)))
+        scales2d = jnp.pad(scales2d, ((0, 0), (0, (tiles_padded - num_tiles) * tile_n)))
     kernel = functools.partial(
         _fused_kernel,
         tile_n=tile_n,
@@ -295,18 +313,24 @@ def fused_topk_int8(
         n_actual=n_actual,
         quantized=True,
     )
+    rot_spec = pl.BlockSpec(
+        (b_pad, c), lambda b_, t: (0, b_), memory_space=pltpu.VMEM
+    )
     cand_vals, cand_idx = pl.pallas_call(
         kernel,
-        grid=(num_tiles,),
+        grid=(n_rot, inner),
         in_specs=[
-            pl.BlockSpec((b_pad, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_n, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_pad, d), lambda b_, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (tile_n, d), lambda b_, t: (t * n_rot + b_, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, tile_n), lambda b_, t: (0, t * n_rot + b_),
+                memory_space=pltpu.VMEM,
+            ),
         ],
-        out_specs=[
-            pl.BlockSpec((b_pad, c), lambda i: (0, i % n_rot), memory_space=pltpu.VMEM),
-            pl.BlockSpec((b_pad, c), lambda i: (0, i % n_rot), memory_space=pltpu.VMEM),
-        ],
+        out_specs=[rot_spec, rot_spec],
         out_shape=[
             jax.ShapeDtypeStruct((b_pad, c_out), jnp.float32),
             jax.ShapeDtypeStruct((b_pad, c_out), jnp.int32),
@@ -329,14 +353,14 @@ def topk_search(
     k: int,
     *,
     exact: bool = False,
-    m: int = 16,
+    m: int = 1,
     tile_n: int = 2048,
     n_actual: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Dispatch: exact path for tiny corpora / exact=True, fused otherwise."""
     n = emb.shape[0]
     n_actual = n if n_actual is None else n_actual
-    if exact or n_actual <= 4096 or m == 1:
+    if exact or n_actual <= 4096:
         k_eff = min(k, n_actual)
         vals, idx = exact_topk(q, emb[:n_actual] if n_actual < n else emb, k_eff)
         if k_eff < k:

@@ -68,7 +68,7 @@ def sharded_topk(
     mesh: Mesh,
     n_actual: int,
     use_fused: bool = False,
-    m: int = 16,
+    m: int = 1,
     tile_n: int = 2048,
     q_sharded: bool = False,
 ) -> tuple[jax.Array, jax.Array]:

@@ -37,7 +37,7 @@ def embed_topk(
     k: int,
     n_actual: int,
     use_fused: bool = True,
-    m: int = 16,
+    m: int = 1,
     tile_n: int = 2048,
 ) -> tuple[jax.Array, jax.Array]:
     """One program: encoder forward → normalized CLS → corpus top-k."""
