@@ -83,16 +83,20 @@ def main() -> None:
         init_params,
         rerank_logits,
     )
-    from tensortruth_tpu.ops.topk import fused_topk, exact_topk
+    from tensortruth_tpu.ops.topk import exact_topk, fused_topk, pad_corpus_for_fused
     from tensortruth_tpu.pipeline import embed_topk
 
     key = jax.random.PRNGKey(0)
     emb_params = init_params(BGE_M3_CONFIG, key, dtype=jnp.bfloat16)
     rr_params = init_params(BGE_RERANKER_V2_M3_CONFIG, key, dtype=jnp.bfloat16)
 
-    # Synthetic normalized corpus, bf16 in HBM (1M × 1024 ≈ 2 GB).
+    # Synthetic normalized corpus, bf16 in HBM (1M × 1024 ≈ 2 GB),
+    # pre-padded to the kernel tile multiple (no in-jit corpus copies).
     corpus = jax.random.normal(key, (n_chunks, DIM), dtype=jnp.bfloat16)
     corpus = (corpus / jnp.linalg.norm(corpus.astype(jnp.float32), axis=1, keepdims=True).astype(jnp.bfloat16))
+    pad_rows = (-n_chunks) % 2048
+    if pad_rows and on_tpu:
+        corpus = jnp.pad(corpus, ((0, pad_rows), (0, 0)))
     corpus = jax.block_until_ready(corpus)
 
     ids = jnp.ones((BATCH, SEQ_Q), jnp.int32)
@@ -105,7 +109,9 @@ def main() -> None:
 
     if on_tpu:
         topk_fn = jax.jit(
-            lambda q, e: fused_topk(q.astype(jnp.bfloat16), e, TOP_K)
+            lambda q, e: fused_topk(
+                q.astype(jnp.bfloat16), e, TOP_K, n_actual=n_chunks
+            )
         )
     else:
         topk_fn = jax.jit(lambda q, e: exact_topk(q, e, min(TOP_K, n_chunks)))
