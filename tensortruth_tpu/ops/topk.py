@@ -48,11 +48,15 @@ def _is_tpu() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def exact_topk(q: jax.Array, emb: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
+def exact_topk(
+    q: jax.Array, emb: jax.Array, k: int, n_valid: jax.Array | int | None = None
+) -> tuple[jax.Array, jax.Array]:
     """Exact brute-force: full (B, N) score matrix, XLA top_k.
 
     q: (B, D) normalized queries; emb: (N, D) normalized corpus.
-    Returns (scores (B, k) f32, indices (B, k) i32).
+    ``n_valid`` (traced ok): rows ≥ n_valid are padding — masked to -inf
+    BEFORE top_k so zero-pad rows (score 0) can never displace true
+    negative-cosine rows. Returns (scores (B, k) f32, indices (B, k) i32).
     """
     scores = jax.lax.dot_general(
         q,
@@ -60,6 +64,9 @@ def exact_topk(q: jax.Array, emb: jax.Array, k: int) -> tuple[jax.Array, jax.Arr
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+    if n_valid is not None:
+        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        scores = jnp.where(col < n_valid, scores, NEG_INF)
     vals, idx = jax.lax.top_k(scores, k)
     return vals, idx.astype(jnp.int32)
 
@@ -71,6 +78,7 @@ def _fused_kernel(
     n_rot: int,
     n_actual: int,
     quantized: bool = False,
+    dynamic_valid: bool = False,
 ):
     """One grid step: score a TILE_N row-tile of E, bucket-reduce, max-merge
     into this step's rotating candidate block.
@@ -89,11 +97,12 @@ def _fused_kernel(
     (1, TILE_N) per-row scale input, and scores are rescaled column-wise —
     HBM traffic halves versus bf16 at ~0.3% score error.
     """
-    if quantized:
-        q_ref, e_ref, scale_ref, vals_ref, idx_ref = refs
-    else:
-        q_ref, e_ref, vals_ref, idx_ref = refs
-        scale_ref = None
+    refs = list(refs)
+    q_ref = refs.pop(0)
+    e_ref = refs.pop(0)
+    scale_ref = refs.pop(0) if quantized else None
+    nvalid_ref = refs.pop(0) if dynamic_valid else None
+    vals_ref, idx_ref = refs
     c = tile_n // m  # candidates per tile
     block, t = pl.program_id(0), pl.program_id(1)
     tile_start = (t * n_rot + block) * tile_n
@@ -123,10 +132,11 @@ def _fused_kernel(
     # bucket j = {j, j+C, ..., j+(m-1)C}. Unrolled m-pass VPU reduction.
     best_vals = jnp.full((b, c), NEG_INF, dtype=jnp.float32)
     best_idx = jnp.full((b, c), -1, dtype=jnp.int32)
+    limit = nvalid_ref[0] if dynamic_valid else n_actual
     for i in range(m):
         seg = s[:, i * c : (i + 1) * c]
         gidx = tile_start + i * c + col
-        seg = jnp.where(gidx < n_actual, seg, NEG_INF)  # mask padded rows
+        seg = jnp.where(gidx < limit, seg, NEG_INF)  # mask padded rows
         take = seg > best_vals
         best_vals = jnp.where(take, seg, best_vals)
         best_idx = jnp.where(take, gidx, best_idx)
@@ -149,6 +159,7 @@ def fused_topk(
     c_out: int = 2048,
     interpret: bool | None = None,
     n_actual: int | None = None,
+    n_valid: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Fused matmul + bucketed top-k. Same signature/returns as exact_topk.
 
@@ -158,6 +169,11 @@ def fused_topk(
     any float dtype (bf16 recommended on TPU). Mosaic requires the per-tile
     candidate count ``tile_n // m`` to be a lane multiple (128) and ``c_out``
     a multiple of it.
+
+    ``n_actual`` is the STATIC valid-row count (compile-time). ``n_valid``
+    is a TRACED i32 scalar overriding it — used under shard_map where each
+    shard's valid-row count depends on ``axis_index`` and the kernel is
+    traced once for all shards; the scalar rides in SMEM.
     """
     if interpret is None:
         interpret = not _is_tpu()
@@ -198,27 +214,33 @@ def fused_topk(
         m=m,
         n_rot=n_rot,
         n_actual=n_actual,
+        dynamic_valid=n_valid is not None,
     )
     rot_spec = pl.BlockSpec(
         (b_pad, c), lambda b_, t: (0, b_), memory_space=pltpu.VMEM
     )
+    in_specs = [
+        pl.BlockSpec((b_pad, d), lambda b_, t: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (tile_n, d), lambda b_, t: (t * n_rot + b_, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    inputs = [q, emb]
+    if n_valid is not None:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        inputs.append(jnp.asarray(n_valid, jnp.int32).reshape(1))
     cand_vals, cand_idx = pl.pallas_call(
         kernel,
         grid=(n_rot, inner),
-        in_specs=[
-            pl.BlockSpec((b_pad, d), lambda b_, t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (tile_n, d), lambda b_, t: (t * n_rot + b_, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=[rot_spec, rot_spec],
         out_shape=[
             jax.ShapeDtypeStruct((b_pad, c_out), jnp.float32),
             jax.ShapeDtypeStruct((b_pad, c_out), jnp.int32),
         ],
         interpret=interpret,
-    )(q, emb)
+    )(*inputs)
 
     k_eff = min(k, n_actual, c_out)
     top_vals, top_pos = jax.lax.top_k(cand_vals, k_eff)

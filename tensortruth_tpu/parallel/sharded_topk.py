@@ -37,17 +37,23 @@ NEG_INF = float("-inf")
 
 
 def shard_corpus(
-    emb: np.ndarray, mesh: Mesh, pad_value: float = 0.0
+    emb: np.ndarray, mesh: Mesh, pad_value: float = 0.0, tile_n: int | None = None
 ) -> tuple[jax.Array, int]:
     """Place an (N, D) matrix row-sharded on the mesh; pad N to the shard count.
 
     Returns (device array with NamedSharding, original N). Padded rows are
-    zero vectors — cosine score 0 against any normalized query; they are
-    additionally masked to -inf inside the kernel via ``n_actual``.
+    zero vectors; they are masked to -inf *inside* the local top-k via each
+    shard's traced valid-row count (see ``sharded_topk``), so they can never
+    displace true negative-cosine rows. Pass ``tile_n`` (the fused kernel's
+    tile) to ALSO pad each shard's slice to a tile multiple here, once, so
+    the fused path never copies the corpus inside the jit (ops/topk.py note).
     """
     n, d = emb.shape
     p = mesh.shape[SHARD_AXIS]
-    n_pad = -(-n // p) * p
+    per_shard = -(-n // p)
+    if tile_n:
+        per_shard = -(-per_shard // tile_n) * tile_n
+    n_pad = per_shard * p
     if n_pad != n:
         emb = np.concatenate(
             [emb, np.full((n_pad - n, d), pad_value, dtype=emb.dtype)], axis=0
@@ -90,13 +96,21 @@ def sharded_topk(
     def shard_fn(q_l: jax.Array, emb_l: jax.Array):
         shard = jax.lax.axis_index(SHARD_AXIS)
         offset = shard * local_n
+        # Per-shard valid-row count (traced: depends on axis_index). Padding
+        # rows are masked to -inf BEFORE the local top-k, so a zero-pad row
+        # (cosine 0) can never displace a true negative-cosine row — the
+        # merged global top-k is exact all the way into negative scores.
+        n_valid_local = jnp.clip(n_actual - offset, 0, local_n).astype(jnp.int32)
         if use_fused:
-            vals, idx = fused_topk(q_l, emb_l, k_local, m=m, tile_n=tile_n)
+            vals, idx = fused_topk(
+                q_l, emb_l, k_local, m=m, tile_n=tile_n, n_valid=n_valid_local
+            )
         else:
-            vals, idx = exact_topk(q_l, emb_l, k_local)
+            vals, idx = exact_topk(q_l, emb_l, k_local, n_valid=n_valid_local)
         gidx = idx + offset
-        # Mask rows past the true corpus end (zero-padding on the last shard).
-        valid = (gidx < n_actual) & (idx >= 0)
+        # -1 = masked slot from the fused local top-k; gidx check covers the
+        # exact path, where -inf-scored pad columns still carry their index.
+        valid = (idx >= 0) & (gidx < n_actual)
         vals = jnp.where(valid, vals, NEG_INF)
         gidx = jnp.where(valid, gidx, -1)
         # (P, B, k_local) candidate gather over ICI — tiny vs the score matrix.

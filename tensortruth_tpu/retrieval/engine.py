@@ -157,7 +157,9 @@ class MultiIndexEngine:
             dtype = jnp.float32 if self.corpus_dtype == "float32" else jnp.bfloat16
             emb = emb.astype(dtype) if hasattr(emb, "astype") else emb
             if self.mesh is not None:
-                self._stacked, _ = shard_corpus(emb, self.mesh)
+                self._stacked, _ = shard_corpus(
+                    emb, self.mesh, tile_n=2048 if self.use_fused else None
+                )
             else:
                 # Pre-pad to the kernel tile multiple so the fused path never
                 # copies the corpus inside the jit (ops/topk.py note).

@@ -10,6 +10,7 @@ surface with identical paths and JSON shapes.
 from __future__ import annotations
 
 import logging
+import re
 from pathlib import Path
 
 from aiohttp import web
@@ -19,6 +20,28 @@ from tensortruth_tpu.server.deps import ServiceContainer
 logger = logging.getLogger(__name__)
 
 STATIC_DIR = Path(__file__).resolve().parent.parent / "static"
+
+# Path-parameter allowlists. aiohttp decodes %2F to "/" in match_info values
+# (unlike Starlette, which splits segments before decoding), so every id that
+# reaches a filesystem join MUST be validated or traversal becomes arbitrary
+# read/write/delete. ``model_id`` legitimately contains one "/" (org/name).
+_SAFE_PARAM = re.compile(r"[A-Za-z0-9][A-Za-z0-9 _.\-]{0,127}$")
+_SAFE_MODEL_ID = re.compile(
+    r"[A-Za-z0-9][A-Za-z0-9_.\-]{0,127}(/[A-Za-z0-9][A-Za-z0-9_.\-]{0,127})?$"
+)
+_UNVALIDATED_PARAMS = {"tail"}  # SPA catch-all; never touches the filesystem
+
+
+@web.middleware
+async def path_param_middleware(request: web.Request, handler):
+    """Reject any decoded path parameter that could escape its directory."""
+    for name, value in request.match_info.items():
+        if name in _UNVALIDATED_PARAMS:
+            continue
+        pat = _SAFE_MODEL_ID if name == "model_id" else _SAFE_PARAM
+        if not pat.fullmatch(value) or ".." in value.split("/"):
+            raise web.HTTPBadRequest(reason=f"invalid path parameter {name!r}")
+    return await handler(request)
 
 
 @web.middleware
@@ -51,7 +74,7 @@ async def error_middleware(request: web.Request, handler):
 
 def create_app(data_dir: str | Path | None = None, config=None) -> web.Application:
     app = web.Application(
-        middlewares=[cors_middleware, error_middleware],
+        middlewares=[cors_middleware, error_middleware, path_param_middleware],
         client_max_size=256 * 2**20,  # uploads
     )
     services = ServiceContainer(data_dir=data_dir, config=config)

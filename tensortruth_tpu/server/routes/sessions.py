@@ -114,8 +114,13 @@ async def global_stats(request):
 async def get_image(request):
     from tensortruth_tpu.app.paths import get_session_images_dir
 
-    path = get_session_images_dir(request.match_info["session_id"]) / request.match_info["image_id"]
-    if not path.exists():
+    base = get_session_images_dir(request.match_info["session_id"]).resolve()
+    path = (base / request.match_info["image_id"]).resolve()
+    # Defense in depth behind the path-param middleware: never serve a file
+    # that resolves outside this session's images directory.
+    if not path.is_relative_to(base):
+        raise web.HTTPBadRequest(reason="invalid image id")
+    if not path.is_file():
         raise web.HTTPNotFound(reason="image not found")
     return web.FileResponse(path)
 

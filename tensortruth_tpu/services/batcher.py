@@ -26,6 +26,7 @@ logger = logging.getLogger(__name__)
 @dataclass
 class _Request:
     text: str
+    key: object = None  # engine pin: only same-key requests batch together
     future: Future = field(default_factory=Future)
 
 
@@ -33,7 +34,9 @@ class QueryBatcher:
     """Coalesces ``retrieve(text)`` calls into batched device dispatches."""
 
     def __init__(self, run_batch, max_batch: int = 32, max_wait_ms: float = 8.0):
-        """``run_batch(texts: list[str]) -> list[result]`` does the device work."""
+        """``run_batch(texts: list[str], key) -> list[result]`` does the
+        device work. ``key`` is whatever object the callers pinned (e.g. the
+        engine); requests with different keys never share a dispatch."""
         self.run_batch = run_batch
         self.max_batch = max_batch
         self.max_wait_ms = max_wait_ms
@@ -54,15 +57,15 @@ class QueryBatcher:
     def stop(self) -> None:
         self._stop.set()
 
-    def submit(self, text: str) -> Future:
+    def submit(self, text: str, key: object = None) -> Future:
         self.start()
-        req = _Request(text)
+        req = _Request(text, key=key)
         self._queue.put(req)
         return req.future
 
-    def retrieve(self, text: str, timeout: float = 120.0):
+    def retrieve(self, text: str, timeout: float = 120.0, key: object = None):
         """Blocking convenience wrapper."""
-        return self.submit(text).result(timeout)
+        return self.submit(text, key=key).result(timeout)
 
     # -- worker ----------------------------------------------------------------
 
@@ -91,19 +94,26 @@ class QueryBatcher:
             batch = self._collect()
             if not batch:
                 continue
-            try:
-                results = self.run_batch([r.text for r in batch])
-                if len(results) != len(batch):
-                    raise RuntimeError(
-                        f"run_batch returned {len(results)} results for {len(batch)} requests"
-                    )
-                for req, res in zip(batch, results):
-                    req.future.set_result(res)
-            except Exception as e:
-                logger.exception("batched dispatch failed")
-                for req in batch:
-                    if not req.future.done():
-                        req.future.set_exception(e)
-            else:
-                self.batches_run += 1
-                self.requests_served += len(batch)
+            # Group by pinned key (engine identity): a reload arriving
+            # mid-window must not mix queries from two engines in one dispatch.
+            groups: dict[int, list[_Request]] = {}
+            for r in batch:
+                groups.setdefault(id(r.key), []).append(r)
+            for reqs in groups.values():
+                try:
+                    results = self.run_batch([r.text for r in reqs], reqs[0].key)
+                    if len(results) != len(reqs):
+                        raise RuntimeError(
+                            f"run_batch returned {len(results)} results for "
+                            f"{len(reqs)} requests"
+                        )
+                    for req, res in zip(reqs, results):
+                        req.future.set_result(res)
+                except Exception as e:
+                    logger.exception("batched dispatch failed")
+                    for req in reqs:
+                        if not req.future.done():
+                            req.future.set_exception(e)
+                else:
+                    self.batches_run += 1
+                    self.requests_served += len(reqs)

@@ -21,6 +21,8 @@ from __future__ import annotations
 import hashlib
 import json
 import logging
+import threading
+from collections import OrderedDict
 from dataclasses import dataclass, field
 from typing import Generator
 
@@ -101,6 +103,15 @@ class RAGService:
         self.chat_history_service = ChatHistoryService(self.config)
         self._engine: RAGEngine | None = None
         self._engine_hash: str | None = None
+        # Engines cached by config hash: concurrent sessions with different
+        # module sets swap the *current* pointer instead of thrashing full
+        # rebuilds (analog of the reference's engine-reload-by-hash,
+        # reference rag_service.py:110-137, plus Chroma's client cache).
+        self._engines: OrderedDict[str, RAGEngine] = OrderedDict()
+        self._max_cached_engines = 2
+        # load/unload/current-pointer guard: routes run in executor threads
+        # and must not null the engine out from under an in-flight query.
+        self._lock = threading.RLock()
         self.last_timings: dict = {}  # stage timings of the latest query
         self._batcher = None  # services/batcher.py micro-batching (optional)
         # injectable for tests; default = provider-backed factory
@@ -111,9 +122,10 @@ class RAGService:
     def needs_reload(
         self, modules: list[str], params: dict, extra_index_paths: list[str] | None = None
     ) -> bool:
-        return self._engine_hash != _params_hash(
-            modules, params, [str(p) for p in (extra_index_paths or [])]
-        )
+        with self._lock:
+            return self._engine_hash != _params_hash(
+                modules, params, [str(p) for p in (extra_index_paths or [])]
+            )
 
     def load_engine(
         self,
@@ -123,22 +135,41 @@ class RAGService:
         **kw,
     ) -> RAGEngine:
         params = params or {}
-        if self._engine is not None:
-            self._engine.retriever.clear_cache()
-        self._engine = load_engine_for_modules(
-            modules, params, extra_index_paths=extra_index_paths,
-            config=self.config, **kw,
-        )
-        self._engine_hash = _params_hash(
+        h = _params_hash(
             modules, params, [str(p) for p in (extra_index_paths or [])]
         )
-        return self._engine
+        with self._lock:
+            cached = self._engines.get(h)
+            if cached is not None:
+                self._engines.move_to_end(h)
+                self._engine, self._engine_hash = cached, h
+                return cached
+            engine = load_engine_for_modules(
+                modules, params, extra_index_paths=extra_index_paths,
+                config=self.config, **kw,
+            )
+            self._engines[h] = engine
+            while len(self._engines) > self._max_cached_engines:
+                _, evicted = self._engines.popitem(last=False)
+                if evicted is not self._engine:
+                    evicted.retriever.clear_cache()
+            self._engine, self._engine_hash = engine, h
+            return engine
 
     def unload(self) -> None:
-        if self._engine is not None:
-            self._engine.retriever.clear_cache()
-        self._engine = None
-        self._engine_hash = None
+        """Detach the current engine. Cached engines stay resident (another
+        session may still point at them); ``clear_engines`` drops everything."""
+        with self._lock:
+            self._engine = None
+            self._engine_hash = None
+
+    def clear_engines(self) -> None:
+        with self._lock:
+            for engine in self._engines.values():
+                engine.retriever.clear_cache()
+            self._engines.clear()
+            self._engine = None
+            self._engine_hash = None
 
     @property
     def engine(self) -> RAGEngine | None:
@@ -167,11 +198,17 @@ class RAGService:
             self._batcher.stop()
             self._batcher = None
 
-    def _run_retrieval_batch(self, texts: list[str]) -> list[list[SourceNode]]:
+    def _run_retrieval_batch(
+        self, texts: list[str], engine: RAGEngine | None = None
+    ) -> list[list[SourceNode]]:
         """Device work for N queries at once: one embed→top-k dispatch + one
-        cross-query rerank pass. Returns reranked sources per query."""
-        engine = self._engine
-        assert engine is not None
+        cross-query rerank pass. Returns reranked sources per query.
+
+        ``engine`` is pinned by the enqueuing request (batcher groups by it),
+        so a concurrent reload/unload cannot swap engines mid-batch."""
+        engine = engine if engine is not None else self._engine
+        if engine is None:
+            raise RuntimeError("no engine loaded for batched retrieval")
         if engine.pipeline is not None and engine.pipeline.applicable():
             retrieved_all = engine.pipeline.retrieve_batch(texts)
         else:
@@ -204,11 +241,12 @@ class RAGService:
     # -- retrieval core shared by query() and retrieve() ----------------------
 
     def _retrieve_and_rank(
-        self, prompt: str, history_str: str, params: dict
+        self, prompt: str, history_str: str, params: dict,
+        engine: RAGEngine | None = None,
     ) -> RetrievalResult:
         from tensortruth_tpu.utils.profiling import StageTimer
 
-        engine = self._engine
+        engine = engine if engine is not None else self._engine
         assert engine is not None
         timer = StageTimer()
 
@@ -229,7 +267,7 @@ class RAGService:
             # Micro-batched path: embed→top-k→rerank coalesced with every
             # other in-flight query (services/batcher.py).
             with timer.stage("batched_retrieve_rerank"):
-                sources = self._batcher.retrieve(condensed)
+                sources = self._batcher.retrieve(condensed, key=engine)
         else:
             if engine.pipeline is not None and engine.pipeline.applicable():
                 # Fused single-dispatch embed→top-k (pipeline.py).
@@ -277,13 +315,17 @@ class RAGService:
         params: dict | None = None,
         session_messages: list[dict] | None = None,
     ) -> RetrievalResult:
-        if self._engine is None:
+        with self._lock:
+            engine = self._engine  # capture once; survives concurrent unload
+        if engine is None:
             return RetrievalResult(confidence=ConfidenceLevel.NO_SOURCES.value)
-        params = {**self._engine.params, **(params or {})}
+        params = {**engine.params, **(params or {})}
         history = self.chat_history_service.build_history(
             session_messages, max_turns=params.get("max_history_turns")
         )
-        return self._retrieve_and_rank(prompt, history.to_prompt_string(), params)
+        return self._retrieve_and_rank(
+            prompt, history.to_prompt_string(), params, engine=engine
+        )
 
     # -- streaming query (reference rag_service.py:214-516) --------------------
 
@@ -293,7 +335,9 @@ class RAGService:
         params: dict | None = None,
         session_messages: list[dict] | None = None,
     ) -> Generator[RAGChunk, None, RAGResponse]:
-        params = {**(self._engine.params if self._engine else {}), **(params or {})}
+        with self._lock:
+            engine = self._engine  # capture once; survives concurrent unload
+        params = {**(engine.params if engine else {}), **(params or {})}
         llm = self._get_llm(params)
         history = self.chat_history_service.build_history(
             session_messages, max_turns=params.get("max_history_turns")
@@ -301,9 +345,9 @@ class RAGService:
         history_str = history.to_prompt_string()
 
         response = RAGResponse()
-        if self._engine is not None and self._engine.modules:
+        if engine is not None and engine.modules:
             yield RAGChunk(status="retrieving")
-            result = self._retrieve_and_rank(prompt, history_str, params)
+            result = self._retrieve_and_rank(prompt, history_str, params, engine=engine)
             yield RAGChunk(status="reranking")
             response.sources = result.sources
             response.metrics = result.metrics

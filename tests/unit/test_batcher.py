@@ -12,7 +12,7 @@ from tensortruth_tpu.services.batcher import QueryBatcher
 def test_coalesces_concurrent_requests():
     calls = []
 
-    def run_batch(texts):
+    def run_batch(texts, key=None):
         calls.append(list(texts))
         time.sleep(0.02)
         return [t.upper() for t in texts]
@@ -28,7 +28,7 @@ def test_coalesces_concurrent_requests():
 
 
 def test_max_batch_respected():
-    def run_batch(texts):
+    def run_batch(texts, key=None):
         assert len(texts) <= 3
         return texts
 
@@ -39,7 +39,7 @@ def test_max_batch_respected():
 
 
 def test_error_propagates_to_all():
-    def run_batch(texts):
+    def run_batch(texts, key=None):
         raise RuntimeError("device on fire")
 
     b = QueryBatcher(run_batch, max_batch=4, max_wait_ms=20)
@@ -47,6 +47,27 @@ def test_error_propagates_to_all():
     for f in futures:
         with pytest.raises(RuntimeError, match="device on fire"):
             f.result(5)
+    b.stop()
+
+
+def test_requests_with_different_keys_never_share_a_dispatch():
+    """Engine pinning: a reload mid-window must not mix two engines' queries."""
+    seen = []
+
+    def run_batch(texts, key):
+        seen.append((key, list(texts)))
+        return [f"{key}:{t}" for t in texts]
+
+    b = QueryBatcher(run_batch, max_batch=16, max_wait_ms=40)
+    futures = [b.submit(f"q{i}", key="engineA" if i % 2 else "engineB") for i in range(8)]
+    results = [f.result(5) for f in futures]
+    for i, r in enumerate(results):
+        assert r == f"{'engineA' if i % 2 else 'engineB'}:q{i}"
+    for key, texts in seen:
+        assert all(t in [f"q{i}" for i in range(8)] for t in texts)
+        # each dispatch carries exactly one key's requests
+        parity = {int(t[1:]) % 2 for t in texts}
+        assert len(parity) == 1
     b.stop()
 
 

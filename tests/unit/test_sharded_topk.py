@@ -90,3 +90,49 @@ def test_q_sharded_2d_mesh(rng):
     ref_vals, ref_idx = exact_topk(jnp.asarray(q), jnp.asarray(emb), k)
     np.testing.assert_allclose(np.asarray(vals), np.asarray(ref_vals), rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
+
+
+def test_negative_cosine_rows_survive_shard_padding(rng):
+    """Exactness regression: zero-padded rows (score 0) on the last shard must
+    not displace true negative-cosine rows from the local top-k. Construct a
+    corpus where the global top-k reaches into negative similarities."""
+    d = 16
+    q = _normed(rng, 1, d)
+    # 13 rows, all anti-aligned with q to varying degrees: every similarity
+    # is negative, so any padded zero row would outrank all of them locally.
+    base = _normed(rng, 13, d)
+    emb = base - 2 * (base @ q.T) * np.repeat(q, 13, axis=0) * (base @ q.T > 0)
+    emb = emb - np.abs(emb @ q.T) * q  # kill positive component
+    emb -= 0.05 * q  # push everything negative
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    sims = (emb @ q.T).ravel()
+    assert (sims < 0).all(), "test setup: all sims must be negative"
+
+    mesh = make_mesh()
+    k = 13
+    for tile_n in (None, 128):  # exact path and fused-padded layout
+        emb_dev, n_actual = shard_corpus(emb.astype(np.float32), mesh, tile_n=tile_n)
+        vals, idx = sharded_topk(
+            jnp.asarray(q, jnp.float32), emb_dev, k=k, mesh=mesh, n_actual=n_actual
+        )
+        idx = np.asarray(idx)[0]
+        vals = np.asarray(vals)[0]
+        order = np.argsort(-sims)
+        np.testing.assert_array_equal(idx, order)
+        np.testing.assert_allclose(vals, sims[order], rtol=1e-5)
+
+
+def test_fused_dynamic_n_valid_masks_tail(rng):
+    """fused_topk with a traced n_valid must match exact over the valid prefix."""
+    from tensortruth_tpu.ops.topk import fused_topk
+
+    d, n, n_valid, k = 32, 512, 300, 10
+    emb = _normed(rng, n, d)
+    q = _normed(rng, 3, d)
+    vals, idx = fused_topk(
+        jnp.asarray(q), jnp.asarray(emb), k, tile_n=128,
+        n_valid=jnp.int32(n_valid),
+    )
+    ref_vals, ref_idx = exact_topk(jnp.asarray(q), jnp.asarray(emb[:n_valid]), k)
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(ref_vals), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
