@@ -102,6 +102,8 @@ def load_engine_for_modules(
 
     manager = ModelManager.get_instance()
     mc = config.rag.get_embedding_model_config(embedding_model)
+    # Models inherit the mesh: encoder/reranker forwards run DP over every
+    # mesh device (the rerank stage dominates e2e time and scales linearly).
     embedder = manager.get_embedder(
         ModelSpec(
             embedding_model,
@@ -109,10 +111,13 @@ def load_engine_for_modules(
             max_length=mc.max_length,
             local_dir=mc.local_dir,
             tokenizer_path=mc.tokenizer_path,
-        )
+        ),
+        mesh=mesh,
     )
     reranker = (
-        manager.get_reranker(ModelSpec(reranker_model)) if use_reranker else None
+        manager.get_reranker(ModelSpec(reranker_model), mesh=mesh)
+        if use_reranker
+        else None
     )
 
     retriever = MultiIndexEngine(

@@ -30,6 +30,23 @@ def _bucket(value: int, buckets: Sequence[int]) -> int:
     return buckets[-1]
 
 
+def make_dp_forward(fn, params, mesh):
+    """jit ``fn(params, ids, mask)`` data-parallel over ALL mesh devices.
+
+    Encoder/reranker forwards are embarrassingly parallel over the batch:
+    params replicate, the batch dim shards across every mesh axis (a 2×4
+    v5e-8 mesh runs 8-way DP), XLA inserts zero collectives. Returns
+    (forward, replicated_params, batch_multiple).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    batch = NamedSharding(mesh, P(mesh.axis_names))
+    params = jax.device_put(params, repl)
+    fwd = jax.jit(fn, in_shardings=(repl, batch, batch), out_shardings=batch)
+    return fwd, params, mesh.devices.size
+
+
 class Embedder:
     """Holds converted params + compiled forwards; encodes host-side text."""
 
@@ -42,6 +59,7 @@ class Embedder:
         batch_buckets: Sequence[int] = (16, 64),
         seq_buckets: Sequence[int] = (128, 512),
         query_prefix: str = "",
+        mesh=None,
     ):
         self.params = params
         self.cfg = cfg
@@ -50,7 +68,14 @@ class Embedder:
         self.batch_buckets = tuple(sorted(batch_buckets))
         self.seq_buckets = tuple(sorted(set(min(b, max_length) for b in seq_buckets)))
         self.query_prefix = query_prefix
-        self._fwd = jax.jit(partial(cls_embed, cfg=cfg))
+        self.mesh = mesh
+        if mesh is not None:
+            self._fwd, self.params, self._batch_multiple = make_dp_forward(
+                partial(cls_embed, cfg=cfg), params, mesh
+            )
+        else:
+            self._fwd = jax.jit(partial(cls_embed, cfg=cfg))
+            self._batch_multiple = 1
 
     @classmethod
     def random_init(
@@ -88,6 +113,7 @@ class Embedder:
         real_len = int(mask.sum(axis=1).max())
         seq = _bucket(real_len, self.seq_buckets)
         bsz = _bucket(len(texts), self.batch_buckets)
+        bsz = -(-bsz // self._batch_multiple) * self._batch_multiple  # DP shardable
         ids_p = np.full((bsz, seq), self.tokenizer.pad_id, dtype=np.int32)
         mask_p = np.zeros((bsz, seq), dtype=np.int32)
         ids_p[: len(texts)] = ids[:, :seq]

@@ -94,19 +94,20 @@ class ModelManager:
 
     # -- embedder ------------------------------------------------------------
 
-    def get_embedder(self, spec: ModelSpec | None = None) -> Embedder:
+    def get_embedder(self, spec: ModelSpec | None = None, mesh=None) -> Embedder:
         spec = spec or ModelSpec(DEFAULT_EMBEDDING_MODEL)
+        key = (*spec.key(), mesh)
         with self._lock:
-            if self._embedder is not None and self._embedder_key == spec.key():
+            if self._embedder is not None and self._embedder_key == key:
                 return self._embedder
             if self._embedder is not None:
-                logger.info("swapping embedder %s -> %s", self._embedder_key, spec.key())
+                logger.info("swapping embedder %s -> %s", self._embedder_key, key)
                 self._embedder = None  # release HBM before loading the new one
-            self._embedder = self._load_embedder(spec)
-            self._embedder_key = spec.key()
+            self._embedder = self._load_embedder(spec, mesh=mesh)
+            self._embedder_key = key
             return self._embedder
 
-    def _load_embedder(self, spec: ModelSpec) -> Embedder:
+    def _load_embedder(self, spec: ModelSpec, mesh=None) -> Embedder:
         cfg = _EMBEDDER_ARCHS.get(spec.model_id, BGE_M3_CONFIG)
         dtype = getattr(jnp, spec.dtype)
         tokenizer = load_tokenizer(spec.tokenizer_path)
@@ -116,32 +117,35 @@ class ModelManager:
             params = convert_local_checkpoint(
                 spec.local_dir, num_layers=cfg.num_layers, dtype=dtype
             )
-            embedder = Embedder(params, cfg, tokenizer, max_length=spec.max_length)
+            embedder = Embedder(
+                params, cfg, tokenizer, max_length=spec.max_length, mesh=mesh
+            )
         else:
             logger.warning(
                 "no local checkpoint for %s — using random-init weights", spec.model_id
             )
             embedder = Embedder.random_init(
-                cfg, tokenizer, dtype=dtype, max_length=spec.max_length
+                cfg, tokenizer, dtype=dtype, max_length=spec.max_length, mesh=mesh
             )
         embedder.model_id = spec.model_id
         return embedder
 
     # -- reranker ------------------------------------------------------------
 
-    def get_reranker(self, spec: ModelSpec | None = None) -> Reranker:
+    def get_reranker(self, spec: ModelSpec | None = None, mesh=None) -> Reranker:
         spec = spec or ModelSpec(DEFAULT_RERANKER_MODEL)
+        key = (*spec.key(), mesh)
         with self._lock:
-            if self._reranker is not None and self._reranker_key == spec.key():
+            if self._reranker is not None and self._reranker_key == key:
                 return self._reranker
             if self._reranker is not None:
-                logger.info("swapping reranker %s -> %s", self._reranker_key, spec.key())
+                logger.info("swapping reranker %s -> %s", self._reranker_key, key)
                 self._reranker = None
-            self._reranker = self._load_reranker(spec)
-            self._reranker_key = spec.key()
+            self._reranker = self._load_reranker(spec, mesh=mesh)
+            self._reranker_key = key
             return self._reranker
 
-    def _load_reranker(self, spec: ModelSpec) -> Reranker:
+    def _load_reranker(self, spec: ModelSpec, mesh=None) -> Reranker:
         cfg = _RERANKER_ARCHS.get(spec.model_id, BGE_RERANKER_V2_M3_CONFIG)
         dtype = getattr(jnp, spec.dtype)
         tokenizer = load_tokenizer(spec.tokenizer_path)
@@ -152,13 +156,15 @@ class ModelManager:
                 spec.local_dir, num_layers=cfg.num_layers,
                 num_labels=cfg.num_labels, dtype=dtype,
             )
-            reranker = Reranker(params, cfg, tokenizer, max_length=spec.max_length)
+            reranker = Reranker(
+                params, cfg, tokenizer, max_length=spec.max_length, mesh=mesh
+            )
         else:
             logger.warning(
                 "no local checkpoint for %s — using random-init weights", spec.model_id
             )
             reranker = Reranker.random_init(
-                cfg, tokenizer, dtype=dtype, max_length=spec.max_length
+                cfg, tokenizer, dtype=dtype, max_length=spec.max_length, mesh=mesh
             )
         reranker.model_id = spec.model_id
         return reranker

@@ -40,6 +40,7 @@ class Reranker:
         max_length: int = 512,
         batch_buckets: Sequence[int] = (16, 64),
         seq_buckets: Sequence[int] = (256, 512),
+        mesh=None,
     ):
         assert cfg.num_labels == 1, "reranker config needs num_labels=1"
         self.params = params
@@ -48,7 +49,19 @@ class Reranker:
         self.max_length = max_length
         self.batch_buckets = tuple(sorted(batch_buckets))
         self.seq_buckets = tuple(sorted(set(min(b, max_length) for b in seq_buckets)))
-        self._fwd = jax.jit(partial(rerank_logits, cfg=cfg))
+        self.mesh = mesh
+        if mesh is not None:
+            # DP rerank over every mesh device: the cross-encoder forward is
+            # the pipeline bottleneck (~91% of e2e time single-chip) and is
+            # embarrassingly parallel over pairs — v5e-8 scales it ~8×.
+            from tensortruth_tpu.models.embedder import make_dp_forward
+
+            self._fwd, self.params, self._batch_multiple = make_dp_forward(
+                partial(rerank_logits, cfg=cfg), params, mesh
+            )
+        else:
+            self._fwd = jax.jit(partial(rerank_logits, cfg=cfg))
+            self._batch_multiple = 1
 
     @classmethod
     def random_init(
@@ -78,6 +91,7 @@ class Reranker:
         real_len = int(mask.sum(axis=1).max())
         seq = _bucket(real_len, self.seq_buckets)
         bsz = _bucket(len(docs), self.batch_buckets)
+        bsz = -(-bsz // self._batch_multiple) * self._batch_multiple  # DP shardable
         ids_p = np.full((bsz, seq), self.tokenizer.pad_id, dtype=np.int32)
         mask_p = np.zeros((bsz, seq), dtype=np.int32)
         ids_p[: len(docs)] = ids[:, :seq]
@@ -118,6 +132,7 @@ class Reranker:
             real_len = int(lengths[sel].max())
             seq = _bucket(real_len, self.seq_buckets)
             bsz = _bucket(len(sel), self.batch_buckets)
+            bsz = -(-bsz // self._batch_multiple) * self._batch_multiple  # DP shardable
             ids_p = np.full((bsz, seq), self.tokenizer.pad_id, dtype=np.int32)
             mask_p = np.zeros((bsz, seq), dtype=np.int32)
             ids_p[: len(sel)] = ids[sel, :seq]
