@@ -165,6 +165,7 @@ def build_ivf(
     n, d = emb.shape
     rng = np.random.default_rng(seed)
     sample = emb[rng.choice(n, min(sample_size, n), replace=False)]
+    n_clusters = max(1, min(n_clusters, len(sample)))  # k-means needs k ≤ n
     centroids = np.asarray(
         _kmeans_fit(jnp.asarray(sample), jnp.asarray([seed]), n_clusters, kmeans_iters)
     )
@@ -270,6 +271,167 @@ def _ivf_search_device(
     k_eff = min(k, nprobe * rpc)
     top_v, top_i = jax.lax.top_k(flat, k_eff)
     return top_v, jnp.take_along_axis(pos, top_i, axis=1)
+
+
+@dataclass
+class ShardedIVF:
+    """IVF with cluster blocks sharded over the mesh ``shards`` axis.
+
+    Each device holds n_clusters/P cluster blocks in its HBM — the corpus
+    capacity scales linearly with the shard count (the 10M+ tier,
+    SURVEY.md §2.14). Every shard probes the top-``nprobe`` of its OWN
+    clusters: any globally-top-nprobe cluster is by definition within the
+    top-nprobe of its own shard, so the union covers a superset of the
+    single-device probe set (recall ≥ single-device at equal per-device
+    work); candidates merge over ICI exactly like parallel/sharded_topk.
+    Multi-slice DCN story: slice groups own cluster ranges and the host
+    routes query batches by centroid scores (docs/SCALING.md).
+    """
+
+    centroids: jax.Array  # (nc_pad, D) sharded over shards axis (dim 0)
+    blocks: jax.Array  # (nc_pad, rpc, D) sharded over shards axis
+    valid: jax.Array  # (nc_pad, rpc) int32, sharded; 0 = padding slot
+    row_map: np.ndarray  # (nc_pad, rpc) host: padded pos -> original row, -1
+    n_actual: int
+    n_clusters_actual: int
+    mesh: object
+
+    @property
+    def rows_per_cluster(self) -> int:
+        return self.blocks.shape[1]
+
+
+def shard_ivf(index: IVFIndex, mesh) -> ShardedIVF:
+    """Place an IVFIndex cluster-sharded on the mesh (pads clusters to P)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from tensortruth_tpu.parallel.mesh import SHARD_AXIS
+
+    p = mesh.shape[SHARD_AXIS]
+    nc = index.n_clusters
+    rpc = index.rows_per_cluster
+    nc_pad = -(-nc // p) * p
+    blocks = np.asarray(index.blocks)
+    centroids = np.asarray(index.centroids)
+    row_map = index.row_map
+    if nc_pad != nc:
+        blocks = np.concatenate(
+            [blocks, np.zeros((nc_pad - nc, rpc, blocks.shape[2]), blocks.dtype)]
+        )
+        centroids = np.concatenate(
+            [centroids, np.zeros((nc_pad - nc, centroids.shape[1]), centroids.dtype)]
+        )
+        row_map = np.concatenate(
+            [row_map, np.full((nc_pad - nc, rpc), -1, row_map.dtype)]
+        )
+    shard3 = NamedSharding(mesh, P(SHARD_AXIS, None, None))
+    shard2 = NamedSharding(mesh, P(SHARD_AXIS, None))
+    return ShardedIVF(
+        centroids=jax.device_put(jnp.asarray(centroids, index.blocks.dtype), shard2),
+        blocks=jax.device_put(jnp.asarray(blocks, index.blocks.dtype), shard3),
+        valid=jax.device_put(jnp.asarray(row_map >= 0, jnp.int32), shard2),
+        row_map=row_map,
+        n_actual=index.n_actual,
+        n_clusters_actual=nc,
+        mesh=mesh,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "nprobe", "mesh", "n_clusters_actual")
+)
+def _ivf_search_sharded_device(
+    q: jax.Array,
+    centroids: jax.Array,
+    blocks: jax.Array,
+    valid: jax.Array,
+    *,
+    k: int,
+    nprobe: int,
+    mesh,
+    n_clusters_actual: int,
+):
+    """shard_map: per-shard local probe + top-k, candidates merged over ICI."""
+    from jax.sharding import PartitionSpec as P
+    from tensortruth_tpu.parallel.mesh import SHARD_AXIS
+
+    p = mesh.shape[SHARD_AXIS]
+    nc_pad, rpc, d = blocks.shape
+    cpl = nc_pad // p  # clusters per shard
+    np_l = min(nprobe, cpl)
+
+    def shard_fn(q_l, cent_l, blocks_l, valid_l):
+        shard = jax.lax.axis_index(SHARD_AXIS)
+        cluster0 = shard * cpl
+        cscores = jax.lax.dot_general(
+            q_l, cent_l, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (B, cpl)
+        cid = cluster0 + jax.lax.broadcasted_iota(jnp.int32, cscores.shape, 1)
+        cscores = jnp.where(cid < n_clusters_actual, cscores, NEG_INF)
+        _, probe = jax.lax.top_k(cscores, np_l)  # (B, np_l) local cluster ids
+
+        if _is_tpu():
+            scores = _probe_scores(probe, q_l, blocks_l, valid_l)
+        else:
+            def one_probe(p_col):
+                gathered = blocks_l[p_col]  # (B, rpc, D)
+                gvalid = valid_l[p_col]
+                s = jnp.einsum(
+                    "bd,brd->br", q_l.astype(blocks_l.dtype), gathered,
+                    preferred_element_type=jnp.float32,
+                )
+                return jnp.where(gvalid > 0, s, NEG_INF)
+
+            scores = jax.lax.map(one_probe, probe.T).transpose(1, 0, 2)
+        b = q_l.shape[0]
+        flat = scores.reshape(b, np_l * rpc)
+        pos = (
+            (cluster0 + probe)[:, :, None] * rpc
+            + jax.lax.broadcasted_iota(jnp.int32, (1, 1, rpc), 2)
+        ).reshape(b, np_l * rpc)
+        k_loc = min(k, np_l * rpc)
+        top_v, top_i = jax.lax.top_k(flat, k_loc)
+        top_p = jnp.take_along_axis(pos, top_i, axis=1)
+        all_v = jax.lax.all_gather(top_v, SHARD_AXIS)  # (P, B, k_loc)
+        all_p = jax.lax.all_gather(top_p, SHARD_AXIS)
+        cand_v = all_v.transpose(1, 0, 2).reshape(b, p * k_loc)
+        cand_p = all_p.transpose(1, 0, 2).reshape(b, p * k_loc)
+        k_out = min(k, p * k_loc)
+        out_v, oi = jax.lax.top_k(cand_v, k_out)
+        out_p = jnp.take_along_axis(cand_p, oi, axis=1)
+        if k_out < k:
+            out_v = jnp.pad(out_v, ((0, 0), (0, k - k_out)), constant_values=NEG_INF)
+            out_p = jnp.pad(out_p, ((0, 0), (0, k - k_out)), constant_values=-1)
+        return out_v, out_p
+
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(SHARD_AXIS, None), P(SHARD_AXIS, None, None), P(SHARD_AXIS, None)),
+        out_specs=(P(), P()),
+        check_vma=False,  # post-all_gather reduction is replicated (as in sharded_topk)
+    )
+    return fn(q, centroids, blocks, valid)
+
+
+def ivf_search_sharded(
+    sidx: ShardedIVF, q: np.ndarray | jax.Array, k: int, nprobe: int = 8
+) -> tuple[np.ndarray, np.ndarray]:
+    """Host wrapper for the sharded tier: same returns as ivf_search."""
+    vals, pos = _ivf_search_sharded_device(
+        jnp.asarray(q, dtype=sidx.blocks.dtype),
+        sidx.centroids,
+        sidx.blocks,
+        sidx.valid,
+        k=k,
+        nprobe=nprobe,
+        mesh=sidx.mesh,
+        n_clusters_actual=sidx.n_clusters_actual,
+    )
+    vals, pos = np.asarray(vals), np.asarray(pos)
+    rows = np.where(pos >= 0, sidx.row_map.reshape(-1)[pos], -1)
+    rows = np.where(vals > NEG_INF, rows, -1)
+    return vals, rows
 
 
 def ivf_search(

@@ -69,6 +69,7 @@ class QueryPipeline:
         return (
             self.engine.mesh is None
             and self.engine._ivf is None
+            and self.engine._ivf_sharded is None
             and self.engine._stacked_scales is None  # int8 tier has its own path
             and self.engine._stacked is not None
         )

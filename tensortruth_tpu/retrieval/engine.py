@@ -108,6 +108,7 @@ class MultiIndexEngine:
         self._cache: OrderedDict[str, list[RetrievedNode]] = OrderedDict()
         self._stacked: jax.Array | None = None
         self._ivf = None  # IVFIndex for the 10M tier (ops/ivf.py)
+        self._ivf_sharded = None  # ShardedIVF: clusters sharded over the mesh
         self._row_map: np.ndarray | None = None  # global row → (module_i, phys row)
         self._module_of_row: np.ndarray | None = None
         self._n_actual = 0
@@ -133,15 +134,23 @@ class MultiIndexEngine:
         self._row_map = np.concatenate(rows)
         self._n_actual = emb.shape[0]
         self._ivf = None
-        if self._n_actual >= self.ivf_threshold and self.mesh is None:
-            # Tier precedence: a mesh shards large corpora across chips
-            # (full-recall scan); IVF is the single-device beyond-HBM tier.
-            # 10M tier: coarse partitioning instead of a full scan
-            # (SURVEY.md §2.14; BASELINE config 5).
-            from tensortruth_tpu.ops.ivf import build_ivf
+        self._ivf_sharded = None
+        # A mesh shards the flat full-recall scan P ways, so the beyond-HBM
+        # threshold scales with the shard count; past it, IVF cluster blocks
+        # themselves shard over ``shards`` (SURVEY.md §2.14; BASELINE cfg 5).
+        from tensortruth_tpu.parallel.mesh import SHARD_AXIS
 
-            self._ivf = build_ivf(emb, n_clusters=self.ivf_clusters)
-            self._stacked = self._ivf.blocks  # keep a handle for n_chunks math
+        n_shards = self.mesh.shape[SHARD_AXIS] if self.mesh is not None else 1
+        if self._n_actual >= self.ivf_threshold * n_shards:
+            from tensortruth_tpu.ops.ivf import build_ivf, shard_ivf
+
+            ivf = build_ivf(emb, n_clusters=self.ivf_clusters)
+            if self.mesh is not None:
+                self._ivf_sharded = shard_ivf(ivf, self.mesh)
+                self._stacked = self._ivf_sharded.blocks
+            else:
+                self._ivf = ivf
+                self._stacked = self._ivf.blocks  # handle for n_chunks math
         elif self.corpus_dtype == "int8" and self.use_fused and self.mesh is None:
             from tensortruth_tpu.ops.topk import pad_corpus_for_fused, quantize_corpus
 
@@ -205,6 +214,13 @@ class MultiIndexEngine:
             jnp.bfloat16 if self._stacked_scales is not None else self._stacked.dtype
         )
         q = jnp.asarray(query_embs, dtype=q_dtype)
+        if self._ivf_sharded is not None:
+            from tensortruth_tpu.ops.ivf import ivf_search_sharded
+
+            vals, idx = ivf_search_sharded(
+                self._ivf_sharded, q, k, nprobe=self.ivf_nprobe
+            )
+            return [self._postprocess(vals[i], idx[i]) for i in range(vals.shape[0])]
         if self._ivf is not None:
             from tensortruth_tpu.ops.ivf import ivf_search
 

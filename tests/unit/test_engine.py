@@ -178,13 +178,28 @@ def test_int8_corpus_tier(tiny_tokenizer, sample_text):
     assert abs(r_q8[0].score - r_bf[0].score) < 0.02
 
 
-def test_mesh_takes_precedence_over_ivf(tiny_tokenizer, sample_text):
+def test_mesh_scales_ivf_threshold(tiny_tokenizer, sample_text):
+    """A mesh shards the flat scan P ways, so the IVF threshold scales ×P:
+    below P×threshold the mesh runs the full-recall sharded scan; above it
+    the IVF cluster blocks themselves shard over the mesh."""
     idx = _index(tiny_tokenizer, sample_text, "docA", "mod_a")
+    n = idx.n_alive
+    mesh = make_mesh()  # 8 shards
+
     eng = MultiIndexEngine(
         {"mod_a": idx}, similarity_top_k=5, use_fused=False,
-        mesh=make_mesh(), ivf_threshold=1,
+        mesh=mesh, ivf_threshold=(n // 8) + 1,  # 8×threshold > n: flat scan
     )
-    assert eng._ivf is None  # mesh shards large corpora; IVF is single-device
+    assert eng._ivf is None and eng._ivf_sharded is None
     mat, rows = idx.matrix()
+    results = eng.retrieve_batch(np.asarray(mat[0][None, :], np.float32))[0]
+    assert results
+
+    eng = MultiIndexEngine(
+        {"mod_a": idx}, similarity_top_k=5, use_fused=False,
+        mesh=mesh, ivf_threshold=max(1, n // 8),  # 8×threshold ≤ n: IVF tier
+        ivf_clusters=8, ivf_nprobe=4,
+    )
+    assert eng._ivf_sharded is not None and eng._ivf is None
     results = eng.retrieve_batch(np.asarray(mat[0][None, :], np.float32))[0]
     assert results

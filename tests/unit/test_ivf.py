@@ -126,3 +126,89 @@ def test_probe_kernel_interpret_matches_map(ivf_setup):
                     gathered.astype(np.float32))
     ref = np.where(gvalid, ref, float("-inf"))
     np.testing.assert_allclose(kernel_scores, ref, atol=2e-2, rtol=2e-2)
+
+
+class TestShardedIVF:
+    """Cluster blocks sharded over the 8-virtual-device CPU mesh."""
+
+    def _build(self, rng, n=4096, d=64, n_clusters=32):
+        from tensortruth_tpu.ops.ivf import build_ivf
+
+        emb = rng.standard_normal((n, d)).astype(np.float32)
+        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        return emb, build_ivf(emb, n_clusters=n_clusters, sample_size=n)
+
+    def test_sharded_matches_or_beats_single_device_recall(self, rng):
+        from tensortruth_tpu.ops.ivf import ivf_search, ivf_search_sharded, shard_ivf
+        from tensortruth_tpu.ops.topk import exact_topk
+        from tensortruth_tpu.parallel.mesh import make_mesh
+        import jax.numpy as jnp
+
+        emb, ivf = self._build(rng)
+        mesh = make_mesh()
+        sidx = shard_ivf(ivf, mesh)
+        q = rng.standard_normal((8, 64)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        k, nprobe = 10, 4
+
+        _, rows_s = ivf_search_sharded(sidx, q, k, nprobe=nprobe)
+        _, rows_1 = ivf_search(ivf, q, k, nprobe=nprobe)
+        _, exact = exact_topk(jnp.asarray(q), jnp.asarray(emb), k)
+        exact = np.asarray(exact)
+
+        def recall(rows):
+            return np.mean([
+                len(set(rows[i].tolist()) & set(exact[i].tolist())) / k
+                for i in range(len(q))
+            ])
+
+        r_sharded, r_single = recall(rows_s), recall(rows_1)
+        # Every shard probes its own top-nprobe clusters — a superset of the
+        # single-device probe set, so sharded recall can never be lower.
+        assert r_sharded >= r_single - 1e-9
+        assert r_sharded >= 0.8
+
+    def test_sharded_never_returns_padding(self, rng):
+        from tensortruth_tpu.ops.ivf import ivf_search_sharded, shard_ivf
+        from tensortruth_tpu.parallel.mesh import make_mesh
+
+        # n_clusters=12 does not divide 8 shards: forces cluster padding.
+        emb, ivf = self._build(rng, n=600, d=32, n_clusters=12)
+        mesh = make_mesh()
+        sidx = shard_ivf(ivf, mesh)
+        q = rng.standard_normal((4, 32)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        vals, rows = ivf_search_sharded(sidx, q, 20, nprobe=3)
+        live = rows[vals > float("-inf")]
+        assert live.min() >= 0 and live.max() < 600
+
+    def test_engine_uses_sharded_ivf_on_mesh(self, rng):
+        from tensortruth_tpu.index.nodes import Node
+        from tensortruth_tpu.index.store import VectorIndex
+        from tensortruth_tpu.parallel.mesh import make_mesh
+        from tensortruth_tpu.retrieval.engine import MultiIndexEngine
+
+        n, d = 512, 32
+        emb = rng.standard_normal((n, d)).astype(np.float32)
+        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        nodes = [
+            Node(node_id=f"n{i}", text=f"text {i}", level=0, doc_id="d")
+            for i in range(n)
+        ]
+
+        def embed_fn(texts):
+            return np.stack([emb[int(t.split()[-1])] for t in texts])
+
+        idx = VectorIndex.build(nodes, embed_fn, embedding_model="tiny")
+
+        mesh = make_mesh()
+        eng = MultiIndexEngine(
+            {"m": idx}, similarity_top_k=5, mesh=mesh,
+            ivf_threshold=64,  # ×8 shards = 512 ≤ n: forces the IVF tier
+            ivf_clusters=16, ivf_nprobe=4, use_fused=False,
+        )
+        assert eng._ivf_sharded is not None and eng._ivf is None
+        q = emb[7] + 0.01 * rng.standard_normal(d).astype(np.float32)
+        q /= np.linalg.norm(q)
+        out = eng.retrieve(q, "probe query")
+        assert out and out[0].node.node_id == "n7"
