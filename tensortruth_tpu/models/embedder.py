@@ -56,8 +56,8 @@ class Embedder:
         cfg: XLMRConfig,
         tokenizer,
         max_length: int = 512,
-        batch_buckets: Sequence[int] = (16, 64),
-        seq_buckets: Sequence[int] = (128, 512),
+        batch_buckets: Sequence[int] = (16, 64, 256),
+        seq_buckets: Sequence[int] = (128, 256, 384, 512),
         query_prefix: str = "",
         mesh=None,
     ):
@@ -95,31 +95,48 @@ class Embedder:
     def encode(
         self, texts: Sequence[str], is_query: bool = False, batch_size: int | None = None
     ) -> np.ndarray:
-        """Embed texts → (len(texts), H) f32 L2-normalized numpy array."""
+        """Embed texts → (len(texts), H) f32 L2-normalized numpy array.
+
+        Throughput discipline (build-time hot loop, SURVEY.md §3.1):
+        tokenize everything once, sort by token length so each device batch
+        pads to the tightest (batch, seq) bucket, dispatch ALL batches
+        asynchronously (JAX dispatch returns before the device finishes, so
+        host-side padding of batch i+1 overlaps device compute of batch i
+        and the per-dispatch tunnel RTT amortizes), then convert results
+        after the last dispatch.
+        """
         if not texts:
             return np.zeros((0, self.cfg.hidden_size), dtype=np.float32)
         if is_query and self.query_prefix:
             texts = [self.query_prefix + t for t in texts]
 
-        max_batch = batch_size or self.batch_buckets[-1]
-        out = np.empty((len(texts), self.cfg.hidden_size), dtype=np.float32)
-        for start in range(0, len(texts), max_batch):
-            chunk = texts[start : start + max_batch]
-            out[start : start + len(chunk)] = self._encode_batch(chunk)
-        return out
+        max_batch = min(batch_size or self.batch_buckets[-1], self.batch_buckets[-1])
+        # Slabs bound host memory AND overlap: tokenizing slab s+1 runs while
+        # the device still computes slab s's async dispatches.
+        slab = max(8 * max_batch, 2048)
 
-    def _encode_batch(self, texts: Sequence[str]) -> np.ndarray:
-        ids, mask = self.tokenizer.encode_batch(texts, self.max_length)
-        real_len = int(mask.sum(axis=1).max())
-        seq = _bucket(real_len, self.seq_buckets)
-        bsz = _bucket(len(texts), self.batch_buckets)
-        bsz = -(-bsz // self._batch_multiple) * self._batch_multiple  # DP shardable
-        ids_p = np.full((bsz, seq), self.tokenizer.pad_id, dtype=np.int32)
-        mask_p = np.zeros((bsz, seq), dtype=np.int32)
-        ids_p[: len(texts)] = ids[:, :seq]
-        mask_p[: len(texts)] = mask[:, :seq]
-        emb = self._fwd(self.params, jnp.asarray(ids_p), jnp.asarray(mask_p))
-        return np.asarray(emb[: len(texts)], dtype=np.float32)
+        pending = []  # (global selection, device array, n_real)
+        for slab_start in range(0, len(texts), slab):
+            chunk = list(texts[slab_start : slab_start + slab])
+            ids, mask = self.tokenizer.encode_batch(chunk, self.max_length)
+            lengths = mask.sum(axis=1)
+            order = np.argsort(-lengths, kind="stable")  # longest first
+            for start in range(0, len(chunk), max_batch):
+                sel = order[start : start + max_batch]
+                seq = _bucket(int(lengths[sel].max()), self.seq_buckets)
+                bsz = _bucket(len(sel), self.batch_buckets)
+                bsz = -(-bsz // self._batch_multiple) * self._batch_multiple  # DP
+                ids_p = np.full((bsz, seq), self.tokenizer.pad_id, dtype=np.int32)
+                mask_p = np.zeros((bsz, seq), dtype=np.int32)
+                ids_p[: len(sel)] = ids[sel, :seq]
+                mask_p[: len(sel)] = mask[sel, :seq]
+                emb = self._fwd(self.params, jnp.asarray(ids_p), jnp.asarray(mask_p))
+                pending.append((slab_start + sel, emb, len(sel)))
+
+        out = np.empty((len(texts), self.cfg.hidden_size), dtype=np.float32)
+        for sel, emb, n in pending:
+            out[sel] = np.asarray(emb[:n], dtype=np.float32)
+        return out
 
     def encode_one(self, text: str, is_query: bool = True) -> np.ndarray:
         return self.encode([text], is_query=is_query)[0]

@@ -39,7 +39,7 @@ class Reranker:
         tokenizer,
         max_length: int = 512,
         batch_buckets: Sequence[int] = (16, 64),
-        seq_buckets: Sequence[int] = (256, 512),
+        seq_buckets: Sequence[int] = (256, 320, 512),
         mesh=None,
     ):
         assert cfg.num_labels == 1, "reranker config needs num_labels=1"
