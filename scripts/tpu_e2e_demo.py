@@ -49,6 +49,44 @@ def main():
     embedder = ModelManager.get_instance().get_embedder(ModelSpec("BAAI/bge-m3"))
     print(f"embedder ready in {time.time()-t0:.1f}s", flush=True)
 
+    # Real-weight path: when a local BGE-M3 checkpoint was discovered
+    # (models/manager.py discover_checkpoint), assert cosine parity of the
+    # converted JAX forward against torch on the same token ids.
+    key = ModelManager.get_instance()._embedder_key
+    local_dir = key[3] if key else None
+    if local_dir:
+        print(f"using real weights from {local_dir}", flush=True)
+        try:
+            import numpy as np
+            import torch
+            import transformers
+
+            probe = "TPU retrieval parity probe sentence."
+            ids, mask = embedder.tokenizer.encode_batch([probe], 64)
+            model = transformers.AutoModel.from_pretrained(
+                local_dir, add_pooling_layer=False
+            )
+            model.eval()
+            with torch.no_grad():
+                ref = model(
+                    input_ids=torch.tensor(ids.astype(np.int64)),
+                    attention_mask=torch.tensor(mask.astype(np.int64)),
+                ).last_hidden_state[:, 0].numpy()
+            ref = ref / np.linalg.norm(ref, axis=1, keepdims=True)
+            ours = embedder.encode([probe])
+            cos = float((ours * ref).sum())
+            print(f"real-weight cosine parity vs torch: {cos:.5f}", flush=True)
+            assert cos > 0.99, cos
+        except ImportError as e:
+            print(f"torch parity probe skipped (missing dep: {e})", flush=True)
+    else:
+        print(
+            "no local BGE-M3 checkpoint found — random-init weights "
+            "(timing-equivalent; see tests/unit/test_xlmr_parity.py for "
+            "full-depth numerical parity)",
+            flush=True,
+        )
+
     t0 = time.time()
     ok = build_module(
         "ttref", embedder,

@@ -55,6 +55,57 @@ _RERANKER_ARCHS: dict[str, XLMRConfig] = {
 }
 
 
+def discover_checkpoint(model_id: str) -> tuple[str | None, str | None]:
+    """Find local weights + tokenizer for ``model_id`` without any network.
+
+    Search order (first hit wins):
+
+    1. ``$TENSOR_TRUTH_TPU_MODELS_DIR/<model_id|sanitized>/`` — plain dirs;
+    2. the HF hub cache (``$HF_HUB_CACHE`` / ``$HF_HOME/hub`` /
+       ``~/.cache/huggingface/hub``) ``models--org--name/snapshots/*/``.
+
+    Returns (model_dir, tokenizer_json_path), either may be None. The
+    reference downloads from the Hub at runtime (reference
+    model_manager.py:254-337); this engine is offline-first and only ever
+    reads what is already on disk.
+    """
+    import os
+    from pathlib import Path
+
+    roots: list[Path] = []
+    env_dir = os.environ.get("TENSOR_TRUTH_TPU_MODELS_DIR")
+    if env_dir:
+        roots.append(Path(env_dir))
+    hub = os.environ.get("HF_HUB_CACHE")
+    if not hub:
+        hf_home = os.environ.get("HF_HOME")
+        hub = os.path.join(hf_home, "hub") if hf_home else None
+    roots.append(Path(hub) if hub else Path.home() / ".cache/huggingface/hub")
+
+    def weights_in(d: Path) -> bool:
+        return (d / "model.safetensors").exists() or (d / "pytorch_model.bin").exists()
+
+    candidates: list[Path] = []
+    sanitized = model_id.split("/")[-1]
+    for root in roots:
+        if not root.is_dir():
+            continue
+        candidates += [root / model_id, root / sanitized]
+        snap_root = root / f"models--{model_id.replace('/', '--')}" / "snapshots"
+        if snap_root.is_dir():
+            candidates += sorted(snap_root.iterdir(), reverse=True)
+
+    for d in candidates:
+        if d.is_dir() and weights_in(d):
+            tok = d / "tokenizer.json"
+            return str(d), str(tok) if tok.exists() else None
+    # tokenizer.json may exist without weights (e.g. shipped separately)
+    for d in candidates:
+        if d.is_dir() and (d / "tokenizer.json").exists():
+            return None, str(d / "tokenizer.json")
+    return None, None
+
+
 @dataclass
 class ModelSpec:
     model_id: str
@@ -94,8 +145,38 @@ class ModelManager:
 
     # -- embedder ------------------------------------------------------------
 
+    @staticmethod
+    def _resolve_spec(spec: ModelSpec) -> ModelSpec:
+        """Fill local_dir/tokenizer_path from on-disk checkpoints (no network)."""
+        from dataclasses import replace
+
+        if spec.model_id.startswith("tiny-"):
+            return spec  # test architectures are always random-init
+        if spec.local_dir and spec.tokenizer_path:
+            return spec
+        local_dir, tok = discover_checkpoint(spec.model_id)
+        return replace(
+            spec,
+            local_dir=spec.local_dir or local_dir,
+            tokenizer_path=spec.tokenizer_path or tok,
+        )
+
+    @staticmethod
+    def _warn_if_degraded(spec: ModelSpec, role: str) -> None:
+        if spec.model_id.startswith("tiny-"):
+            return
+        if spec.tokenizer_path is None:
+            logger.warning(
+                "%s %s: NO tokenizer.json found — falling back to the "
+                "hash-based SimpleTokenizer. Embeddings/scores will NOT "
+                "match the real model; retrieval quality is degraded. "
+                "Provide tokenizer.json via TENSOR_TRUTH_TPU_MODELS_DIR, "
+                "the HF cache, or the model config's tokenizer_path.",
+                role, spec.model_id,
+            )
+
     def get_embedder(self, spec: ModelSpec | None = None, mesh=None) -> Embedder:
-        spec = spec or ModelSpec(DEFAULT_EMBEDDING_MODEL)
+        spec = self._resolve_spec(spec or ModelSpec(DEFAULT_EMBEDDING_MODEL))
         key = (*spec.key(), mesh)
         with self._lock:
             if self._embedder is not None and self._embedder_key == key:
@@ -110,6 +191,7 @@ class ModelManager:
     def _load_embedder(self, spec: ModelSpec, mesh=None) -> Embedder:
         cfg = _EMBEDDER_ARCHS.get(spec.model_id, BGE_M3_CONFIG)
         dtype = getattr(jnp, spec.dtype)
+        self._warn_if_degraded(spec, "embedder")
         tokenizer = load_tokenizer(spec.tokenizer_path)
         if spec.local_dir:
             from tensortruth_tpu.models.convert import convert_local_checkpoint
@@ -133,7 +215,7 @@ class ModelManager:
     # -- reranker ------------------------------------------------------------
 
     def get_reranker(self, spec: ModelSpec | None = None, mesh=None) -> Reranker:
-        spec = spec or ModelSpec(DEFAULT_RERANKER_MODEL)
+        spec = self._resolve_spec(spec or ModelSpec(DEFAULT_RERANKER_MODEL))
         key = (*spec.key(), mesh)
         with self._lock:
             if self._reranker is not None and self._reranker_key == key:
@@ -148,6 +230,7 @@ class ModelManager:
     def _load_reranker(self, spec: ModelSpec, mesh=None) -> Reranker:
         cfg = _RERANKER_ARCHS.get(spec.model_id, BGE_RERANKER_V2_M3_CONFIG)
         dtype = getattr(jnp, spec.dtype)
+        self._warn_if_degraded(spec, "reranker")
         tokenizer = load_tokenizer(spec.tokenizer_path)
         if spec.local_dir:
             from tensortruth_tpu.models.convert import convert_local_checkpoint
