@@ -167,6 +167,8 @@ class WebSearchConfig:
     rerank_content_threshold: float = 0.1
     max_source_context_pct: float = 0.15
     input_context_pct: float = 0.6
+    citation_style: str = "hyperlink"  # "hyperlink" [Title](url) | "bracket" [Source N]
+    discover_links: bool = True  # append outbound-link suggestions to fetches
 
 
 @dataclass

@@ -1,18 +1,14 @@
-"""Aggregate stats over web SourceNodes + markdown link discovery.
+"""Aggregate stats over web SourceNodes.
 
 Mirrors reference core/source_metrics.py (per-status counts, score stats,
-content volume) and utils/web_search.py:1727-1820 (link extraction from
-fetched markdown for agent follow-up).
+content volume). Link discovery lives in web/links.py.
 """
 
 from __future__ import annotations
 
-import re
 import statistics
 
 from tensortruth_tpu.core.source import SourceNode
-
-_MD_LINK_RE = re.compile(r"\[([^\]]+)\]\((https?://[^)\s]+)\)")
 
 
 def compute_source_metrics(sources: list[SourceNode]) -> dict:
@@ -31,17 +27,3 @@ def compute_source_metrics(sources: list[SourceNode]) -> dict:
     }
 
 
-def extract_links_from_markdown(markdown: str, max_links: int = 20) -> list[dict]:
-    """[{title, url}] — deduped in order of appearance
-    (reference web_search.py:1727)."""
-    seen: set[str] = set()
-    out: list[dict] = []
-    for m in _MD_LINK_RE.finditer(markdown):
-        title, url = m.group(1).strip(), m.group(2)
-        if url in seen:
-            continue
-        seen.add(url)
-        out.append({"title": title, "url": url})
-        if len(out) >= max_links:
-            break
-    return out

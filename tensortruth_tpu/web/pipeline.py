@@ -118,16 +118,32 @@ async def fetch_adaptive(
     return fetched
 
 
-SYNTHESIS_PROMPT = (
-    "You are a research assistant writing a cited synthesis of web sources.\n\n"
-    "{sources_block}\n\n"
-    "Rules:\n"
-    "1. Answer the question directly from the sources above.\n"
-    "2. Cite with markdown hyperlinks: [Title](url) — never invent sources.\n"
-    "3. Note disagreements between sources explicitly.\n"
-    "4. If the sources do not answer the question, say so.\n\n"
-    "Question: {query}\n"
-)
+async def _stream_no_sources_explanation(
+    llm, query, rejected_titles, rejected_content, t_thresh, c_thresh
+):
+    """LLM explanation of why nothing passed (reference web_search.py:349-439)."""
+    from tensortruth_tpu.web.synthesis import (
+        build_no_sources_prompt,
+        no_sources_fallback_text,
+    )
+
+    if llm is None:
+        yield {"type": "token", "content": no_sources_fallback_text(query)}
+        return
+    prompt = build_no_sources_prompt(
+        query, rejected_titles, rejected_content, t_thresh, c_thresh
+    )
+    loop = asyncio.get_running_loop()
+    try:
+        deltas = await loop.run_in_executor(
+            None, lambda: list(llm.stream_chat([{"role": "user", "content": prompt}]))
+        )
+        for d in deltas:
+            if d.text:
+                yield {"type": "token", "content": d.text}
+    except Exception as e:
+        logger.warning("no-sources explanation LLM failed: %s", e)
+        yield {"type": "token", "content": no_sources_fallback_text(query)}
 
 
 async def web_search_stream(
@@ -157,13 +173,25 @@ async def web_search_stream(
         yield {"type": "error", "error": "no search results"}
         return
 
+    llm = context.get("llm")
     reranker = context.get("reranker")
+    rejected_titles: list[tuple[str, float]] = []
+    rejected_content: list[tuple[str, float]] = []
     if reranker is not None and (ws_cfg is None or ws_cfg.enable_title_reranking):
         yield {"type": "status", "status": "reranking", "message": "Ranking results"}
-        sources, _ = rerank_sources(
+        sources, filtered = rerank_sources(
             reranker, query, sources,
             lambda s: f"{s.title}. {s.snippet}", title_threshold,
         )
+        rejected_titles = [(s.title or s.url, s.score or 0.0) for s in filtered]
+    if not sources:
+        async for msg in _stream_no_sources_explanation(
+            llm, query, rejected_titles, rejected_content,
+            title_threshold, content_threshold,
+        ):
+            yield msg
+        yield {"type": "done", "content": ""}
+        return
 
     yield {"type": "status", "status": "fetching", "message": "Fetching pages"}
     progress_q: asyncio.Queue = asyncio.Queue()
@@ -181,9 +209,10 @@ async def web_search_stream(
         return
 
     if reranker is not None and (ws_cfg is None or ws_cfg.enable_content_reranking):
-        fetched, _ = rerank_sources(
+        fetched, filtered = rerank_sources(
             reranker, query, fetched, lambda s: (s.content or "")[:2000], content_threshold
         )
+        rejected_content = [(s.title or s.url, s.score or 0.0) for s in filtered]
 
     params = context.get("params", {})
     fitted = fit_sources_to_context(
@@ -192,21 +221,41 @@ async def web_search_stream(
         input_pct=ws_cfg.input_context_pct if ws_cfg else 0.6,
         per_source_pct=ws_cfg.max_source_context_pct if ws_cfg else 0.15,
     )
+    if not fitted:
+        async for msg in _stream_no_sources_explanation(
+            llm, query, rejected_titles, rejected_content,
+            title_threshold, content_threshold,
+        ):
+            yield msg
+        yield {"type": "done", "content": ""}
+        return
     yield {"type": "sources", "sources": [s.to_dict() for s in fitted]}
 
-    llm = context.get("llm")
     if llm is None:
         yield {"type": "error", "error": "no LLM configured for synthesis"}
         return
-    block = "\n\n".join(
-        f"### Source: [{s.title}]({s.url})\n{s.content}" for s in fitted
+    # Query-adaptive prompt: type detection, model-family adaptation,
+    # citation style, structure template (web/synthesis.py).
+    from tensortruth_tpu.web.synthesis import CitationStyle, build_synthesis_prompt
+
+    style = CitationStyle(
+        (ws_cfg.citation_style if ws_cfg and getattr(ws_cfg, "citation_style", None) else "hyperlink")
     )
-    prompt = SYNTHESIS_PROMPT.format(sources_block=block, query=query)
+    prompt, system, temp_override = build_synthesis_prompt(
+        query,
+        fitted,
+        model_name=params.get("model"),
+        citation_style=style,
+        custom_instructions=params.get("custom_instructions"),
+    )
     yield {"type": "status", "status": "generating", "message": "Synthesizing"}
     loop = asyncio.get_running_loop()
 
     def run_stream():
-        return list(llm.stream_chat([{"role": "user", "content": prompt}]))
+        kwargs = {}
+        if system is not None:
+            kwargs["system"] = system
+        return list(llm.stream_chat([{"role": "user", "content": prompt}], **kwargs))
 
     deltas = await loop.run_in_executor(None, run_stream)
     text_parts = []

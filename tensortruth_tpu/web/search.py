@@ -143,16 +143,19 @@ async def fetch_pages_batch_tool(urls: list[str], max_chars_per_page: int = 4000
     """Parallel page fetch with per-page link discovery
     (reference orchestrator_tool_wrappers.py:651-929)."""
     from tensortruth_tpu.web.fetch import fetch_url_as_markdown
-    from tensortruth_tpu.web.metrics import extract_links_from_markdown
+    from tensortruth_tpu.web.links import extract_links_from_markdown
+
+    fetched_set = set(urls)
 
     async def one(url: str):
         try:
             title, md = await asyncio.to_thread(fetch_url_as_markdown, url)
+            links = extract_links_from_markdown(md, url, exclude_urls=fetched_set)
             return {
                 "url": url,
                 "title": title,
                 "markdown": md[:max_chars_per_page],
-                "links": extract_links_from_markdown(md),
+                "links": [{"title": a, "url": u} for a, u in links],
                 "status": "success",
             }
         except Exception as e:

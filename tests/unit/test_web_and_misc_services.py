@@ -8,7 +8,8 @@ import pytest
 from tensortruth_tpu.core.source import SourceNode, SourceStatus
 from tensortruth_tpu.services.image_service import ImageService
 from tensortruth_tpu.services.metadata_store import MetadataStore
-from tensortruth_tpu.web.metrics import compute_source_metrics, extract_links_from_markdown
+from tensortruth_tpu.web.links import extract_links_from_markdown
+from tensortruth_tpu.web.metrics import compute_source_metrics
 from tensortruth_tpu.web.pipeline import fit_sources_to_context, rerank_sources
 
 
@@ -26,15 +27,24 @@ def test_source_metrics():
 
 
 def test_extract_links():
-    md = "see [A](https://a.com) and ![img](https://i.png) and [A2](https://a.com) [B](https://b.com)"
-    links = extract_links_from_markdown(md)
-    assert links == [
-        {"title": "img", "url": "https://i.png"},
-        {"title": "A2", "url": "https://a.com"},
-        {"title": "B", "url": "https://b.com"},
-    ][:len(links)] or links[0]["url"]  # order: first occurrence, deduped
-    urls = [l["url"] for l in links]
-    assert urls.count("https://a.com") == 1
+    md = (
+        "see [A](https://a.com/x) and [A2](https://a.com/x) "
+        "[B](https://b.com/y) [rel](/docs/guide) [frag](#sec) "
+        "[login](https://a.com/login) [js](javascript:alert(1))"
+    )
+    links = extract_links_from_markdown(md, "https://base.org/page")
+    urls = [u for _, u in links]
+    assert urls.count("https://a.com/x") == 1  # deduped
+    assert "https://base.org/docs/guide" in urls  # relative resolved
+    assert not any("#" in u for u in urls)  # fragments dropped
+    assert not any("login" in u for u in urls)  # boilerplate dropped
+    assert not any(u.startswith("javascript") for u in urls)
+
+    # already-fetched exclusion
+    links = extract_links_from_markdown(
+        md, "https://base.org/page", exclude_urls={"https://a.com/x"}
+    )
+    assert "https://a.com/x" not in [u for _, u in links]
 
 
 def test_fit_sources_to_context():
