@@ -50,18 +50,83 @@ ORCHESTRATOR_SYSTEM_PROMPT = (
 )
 
 
-def budget_history(history: list[dict], context_window: int) -> list[dict]:
-    """Char-budget trim, newest first (reference :559-636)."""
-    budget = int(context_window * BUDGET_HISTORY) * CHARS_PER_TOKEN
+def budget_history(
+    history: list[dict],
+    context_window: int,
+    system_prompt: str = "",
+    user_prompt: str = "",
+) -> list[dict]:
+    """Full context partitioning (reference :559-636).
+
+    The window splits 12% system / 18% history / 18% user / 50% response.
+    History gets min(its 18% share, whatever remains after the ACTUAL
+    system+user sizes and the response buffer) — an oversized system prompt
+    eats the history budget, never the response buffer. Trims newest-first
+    and drops a leading orphaned assistant message so only complete turns
+    survive.
+    """
+    total = context_window * CHARS_PER_TOKEN
+    response_buffer = int(total * BUDGET_RESPONSE)
+    available = max(0, total - len(system_prompt) - len(user_prompt) - response_buffer)
+    budget = min(int(total * BUDGET_HISTORY), available)
+    if budget <= 0 or not history:
+        return []
     out: list[dict] = []
     used = 0
     for msg in reversed(history):
-        n = len(msg.get("content", ""))
+        n = len(str(msg.get("content", "")))
         if used + n > budget:
             break
         out.append(msg)
         used += n
-    return list(reversed(out))
+    out.reverse()
+    if out and out[0].get("role") == "assistant":
+        out = out[1:]  # complete-turn invariant
+    return out
+
+
+def load_module_descriptions(
+    modules: list[str], config=None, indexes_dir=None
+) -> list[dict]:
+    """[{name, display_name, doc_type}] from index metadata
+    (reference :1274-1345). Modules whose metadata is unavailable come back
+    with their bare name and doc_type 'unknown'."""
+    from pathlib import Path
+
+    from tensortruth_tpu.index.store import sanitize_model_id
+    from tensortruth_tpu.indexing.metadata import read_index_metadata
+
+    if not modules:
+        return []
+    try:
+        if indexes_dir is None:
+            from tensortruth_tpu.app.paths import get_base_indexes_dir
+
+            indexes_dir = get_base_indexes_dir()
+        model = (
+            config.rag.default_embedding_model if config else "BAAI/bge-m3"
+        )
+        model_dir = Path(indexes_dir) / sanitize_model_id(model)
+    except Exception:
+        model_dir = None
+
+    out = []
+    for module in modules:
+        desc = {"name": module, "display_name": module, "doc_type": "unknown"}
+        if model_dir is not None and model_dir.is_dir():
+            cands = [model_dir / module] + sorted(model_dir.glob(f"*_{module}"))
+            for c in cands:
+                if not c.is_dir():
+                    continue
+                if c.name != module and c.name.endswith(f"_{module}"):
+                    desc["doc_type"] = c.name[: -len(module) - 1]
+                meta = read_index_metadata(c) or {}
+                desc["display_name"] = meta.get("display_name") or module
+                if meta.get("doc_type"):
+                    desc["doc_type"] = meta["doc_type"]
+                break
+        out.append(desc)
+    return out
 
 
 class OrchestratorService:
@@ -104,9 +169,18 @@ class OrchestratorService:
         tool_list = "\n".join(
             f"- {t.name}: {t.description}" for t in tools.values()
         )
+        descs = load_module_descriptions(modules, self.config)
+        if descs:
+            module_block = "; ".join(
+                f"{d['display_name']} ({d['doc_type']})" if d["doc_type"] != "unknown"
+                else d["display_name"]
+                for d in descs
+            )
+        else:
+            module_block = "none"
         return ORCHESTRATOR_SYSTEM_PROMPT.format(
             date_context=current_date_context(),
-            modules=", ".join(modules) or "none",
+            modules=module_block,
             tool_list=tool_list,
         )
 
@@ -134,13 +208,20 @@ class OrchestratorService:
         # modules AND/OR session/project document indexes.
         if modules or getattr(self.rag_service, "engine", None) is not None:
             extra_tools["rag_query"] = self._rag_tool(params)
+        all_tools = dict(extra_tools)
+        all_tools.update(self.tool_service.tools)
+        system_prompt = self._system_prompt(modules, all_tools)
         agent = FunctionAgent(
             context={
                 "llm": llm,
                 "tool_service": self.tool_service,
                 "extra_tools": extra_tools,
+                # 12/18/18/50 window partition against the REAL prompt sizes
                 "history": budget_history(
-                    history or [], params.get("context_window", 8192)
+                    history or [],
+                    params.get("context_window", 8192),
+                    system_prompt=system_prompt,
+                    user_prompt=prompt,
                 ),
                 "show_reasoning": bool(
                     self.config and self.config.agent.show_orchestrator_reasoning
@@ -148,9 +229,7 @@ class OrchestratorService:
             },
             max_iterations=params.get("max_iterations", MAX_ITERATIONS),
         )
-        all_tools = dict(extra_tools)
-        all_tools.update(self.tool_service.tools)
-        agent.system_prompt = self._system_prompt(modules, all_tools)
+        agent.system_prompt = system_prompt
 
         agent_answer = ""
         tool_outputs: list[dict] = []

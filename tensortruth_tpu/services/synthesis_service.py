@@ -31,13 +31,33 @@ SYNTHESIS_SYSTEM_PROMPT = (
 
 
 def build_source_reference(sources: list) -> str:
-    """Numbered citation list (reference orchestrator_service.py:1212-1271)."""
+    """Numbered citation list for the synthesis prompt
+    (reference orchestrator_service.py:1212-1271): sequential numbering
+    across knowledge-base and web sources, each annotated with its kind and
+    rerank score so the LLM can weigh evidence."""
+
+    def field(s, name, default=""):
+        v = getattr(s, name, None)
+        if v is None and isinstance(s, dict):
+            v = s.get(name)
+        return v if v is not None else default
+
     lines = []
     for i, s in enumerate(sources, 1):
-        title = getattr(s, "title", None) or (s.get("title") if isinstance(s, dict) else "")
-        url = getattr(s, "url", None) or (s.get("url") if isinstance(s, dict) else "")
-        lines.append(f"[{i}] {title}" + (f" — {url}" if url else ""))
-    return "\n".join(lines)
+        title = field(s, "title") or field(s, "id") or "Untitled"
+        url = field(s, "url")
+        stype = field(s, "type")
+        stype = getattr(stype, "value", stype) or ""
+        kind = "web" if stype == "web" else "knowledge base"
+        score = field(s, "score", None)
+        score_str = f", score: {score:.2f}" if isinstance(score, (int, float)) else ""
+        suffix = f" - {url}" if url else ""
+        lines.append(f'[{i}] "{title}" ({kind}{score_str}){suffix}')
+    if not lines:
+        return ""
+    return (
+        "--- Source Reference ---\n" + "\n".join(lines) + "\n--- End Source Reference ---"
+    )
 
 
 CHARS_PER_TOKEN = 4
@@ -71,7 +91,7 @@ class SynthesisService:
         source_ref = build_source_reference(sources or [])
         prompt_parts = [f"Question: {question}"]
         if source_ref:
-            prompt_parts.append(f"Sources:\n{source_ref}")
+            prompt_parts.append(source_ref)
         if blocks:
             prompt_parts.append("Tool outputs:\n\n" + "\n\n".join(blocks))
         if agent_answer:

@@ -110,9 +110,15 @@ def test_budget_history_trims_oldest():
 
 
 def test_build_source_reference():
-    srcs = [SourceNode(title="A", url="http://a"), SourceNode(title="B")]
+    from tensortruth_tpu.core.source import SourceType
+
+    srcs = [
+        SourceNode(title="A", url="http://a", type=SourceType.WEB),
+        SourceNode(title="B"),
+    ]
     ref = build_source_reference(srcs)
-    assert ref.splitlines() == ["[1] A — http://a", "[2] B"]
+    assert '[1] "A" (web) - http://a' in ref
+    assert '[2] "B" (knowledge base)' in ref
 
 
 def test_startup_service_status(tmp_path, monkeypatch):
@@ -147,3 +153,81 @@ def test_synthesis_truncates_to_budget():
     list(svc.synthesize("q", outputs))
     assert len(captured["prompt"]) < 10_000
     assert "[...truncated]" in captured["prompt"]
+
+
+class TestContextBudgeting:
+    """Full 12/18/18/50 partition (reference orchestrator_service.py:559-636)."""
+
+    def test_history_gets_its_18_pct_share(self):
+        from tensortruth_tpu.services.orchestrator_service import budget_history
+
+        ctx = 1000  # 4000 chars total; history budget = 720 chars
+        history = [
+            {"role": "user", "content": "u" * 300},
+            {"role": "assistant", "content": "a" * 300},
+            {"role": "user", "content": "u" * 300},
+            {"role": "assistant", "content": "a" * 300},
+        ]
+        kept = budget_history(history, ctx)
+        assert len(kept) == 2  # newest turn (600 chars) fits; older does not
+        assert kept[0]["role"] == "user"
+
+    def test_oversized_system_prompt_eats_history_not_response(self):
+        from tensortruth_tpu.services.orchestrator_service import budget_history
+
+        ctx = 1000  # 4000 chars; response buffer 2000
+        history = [{"role": "user", "content": "hello"}]
+        # system 1900 + user 200 + buffer 2000 = 4100 > 4000 → no history
+        kept = budget_history(
+            history, ctx, system_prompt="s" * 1900, user_prompt="u" * 200
+        )
+        assert kept == []
+
+    def test_orphaned_assistant_head_is_dropped(self):
+        from tensortruth_tpu.services.orchestrator_service import budget_history
+
+        history = [
+            {"role": "user", "content": "x" * 5000},  # too big — gets cut
+            {"role": "assistant", "content": "a" * 10},
+            {"role": "user", "content": "u" * 10},
+            {"role": "assistant", "content": "a" * 10},
+        ]
+        kept = budget_history(history, 1000)
+        assert kept and kept[0]["role"] == "user"  # complete turns only
+
+
+class TestModuleDescriptions:
+    def test_reads_doc_type_and_display_name(self, tmp_path):
+        import json
+
+        from tensortruth_tpu.services.orchestrator_service import (
+            load_module_descriptions,
+        )
+
+        d = tmp_path / "bge-m3" / "library_numpy"
+        d.mkdir(parents=True)
+        (d / "index_metadata.json").write_text(
+            json.dumps({"display_name": "NumPy API docs", "embedding_model": "BAAI/bge-m3"})
+        )
+        out = load_module_descriptions(["numpy", "ghost"], indexes_dir=tmp_path)
+        assert out[0] == {
+            "name": "numpy", "display_name": "NumPy API docs", "doc_type": "library",
+        }
+        assert out[1]["doc_type"] == "unknown"  # missing module falls back
+
+
+class TestSourceReference:
+    def test_numbered_across_kb_and_web_with_scores(self):
+        from tensortruth_tpu.core.source import SourceNode, SourceType
+        from tensortruth_tpu.services.synthesis_service import build_source_reference
+
+        sources = [
+            SourceNode(title="Chapter 3", score=0.82, type=SourceType.LIBRARY_DOC),
+            SourceNode(title="Blog post", url="https://b.org/p", score=0.41,
+                       type=SourceType.WEB),
+        ]
+        ref = build_source_reference(sources)
+        assert '[1] "Chapter 3" (knowledge base, score: 0.82)' in ref
+        assert '[2] "Blog post" (web, score: 0.41) - https://b.org/p' in ref
+        assert ref.startswith("--- Source Reference ---")
+        assert build_source_reference([]) == ""
