@@ -22,20 +22,15 @@ def fetch_book(
     output_base_dir: str | Path,
     pages_per_chunk: int = DEFAULT_PAGES_PER_CHUNK,
 ) -> bool:
-    """Download a book PDF, split into page chunks, write markdown per chunk.
+    """Download a book PDF and split to markdown chapters.
 
-    The reference splits by embedded TOC chapters when available
-    (reference book.py:109-298) — TOC extraction needs PyMuPDF outlines;
-    with the fallback extractor, fixed page chunks are used
-    (reference book.py:299, default 15 pages).
+    Split strategy (reference scrapers/book.py:109-298): the embedded TOC's
+    top-level chapters when the PDF has an outline (pure-python parse,
+    utils/pdf.py extract_pdf_toc), with over-long chapters re-chunked at
+    ``max_pages_per_chapter``; otherwise fixed page chunks (reference
+    book.py:299, default 15 pages).
     """
     import requests
-
-    from tensortruth_tpu.utils.pdf import (
-        extract_pdf_pages,
-        post_process_markdown,
-        split_pages_into_chunks,
-    )
 
     output_dir = Path(output_base_dir) / f"book_{book_name}"
     output_dir.mkdir(parents=True, exist_ok=True)
@@ -46,16 +41,52 @@ def fetch_book(
     except Exception as e:
         logger.error("book download failed %s: %s", url, e)
         return False
+    return split_book_pdf(book_name, r.content, output_dir, config, pages_per_chunk)
 
-    pages = extract_pdf_pages(r.content)
+
+def split_book_pdf(
+    book_name: str,
+    data: bytes,
+    output_dir: Path,
+    config: dict | None = None,
+    pages_per_chunk: int = DEFAULT_PAGES_PER_CHUNK,
+) -> bool:
+    """Split PDF bytes into per-chapter markdown files (TOC-aware)."""
+    from tensortruth_tpu.utils.pdf import (
+        extract_pdf_pages,
+        extract_pdf_toc,
+        post_process_markdown,
+        split_pages_by_toc,
+        split_pages_into_chunks,
+    )
+
+    config = config or {}
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    pages = extract_pdf_pages(data)
     if not pages:
         logger.error("no extractable text in book %s", book_name)
         return False
-    chunks = split_pages_into_chunks(pages, config.get("pages_per_chunk", pages_per_chunk))
-    for i, chunk in enumerate(chunks, 1):
-        out = output_dir / f"{i:02d}_chapter_{i}_{_safe(book_name)}.md"
-        out.write_text(post_process_markdown(chunk), encoding="utf-8")
-    logger.info("book %s: %d chunks", book_name, len(chunks))
+
+    chapters: list[tuple[str, str]] = []
+    if config.get("use_toc", True):
+        toc = extract_pdf_toc(data)
+        chapters = split_pages_by_toc(
+            pages, toc, max_pages_per_chapter=config.get("max_pages_per_chapter")
+        )
+        if chapters:
+            logger.info("book %s: TOC split into %d chapters", book_name, len(chapters))
+    if not chapters:
+        chunks = split_pages_into_chunks(
+            pages, config.get("pages_per_chunk", pages_per_chunk)
+        )
+        chapters = [(f"chapter {i}", c) for i, c in enumerate(chunks, 1)]
+    for i, (title, text) in enumerate(chapters, 1):
+        out = output_dir / f"{i:02d}_{_safe(title)}_{_safe(book_name)}.md"
+        out.write_text(
+            f"# {title}\n\n" + post_process_markdown(text), encoding="utf-8"
+        )
+    logger.info("book %s: %d chapter files", book_name, len(chapters))
     return True
 
 

@@ -58,20 +58,145 @@ def _decode_pdf_string(raw: bytes) -> str:
     return body.decode("latin-1", errors="ignore")
 
 
-def _extract_fallback(data: bytes) -> list[str]:
-    """Naive stream-scan extraction; one pseudo-page per content stream."""
-    pages: list[str] = []
-    for m in _STREAM_RE.finditer(data):
-        raw = m.group(1)
-        try:
-            content = zlib.decompress(raw)
-        except zlib.error:
-            content = raw
-        parts: list[str] = []
-        for op in _TJ_RE.finditer(content):
-            for s in _PSTR_RE.finditer(op.group(0)):
+# -- pure-python COS object model (no pymupdf) ----------------------------------
+
+_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b(.*?)endobj", re.DOTALL)
+_REF_RE = re.compile(rb"(\d+)\s+\d+\s+R\b")
+# Text layout operators inside BT..ET: strings, arrays, line moves.
+_TEXTOP_RE = re.compile(
+    rb"\[(?:\((?:\\.|[^\\()])*\)|[^\]])*\]\s*TJ"  # [..] TJ
+    rb"|\((?:\\.|[^\\()])*\)\s*(?:Tj|')"  # (..) Tj / (..) '
+    rb"|T\*"  # next line
+    rb"|-?[0-9.]+[ \t]+-?[0-9.]+[ \t]+T[dD]"  # Td/TD moves
+)
+_TJ_SPACE_THRESHOLD = -180  # thousandths of an em: bigger gaps become spaces
+
+
+def _parse_objects(data: bytes) -> dict[int, bytes]:
+    """obj number → body bytes for classic (non-object-stream) PDFs."""
+    return {int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(data)}
+
+
+def _dict_value(body: bytes, key: bytes) -> bytes | None:
+    """Raw value after /key in a COS dictionary body (first occurrence)."""
+    m = re.search(rb"/" + key + rb"\s*", body)
+    if not m:
+        return None
+    rest = body[m.end():]
+    if rest.startswith(b"["):  # array: match to balanced close
+        depth = 0
+        for i, ch in enumerate(rest):
+            if ch == 0x5B:
+                depth += 1
+            elif ch == 0x5D:
+                depth -= 1
+                if depth == 0:
+                    return rest[: i + 1]
+        return None
+    m2 = re.match(rb"(\d+\s+\d+\s+R|/[^\s/\[\]<>]+|\((?:\\.|[^\\()])*\)|<[^>]*>|[^\s/\[\]<>]+)", rest)
+    return m2.group(0) if m2 else None
+
+
+def _first_ref(raw: bytes | None) -> int | None:
+    if raw is None:
+        return None
+    m = _REF_RE.search(raw)
+    return int(m.group(1)) if m else None
+
+
+def _ordered_page_objnums(objs: dict[int, bytes]) -> list[int]:
+    """Walk the /Pages tree in /Kids order → page object numbers."""
+    root = None
+    for num, body in objs.items():
+        if re.search(rb"/Type\s*/Catalog\b", body):
+            root = _first_ref(_dict_value(body, b"Pages"))
+            break
+    if root is None:
+        return []
+    out: list[int] = []
+
+    def walk(num: int, depth=0):
+        if depth > 64 or num not in objs:
+            return
+        body = objs[num]
+        if re.search(rb"/Type\s*/Page\b", body) and not re.search(
+            rb"/Type\s*/Pages\b", body
+        ):
+            out.append(num)
+            return
+        kids = _dict_value(body, b"Kids")
+        if kids:
+            for m in _REF_RE.finditer(kids):
+                walk(int(m.group(1)), depth + 1)
+
+    walk(root)
+    return out
+
+
+def _content_streams(objs: dict[int, bytes], page_num: int) -> list[bytes]:
+    refs = _dict_value(objs.get(page_num, b""), b"Contents")
+    streams = []
+    if refs:
+        for m in _REF_RE.finditer(refs):
+            body = objs.get(int(m.group(1)), b"")
+            sm = _STREAM_RE.search(body)
+            if sm:
+                streams.append(sm.group(1))
+    return streams
+
+
+def _stream_text(content: bytes) -> str:
+    """Decode one content stream's text operators with layout heuristics:
+    Td/TD/T*/' start new lines; large negative TJ kerns become spaces."""
+    try:
+        content = zlib.decompress(content)
+    except zlib.error:
+        pass
+    parts: list[str] = []
+    for m in _TEXTOP_RE.finditer(content):
+        op = m.group(0)
+        if op.endswith(b"TJ"):
+            for piece in re.finditer(
+                rb"\((?:\\.|[^\\()])*\)|-?[0-9.]+", op
+            ):
+                tok = piece.group(0)
+                if tok.startswith(b"("):
+                    parts.append(_decode_pdf_string(tok))
+                else:
+                    try:
+                        if float(tok) <= _TJ_SPACE_THRESHOLD:
+                            parts.append(" ")
+                    except ValueError:
+                        pass
+        elif op.endswith(b"Tj"):
+            s = _PSTR_RE.search(op)
+            if s:
                 parts.append(_decode_pdf_string(s.group(0)))
-        text = "".join(parts)
+        elif op.endswith(b"'"):
+            s = _PSTR_RE.search(op)
+            parts.append("\n")
+            if s:
+                parts.append(_decode_pdf_string(s.group(0)))
+        else:  # T*, Td, TD — line move
+            parts.append("\n")
+    return "".join(parts)
+
+
+def _extract_fallback(data: bytes) -> list[str]:
+    """Page-aware extraction via the /Pages tree; stream-scan as last resort."""
+    objs = _parse_objects(data)
+    page_nums = _ordered_page_objnums(objs)
+    if page_nums:
+        pages = []
+        for pn in page_nums:
+            text = "".join(_stream_text(s) for s in _content_streams(objs, pn))
+            pages.append(text)
+        if any(p.strip() for p in pages):
+            return pages
+    # xref-stream/object-stream PDFs: fall back to scanning all streams.
+    pages = []
+    for m in _STREAM_RE.finditer(data):
+        text = _stream_text(m.group(1))
         if text.strip():
             pages.append(text)
     return pages
@@ -83,6 +208,102 @@ def extract_pdf_pages(data: bytes) -> list[str]:
     if pages is None:
         pages = _extract_fallback(data)
     return pages
+
+
+# -- TOC / outline extraction (reference scrapers/book.py:109-298) --------------
+
+
+def extract_pdf_toc(data: bytes) -> list[dict]:
+    """[{level, title, page}] from the PDF outline tree (0-based pages).
+
+    pymupdf's get_toc() when available; otherwise a pure-python walk of
+    /Outlines → /First../Next chains, resolving /Dest or /A<</D ..>>
+    destinations against the page tree order.
+    """
+    try:
+        import pymupdf  # type: ignore
+
+        with pymupdf.open(stream=data, filetype="pdf") as doc:
+            return [
+                {"level": lvl, "title": title, "page": max(0, page - 1)}
+                for lvl, title, page in doc.get_toc()
+            ]
+    except ImportError:
+        pass
+
+    objs = _parse_objects(data)
+    page_order = {pn: i for i, pn in enumerate(_ordered_page_objnums(objs))}
+    outlines_ref = None
+    for body in objs.values():
+        if re.search(rb"/Type\s*/Catalog\b", body):
+            outlines_ref = _first_ref(_dict_value(body, b"Outlines"))
+            break
+    if outlines_ref is None or outlines_ref not in objs:
+        return []
+
+    def dest_page(body: bytes) -> int | None:
+        dest = _dict_value(body, b"Dest")
+        if dest is None:
+            a_ref = _first_ref(_dict_value(body, b"A"))
+            action = objs.get(a_ref, b"") if a_ref else b""
+            if not action:  # inline action dictionary
+                m = re.search(rb"/A\s*<<(.*?)>>", body, re.DOTALL)
+                action = m.group(1) if m else b""
+            dest = _dict_value(action, b"D")
+        ref = _first_ref(dest)
+        return page_order.get(ref) if ref is not None else None
+
+    out: list[dict] = []
+
+    def walk(num: int, level: int, guard: set):
+        while num and num in objs and num not in guard:
+            guard.add(num)
+            body = objs[num]
+            title_raw = _dict_value(body, b"Title")
+            title = (
+                _decode_pdf_string(title_raw)
+                if title_raw and title_raw.startswith(b"(")
+                else (title_raw or b"").decode("latin-1", "ignore")
+            )
+            page = dest_page(body)
+            if title.strip() and page is not None:
+                out.append({"level": level, "title": title.strip(), "page": page})
+            first = _first_ref(_dict_value(body, b"First"))
+            if first:
+                walk(first, level + 1, guard)
+            num = _first_ref(_dict_value(body, b"Next"))
+
+    walk(_first_ref(_dict_value(objs[outlines_ref], b"First")) or 0, 1, set())
+    return out
+
+
+def split_pages_by_toc(
+    pages: list[str],
+    toc: list[dict],
+    max_pages_per_chapter: int | None = None,
+) -> list[tuple[str, str]]:
+    """(chapter_title, text) splits at top-level TOC entries
+    (reference scrapers/book.py:109-298). Chapters longer than
+    ``max_pages_per_chapter`` re-chunk into '<title> (part N)' pieces."""
+    tops = [t for t in toc if t["level"] == 1 and 0 <= t["page"] < len(pages)]
+    if len(tops) < 2:
+        return []
+    tops.sort(key=lambda t: t["page"])
+    out: list[tuple[str, str]] = []
+    if tops[0]["page"] > 0:  # front matter before the first chapter
+        out.append(("Front Matter", "\n\n".join(pages[: tops[0]["page"]])))
+    for i, entry in enumerate(tops):
+        start = entry["page"]
+        end = tops[i + 1]["page"] if i + 1 < len(tops) else len(pages)
+        span = pages[start:end]
+        if max_pages_per_chapter and len(span) > max_pages_per_chapter:
+            for j in range(0, len(span), max_pages_per_chapter):
+                part = span[j : j + max_pages_per_chapter]
+                n = j // max_pages_per_chapter + 1
+                out.append((f"{entry['title']} (part {n})", "\n\n".join(part)))
+        else:
+            out.append((entry["title"], "\n\n".join(span)))
+    return out
 
 
 def pdf_to_text(data: bytes) -> str:

@@ -1,0 +1,121 @@
+"""Pure-python PDF page/TOC extraction and book chapter splitting.
+
+A minimal uncompressed PDF with a /Pages tree and an /Outlines chain is
+hand-built here so the test covers the dependency-free parser path
+(reference scrapers/book.py:109-298 capability without pymupdf).
+"""
+
+import numpy as np
+import pytest
+
+from tensortruth_tpu.utils.pdf import (
+    extract_pdf_pages,
+    extract_pdf_toc,
+    split_pages_by_toc,
+    split_pages_into_chunks,
+)
+
+
+def _make_pdf(page_texts, chapters=None):
+    """Build a classic-xref PDF: one content stream per page, optional
+    top-level outline entries as (title, page_index)."""
+    objs = {}
+    n_pages = len(page_texts)
+    page_obj0 = 10
+    content_obj0 = 10 + n_pages
+    kids = " ".join(f"{page_obj0 + i} 0 R" for i in range(n_pages))
+    objs[1] = f"<< /Type /Catalog /Pages 2 0 R {'/Outlines 3 0 R' if chapters else ''} >>"
+    objs[2] = f"<< /Type /Pages /Kids [ {kids} ] /Count {n_pages} >>"
+    if chapters:
+        first, last = 4, 4 + len(chapters) - 1
+        objs[3] = f"<< /Type /Outlines /First {first} 0 R /Last {last} 0 R >>"
+        for j, (title, page_idx) in enumerate(chapters):
+            num = 4 + j
+            nxt = f"/Next {num + 1} 0 R" if j + 1 < len(chapters) else ""
+            objs[num] = (
+                f"<< /Title ({title}) /Parent 3 0 R {nxt} "
+                f"/Dest [ {page_obj0 + page_idx} 0 R /Fit ] >>"
+            )
+    for i, text in enumerate(page_texts):
+        objs[page_obj0 + i] = (
+            f"<< /Type /Page /Parent 2 0 R /Contents {content_obj0 + i} 0 R >>"
+        )
+        stream = f"BT /F1 12 Tf 72 720 Td ({text}) Tj ET"
+        objs[content_obj0 + i] = (
+            f"<< /Length {len(stream)} >>\nstream\n{stream}\nendstream"
+        )
+    body = "%PDF-1.4\n" + "".join(
+        f"{num} 0 obj\n{content}\nendobj\n" for num, content in sorted(objs.items())
+    ) + "%%EOF"
+    return body.encode("latin-1")
+
+
+PAGES = [f"Text of page {i}." for i in range(6)]
+
+
+def test_page_aware_fallback_extraction():
+    pdf = _make_pdf(PAGES)
+    pages = extract_pdf_pages(pdf)
+    assert len(pages) == 6
+    for i, p in enumerate(pages):
+        assert f"Text of page {i}." in p
+
+
+def test_toc_extraction_pure_python():
+    pdf = _make_pdf(PAGES, chapters=[("Intro", 0), ("Methods", 2), ("Results", 4)])
+    toc = extract_pdf_toc(pdf)
+    assert [(t["title"], t["page"]) for t in toc] == [
+        ("Intro", 0), ("Methods", 2), ("Results", 4),
+    ]
+    assert all(t["level"] == 1 for t in toc)
+
+
+def test_split_pages_by_toc():
+    pdf = _make_pdf(PAGES, chapters=[("Intro", 1), ("Methods", 3)])
+    toc = extract_pdf_toc(pdf)
+    pages = extract_pdf_pages(pdf)
+    chapters = split_pages_by_toc(pages, toc)
+    titles = [t for t, _ in chapters]
+    assert titles == ["Front Matter", "Intro", "Methods"]
+    assert "page 0" in chapters[0][1]
+    assert "page 1" in chapters[1][1] and "page 2" in chapters[1][1]
+    assert "page 3" in chapters[2][1] and "page 5" in chapters[2][1]
+
+
+def test_split_by_toc_max_pages_rechunks():
+    pdf = _make_pdf(PAGES, chapters=[("Big", 0), ("End", 5)])
+    chapters = split_pages_by_toc(
+        extract_pdf_pages(pdf), extract_pdf_toc(pdf), max_pages_per_chapter=2
+    )
+    titles = [t for t, _ in chapters]
+    assert titles == ["Big (part 1)", "Big (part 2)", "Big (part 3)", "End"]
+
+
+def test_toc_split_falls_back_when_no_outline():
+    pdf = _make_pdf(PAGES)
+    assert extract_pdf_toc(pdf) == []
+    assert split_pages_by_toc(extract_pdf_pages(pdf), []) == []
+    assert len(split_pages_into_chunks(extract_pdf_pages(pdf), 4)) == 2
+
+
+def test_book_split_writes_chaptered_markdown(tmp_path):
+    from tensortruth_tpu.scrapers.book import split_book_pdf
+
+    pdf = _make_pdf(PAGES, chapters=[("Alpha", 0), ("Beta", 3)])
+    ok = split_book_pdf("mybook", pdf, tmp_path / "book_mybook")
+    assert ok
+    files = sorted((tmp_path / "book_mybook").glob("*.md"))
+    assert len(files) == 2
+    assert "Alpha" in files[0].name and "Beta" in files[1].name
+    assert files[0].read_text().startswith("# Alpha")
+    assert "Text of page 2." in files[0].read_text()
+
+
+def test_book_split_page_chunks_without_toc(tmp_path):
+    from tensortruth_tpu.scrapers.book import split_book_pdf
+
+    pdf = _make_pdf(PAGES)
+    ok = split_book_pdf("plain", pdf, tmp_path / "book_plain", {"pages_per_chunk": 3})
+    assert ok
+    files = sorted((tmp_path / "book_plain").glob("*.md"))
+    assert len(files) == 2
