@@ -4,6 +4,8 @@ from __future__ import annotations
 
 from aiohttp import web
 
+from tensortruth_tpu.server.schemas import read_json, validate_config_patch
+
 
 async def get_config(request: web.Request):
     return web.json_response(request.app["services"].config.to_dict())
@@ -12,7 +14,7 @@ async def get_config(request: web.Request):
 async def patch_config(request: web.Request):
     """Deep-merge a partial config dict, persist, reload singletons."""
     services = request.app["services"]
-    patch = await request.json()
+    patch = validate_config_patch(await read_json(request))
     from tensortruth_tpu.app.config import TensorTruthTPUConfig, save_config
 
     current = services.config.to_dict()

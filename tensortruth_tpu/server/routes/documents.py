@@ -45,15 +45,16 @@ async def upload_document(request: web.Request):
                 None, doc_svc.add_text, scope, filename, data.decode("utf-8", "ignore")
             )
     else:
-        body = await request.json()
-        if body.get("url"):
+        from tensortruth_tpu.server.schemas import DocumentIngest, parse_body
+
+        body = await parse_body(request, DocumentIngest)
+        if body.url:
             result = await loop.run_in_executor(
-                None, doc_svc.add_url, scope, body["url"]
+                None, doc_svc.add_url, scope, body.url
             )
-        elif body.get("text") is not None:
+        elif body.text is not None:
             result = await loop.run_in_executor(
-                None, doc_svc.add_text, scope,
-                body.get("filename", "pasted.md"), body["text"],
+                None, doc_svc.add_text, scope, body.filename, body.text,
             )
         else:
             raise web.HTTPUnprocessableEntity(reason="provide file, url, or text")

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 from aiohttp import web
 
+from tensortruth_tpu.server.schemas import ExtensionInstall, parse_body
+
 
 async def list_extensions(request: web.Request):
     from tensortruth_tpu.extensions.loader import list_installed_extensions
@@ -21,17 +23,17 @@ async def library(request: web.Request):
 async def install(request: web.Request):
     from tensortruth_tpu.extensions.loader import install_extension, install_from_catalog
 
-    body = await request.json()
+    body = await parse_body(request, ExtensionInstall)
     try:
-        if body.get("catalog_name"):  # install a bundled catalog entry
+        if body.catalog_name:  # install a bundled catalog entry
             result = install_from_catalog(
-                body["catalog_name"], services=request.app["services"]
+                body.catalog_name, services=request.app["services"]
             )
         else:
             result = install_extension(
-                body.get("ext_type", "commands"),
-                body.get("filename", ""),
-                body.get("content", ""),
+                body.ext_type,
+                body.filename,
+                body.content,
                 services=request.app["services"],
             )
     except ValueError as e:

@@ -4,6 +4,12 @@ from __future__ import annotations
 
 from aiohttp import web
 
+from tensortruth_tpu.server.schemas import (
+    MCPServerCreate,
+    MCPServerPatch,
+    parse_body,
+)
+
 
 def _svc(request):
     return request.app["services"].mcp_service
@@ -19,7 +25,7 @@ async def presets(request):
 
 async def add_server(request):
     await request.app["services"].invalidate_mcp_tools()
-    body = await request.json()
+    body = (await parse_body(request, MCPServerCreate)).model_dump()
     name = body.pop("name", "")
     if not name:
         raise web.HTTPUnprocessableEntity(reason="name required")
@@ -31,7 +37,8 @@ async def add_server(request):
 
 async def patch_server(request):
     await request.app["services"].invalidate_mcp_tools()
-    out = _svc(request).update_server(request.match_info["name"], await request.json())
+    patch = (await parse_body(request, MCPServerPatch)).model_dump(exclude_none=True)
+    out = _svc(request).update_server(request.match_info["name"], patch)
     if out is None:
         raise web.HTTPNotFound(reason="server not found")
     return web.json_response(out)

@@ -4,6 +4,13 @@ from __future__ import annotations
 
 from aiohttp import web
 
+from tensortruth_tpu.server.schemas import (
+    ProjectCreate,
+    ProjectPatch,
+    ProjectSessionCreate,
+    parse_body,
+)
+
 
 def _svc(request):
     return request.app["services"].project_service
@@ -14,15 +21,13 @@ async def list_projects(request):
 
 
 async def create_project(request):
-    body = await request.json()
-    if not body.get("name"):
-        raise web.HTTPUnprocessableEntity(reason="name is required")
+    body = await parse_body(request, ProjectCreate)
     project = _svc(request).create_project(
-        name=body["name"],
-        description=body.get("description", ""),
-        modules=body.get("modules"),
-        system_prompt=body.get("system_prompt", ""),
-        params=body.get("params"),
+        name=body.name,
+        description=body.description,
+        modules=body.modules,
+        system_prompt=body.system_prompt,
+        params=body.params,
     )
     return web.json_response(project)
 
@@ -35,9 +40,8 @@ async def get_project(request):
 
 
 async def patch_project(request):
-    p = _svc(request).update_project(
-        request.match_info["project_id"], await request.json()
-    )
+    patch = (await parse_body(request, ProjectPatch)).model_dump(exclude_none=True)
+    p = _svc(request).update_project(request.match_info["project_id"], patch)
     if p is None:
         raise web.HTTPNotFound(reason="project not found")
     return web.json_response(p)
@@ -57,11 +61,11 @@ async def create_project_session(request):
     ctx = _svc(request).session_context(project_id)
     if _svc(request).get_project(project_id) is None:
         raise web.HTTPNotFound(reason="project not found")
-    body = await request.json() if request.can_read_body else {}
+    body = await parse_body(request, ProjectSessionCreate)
     session = services.session_service.create_session(
-        modules=body.get("modules", ctx["modules"]),
-        params={**ctx["params"], **body.get("params", {})},
-        title=body.get("title", "New Session"),
+        modules=body.modules if body.modules is not None else ctx["modules"],
+        params={**ctx["params"], **body.params},
+        title=body.title,
         project_id=project_id,
     )
     return web.json_response(session)

@@ -8,6 +8,12 @@ from aiohttp import web
 
 from tensortruth_tpu.app.config import ProviderConfig, save_config
 from tensortruth_tpu.core.providers import ProviderRegistry
+from tensortruth_tpu.server.schemas import (
+    ProviderCreate,
+    ProviderPatch,
+    ProviderTest,
+    parse_body,
+)
 
 
 def _find(services, provider_id: str) -> ProviderConfig | None:
@@ -21,14 +27,12 @@ async def list_providers(request: web.Request):
 
 async def create_provider(request: web.Request):
     services = request.app["services"]
-    body = await request.json()
-    if not body.get("id"):
-        raise web.HTTPUnprocessableEntity(reason="id is required")
-    if _find(services, body["id"]) is not None:
+    body = await parse_body(request, ProviderCreate)
+    if _find(services, body.id) is not None:
         raise web.HTTPConflict(reason="provider id already exists")
     from tensortruth_tpu.app.config import _from_dict
 
-    p = _from_dict(ProviderConfig, body)
+    p = _from_dict(ProviderConfig, body.model_dump())
     services.config.providers.append(p)
     save_config(services.config)
     ProviderRegistry.reset_instance()
@@ -40,7 +44,7 @@ async def patch_provider(request: web.Request):
     p = _find(services, request.match_info["provider_id"])
     if p is None:
         raise web.HTTPNotFound(reason="provider not found")
-    body = await request.json()
+    body = (await parse_body(request, ProviderPatch)).model_dump(exclude_none=True)
     for k, v in body.items():
         if hasattr(p, k) and k != "id":
             setattr(p, k, v)
@@ -62,10 +66,10 @@ async def delete_provider(request: web.Request):
 
 async def test_provider(request: web.Request):
     """Connectivity test (reference providers.py:395-425)."""
-    body = await request.json()
+    body = (await parse_body(request, ProviderTest)).model_dump()
     registry = ProviderRegistry(
-        [ProviderConfig(id="test", type=body.get("type", "ollama"),
-                        base_url=body.get("base_url", ""), api_key=body.get("api_key", ""))]
+        [ProviderConfig(id="test", type=body["type"],
+                        base_url=body["base_url"], api_key=body["api_key"])]
     )
     try:
         models = registry.list_models("test", ttl=0)

@@ -6,6 +6,7 @@ from aiohttp import web
 
 from tensortruth_tpu.app.config import save_config
 from tensortruth_tpu.models.manager import _RERANKER_ARCHS
+from tensortruth_tpu.server.schemas import RerankerAdd, parse_body
 
 
 async def list_rerankers(request: web.Request):
@@ -19,11 +20,9 @@ async def add_reranker(request: web.Request):
     offline here, so validation = architecture registry membership or
     explicit local_dir)."""
     services = request.app["services"]
-    body = await request.json()
-    model_id = body.get("model_id", "")
-    if not model_id:
-        raise web.HTTPUnprocessableEntity(reason="model_id required")
-    known = model_id in _RERANKER_ARCHS or body.get("local_dir")
+    body = await parse_body(request, RerankerAdd)
+    model_id = body.model_id
+    known = model_id in _RERANKER_ARCHS or body.local_dir
     if not known:
         raise web.HTTPUnprocessableEntity(
             reason=f"unknown reranker architecture: {model_id}"

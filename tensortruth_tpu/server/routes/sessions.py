@@ -4,6 +4,14 @@ from __future__ import annotations
 
 from aiohttp import web
 
+from tensortruth_tpu.server.schemas import (
+    MessageCreate,
+    SessionCreate,
+    SessionPatch,
+    parse_body,
+    read_json,
+)
+
 
 def _svc(request):
     return request.app["services"].session_service
@@ -14,12 +22,12 @@ async def list_sessions(request):
 
 
 async def create_session(request):
-    body = await request.json() if request.can_read_body else {}
+    body = await parse_body(request, SessionCreate)
     session = _svc(request).create_session(
-        modules=body.get("modules"),
-        params=body.get("params"),
-        title=body.get("title", "New Session"),
-        project_id=body.get("project_id"),
+        modules=body.modules,
+        params=body.params,
+        title=body.title,
+        project_id=body.project_id,
     )
     return web.json_response(session)
 
@@ -32,7 +40,7 @@ async def get_session(request):
 
 
 async def patch_session(request):
-    body = await request.json()
+    body = (await parse_body(request, SessionPatch)).model_dump(exclude_none=True)
     session = _svc(request).update_session(request.match_info["session_id"], body)
     if session is None:
         raise web.HTTPNotFound(reason="session not found")
@@ -53,13 +61,13 @@ async def get_messages(request):
 
 
 async def add_message(request):
-    body = await request.json()
+    body = await parse_body(request, MessageCreate)
     msg = _svc(request).add_message(
         request.match_info["session_id"],
-        role=body.get("role", "user"),
-        content=body.get("content", ""),
-        sources=body.get("sources"),
-        metrics=body.get("metrics"),
+        role=body.role,
+        content=body.content,
+        sources=body.sources,
+        metrics=body.metrics,
     )
     if msg is None:
         raise web.HTTPNotFound(reason="session not found")
