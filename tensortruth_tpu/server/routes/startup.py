@@ -95,9 +95,24 @@ async def reinitialize_indexes(request: web.Request):
     return web.json_response({"status": "reinitialized", "removed": removed})
 
 
+async def available_indexes(request: web.Request):
+    """Downloadable pre-built index bundles (reference routes/startup.py:159-248
+    reads an HF Hub manifest; offline deployments return an empty list)."""
+    import os
+
+    manifest_path = os.environ.get("TENSOR_TRUTH_TPU_INDEX_MANIFEST")
+    if manifest_path and os.path.exists(manifest_path):
+        import json
+
+        with open(manifest_path) as f:
+            return web.json_response({"indexes": json.load(f)})
+    return web.json_response({"indexes": []})
+
+
 def setup(app: web.Application) -> None:
     r = app.router
     r.add_get("/api/startup/status", status)
+    r.add_get("/api/startup/available-indexes", available_indexes)
     r.add_post("/api/startup/download-indexes", download_indexes)
     r.add_post("/api/startup/pull-model", pull_model)
     r.add_delete("/api/startup/reinitialize-indexes", reinitialize_indexes)

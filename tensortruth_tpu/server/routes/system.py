@@ -171,6 +171,15 @@ async def restart_engine(request: web.Request):
     return web.json_response({"status": "restarted"})
 
 
+async def models_unload(request: web.Request):
+    """Drop resident embedder/reranker param pytrees (XLA frees HBM when the
+    last reference dies — reference model_manager.py:385-397 semantics)."""
+    from tensortruth_tpu.models.manager import ModelManager
+
+    ModelManager.get_instance().unload_all()
+    return web.json_response({"status": "unloaded"})
+
+
 def setup(app: web.Application) -> None:
     r = app.router
     r.add_get("/api/system/memory", memory)
@@ -181,5 +190,6 @@ def setup(app: web.Application) -> None:
     r.add_get("/api/system/llama-cpp/status", llama_cpp_status)
     r.add_get("/api/system/rag/status", rag_status)
     r.add_post("/api/system/restart-engine", restart_engine)
+    r.add_post("/api/system/models/unload", models_unload)
     r.add_post("/api/system/profile/start", profile_start)
     r.add_post("/api/system/profile/stop", profile_stop)
