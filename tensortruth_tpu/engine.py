@@ -93,12 +93,20 @@ def load_engine_for_modules(
         if path is None:
             logger.warning("module index not found, skipping: %s", module)
             continue
-        indexes[module] = VectorIndex.load(path)
+        try:  # per-module failure isolation (reference rag_engine.py:608-656)
+            indexes[module] = VectorIndex.load(path)
+        except Exception as e:
+            logger.error("module index %s unreadable (%s), skipping: %s",
+                         module, type(e).__name__, e)
+            continue
         logger.info("loaded module %s (%d chunks)", module, indexes[module].n_alive)
     for p in extra_index_paths or []:
         p = Path(p)
         if VectorIndex.is_valid(p):
-            indexes[p.name] = VectorIndex.load(p)
+            try:
+                indexes[p.name] = VectorIndex.load(p)
+            except Exception as e:
+                logger.error("document index %s unreadable, skipping: %s", p, e)
 
     manager = ModelManager.get_instance()
     mc = config.rag.get_embedding_model_config(embedding_model)

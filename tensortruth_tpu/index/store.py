@@ -75,18 +75,40 @@ def _save_matrix(path: Path, emb: np.ndarray) -> None:
         legacy.unlink()
 
 
+class CorruptIndexError(RuntimeError):
+    """A persisted index's manifest/shards are inconsistent or unreadable.
+
+    Raised instead of whatever numpy/json would throw so callers (engine
+    load, startup checks) can distinguish 'rebuild this index' from a bug."""
+
+
 def _load_matrix(path: Path) -> np.ndarray:
     manifest = path / EMB_MANIFEST
     if not manifest.exists():
         return np.load(path / EMB_FILE)
-    m = json.loads(manifest.read_text())
-    out = np.empty((m["n_rows"], m["dim"]), dtype=np.dtype(m["dtype"]))
+    try:
+        m = json.loads(manifest.read_text())
+        shards = m["shards"]
+        n_rows, dim, dtype = m["n_rows"], m["dim"], np.dtype(m["dtype"])
+    except (json.JSONDecodeError, KeyError, TypeError) as e:
+        raise CorruptIndexError(f"unreadable shard manifest at {manifest}: {e}") from e
+    out = np.empty((n_rows, dim), dtype=dtype)
     row = 0
-    for shard in m["shards"]:
-        arr = np.load(path / shard["file"])
+    for shard in shards:
+        f = path / shard["file"]
+        if not f.exists():
+            raise CorruptIndexError(f"missing shard {f} (manifest lists it)")
+        arr = np.load(f)
+        if arr.shape[0] != shard["rows"] or arr.shape[1] != dim:
+            raise CorruptIndexError(
+                f"shard {f} shape {arr.shape} != manifest ({shard['rows']}, {dim})"
+            )
         out[row : row + arr.shape[0]] = arr
         row += arr.shape[0]
-    assert row == m["n_rows"], "manifest/shard mismatch"
+    if row != n_rows:
+        raise CorruptIndexError(
+            f"shards supply {row} rows, manifest claims {n_rows} at {path}"
+        )
     return out
 
 

@@ -145,6 +145,13 @@ class IVFIndex:
     def rows_per_cluster(self) -> int:
         return self.blocks.shape[1]
 
+    @property
+    def padding_waste(self) -> float:
+        """Fraction of block slots that are padding (HBM overhead of the
+        static cluster-major layout)."""
+        total = self.row_map.size
+        return 1.0 - (self.row_map >= 0).sum() / total if total else 0.0
+
 
 def build_ivf(
     emb: np.ndarray,
@@ -154,13 +161,17 @@ def build_ivf(
     seed: int = 0,
     overflow: float = 1.5,
     block_dtype=jnp.bfloat16,
+    max_overflow: float = 4.0,
 ) -> IVFIndex:
     """Fit centroids on a sample, assign all rows, pack cluster-major.
 
     ``overflow`` pads rows_per_cluster to overflow × N/n_clusters; rows of
     over-full clusters spill into their next-best cluster (bounded by one
-    spill round, then truncation with a warning — balanced data never hits
-    it).
+    spill round, then truncation with a warning). ``max_overflow`` hard-caps
+    rows_per_cluster at max_overflow × N/n_clusters so skewed real-text
+    clusters cannot multiply HBM: the padded layout's memory is
+    n_clusters × rows_per_cluster × D regardless of occupancy. Padding waste
+    is computed on the built index (``IVFIndex.padding_waste``) and logged.
     """
     n, d = emb.shape
     rng = np.random.default_rng(seed)
@@ -184,7 +195,14 @@ def build_ivf(
         assign[s : s + step] = np.where(best_is_first, part[:, 0], part[:, 1])
         second[s : s + step] = np.where(best_is_first, part[:, 1], part[:, 0])
 
-    rows_per_cluster = int(np.ceil(n / n_clusters * overflow))
+    mean_rows = n / n_clusters
+    rows_per_cluster = int(np.ceil(mean_rows * overflow))
+    # Size to the actual assignment skew (up to the hard cap) so clustered
+    # real-text data doesn't truncate, while bounding HBM at
+    # max_overflow × the balanced layout.
+    counts = np.bincount(assign, minlength=n_clusters)
+    rows_per_cluster = max(rows_per_cluster, int(counts.max()))
+    rows_per_cluster = min(rows_per_cluster, int(np.ceil(mean_rows * max_overflow)))
     # Lane-align for the MXU.
     rows_per_cluster = -(-rows_per_cluster // 128) * 128
     blocks = np.zeros((n_clusters, rows_per_cluster, d), emb.dtype)
@@ -215,15 +233,39 @@ def build_ivf(
     if len(overflow_rows):  # one spill round into second-best clusters
         leftover = pack(overflow_rows, second[overflow_rows], fill)
         if len(leftover):
+            # Capacity-aware placement: each remaining row goes to its
+            # best-scoring cluster that still has space. Under the
+            # max_overflow cap no row is ever dropped (total capacity
+            # n_clusters × rows_per_cluster ≥ n by construction); rows of a
+            # giant blob land in nearby cells and higher nprobe recovers
+            # them — a recall knob instead of silent data loss.
             logger.warning(
-                "IVF truncated %d rows (raise overflow=%s)", len(leftover), overflow
+                "IVF spilling %d rows capacity-aware (skewed clusters; "
+                "overflow=%.1f cap=%.1f)", len(leftover), overflow, max_overflow,
             )
-    return IVFIndex(
+            scores = emb[leftover] @ centroids.T  # (L, k)
+            order = np.argsort(-scores, axis=1)
+            free = rows_per_cluster - fill
+            for row, prefs in zip(leftover, order):
+                for c in prefs:
+                    if free[c] > 0:
+                        blocks[c, rows_per_cluster - free[c]] = emb[row]
+                        row_map[c, rows_per_cluster - free[c]] = row
+                        free[c] -= 1
+                        break
+    index = IVFIndex(
         centroids=jnp.asarray(centroids),
         blocks=jnp.asarray(blocks, dtype=block_dtype),
         row_map=row_map,
         n_actual=n,
     )
+    logger.info(
+        "IVF built: %d clusters × %d rows/cluster, %.1f%% padding waste "
+        "(%.2f GB blocks at %s)",
+        n_clusters, rows_per_cluster, 100 * index.padding_waste,
+        blocks.size * np.dtype(np.float16).itemsize / 2**30, block_dtype,
+    )
+    return index
 
 
 @functools.partial(jax.jit, static_argnames=("k", "nprobe"))

@@ -323,6 +323,49 @@ def split_pages_into_chunks(pages: list[str], pages_per_chunk: int = 15) -> list
     ]
 
 
+def extract_pdf_metadata(data: bytes) -> dict:
+    """{title, authors} from the document Info dictionary
+    (reference utils/pdf.py PDF-embedded metadata extraction). pymupdf when
+    available, else the pure-python COS parser reads /Info's /Title and
+    /Author entries."""
+    try:
+        import pymupdf  # type: ignore
+
+        with pymupdf.open(stream=data, filetype="pdf") as doc:
+            md = doc.metadata or {}
+            authors = [a.strip() for a in (md.get("author") or "").split(";") if a.strip()]
+            return {"title": (md.get("title") or "").strip(), "authors": authors}
+    except ImportError:
+        pass
+    objs = _parse_objects(data)
+    info_ref = None
+    m = re.search(rb"trailer\s*<<(.*?)>>", data, re.DOTALL)
+    if m:
+        info_ref = _first_ref(_dict_value(m.group(1), b"Info"))
+    candidates = [objs[info_ref]] if info_ref in objs else []
+    if not candidates:  # some writers omit the trailer ref; scan for Info-ish dicts
+        candidates = [
+            b for b in objs.values()
+            if b"/Title" in b and b"/Type" not in b and b"stream" not in b
+        ]
+    for body in candidates:
+        title_raw = _dict_value(body, b"Title")
+        author_raw = _dict_value(body, b"Author")
+        title = _decode_pdf_string(title_raw) if title_raw and title_raw.startswith(b"(") else ""
+        author = _decode_pdf_string(author_raw) if author_raw and author_raw.startswith(b"(") else ""
+        if title or author:
+            authors = [a.strip() for a in re.split(r"[;,]| and ", author) if a.strip()]
+            return {"title": title.strip(), "authors": authors}
+    return {"title": "", "authors": []}
+
+
+def generate_book_name(title: str, fallback: str = "book") -> str:
+    """Slug for sources.json keys / directory names (reference utils/pdf.py)."""
+    slug = re.sub(r"[^a-z0-9]+", "_", title.lower()).strip("_")
+    slug = re.sub(r"_+", "_", slug)[:60].strip("_")
+    return slug or fallback
+
+
 # -- math delimiter normalization (reference utils/pdf.py:469-520) -------------
 
 _DISPLAY_RE = re.compile(r"\\\[(.+?)\\\]", re.DOTALL)

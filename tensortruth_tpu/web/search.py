@@ -120,6 +120,43 @@ def search_arxiv(query: str, max_results: int = 5) -> list[dict]:
     return out
 
 
+def fetch_arxiv_metadata(arxiv_id: str) -> dict:
+    """Metadata for one paper by id via the arXiv API
+    (reference utils/interactive.py wizard auto-fetch): {arxiv_id, title,
+    authors, year, summary}; {} when unreachable/not found."""
+    import xml.etree.ElementTree as ET
+
+    import requests
+
+    try:
+        r = requests.get(
+            "https://export.arxiv.org/api/query",
+            params={"id_list": arxiv_id, "max_results": 1},
+            timeout=20,
+        )
+        r.raise_for_status()
+        ns = {"a": "http://www.w3.org/2005/Atom"}
+        entry = ET.fromstring(r.text).find("a:entry", ns)
+        if entry is None:
+            return {}
+        title = (entry.findtext("a:title", "", ns) or "").strip()
+        if not title or title.lower() == "error":
+            return {}
+        published = entry.findtext("a:published", "", ns) or ""
+        return {
+            "arxiv_id": arxiv_id,
+            "title": " ".join(title.split()),
+            "authors": [
+                a.findtext("a:name", "", ns) for a in entry.findall("a:author", ns)
+            ],
+            "year": published[:4],
+            "summary": (entry.findtext("a:summary", "", ns) or "").strip()[:500],
+        }
+    except Exception as e:
+        logger.debug("arXiv metadata fetch failed for %s: %s", arxiv_id, e)
+        return {}
+
+
 # -- async tool entry points (ToolService contract) -----------------------------
 
 

@@ -2,8 +2,10 @@
 tests/unit/test_document_index.py analog)."""
 
 import numpy as np
+import pytest
 
 from tensortruth_tpu.index.chunker import hierarchical_chunk
+from tensortruth_tpu.index.nodes import HierarchyStore, Node
 from tensortruth_tpu.index.store import VectorIndex, sanitize_model_id
 
 import hashlib
@@ -90,3 +92,83 @@ def test_incremental_add_and_remove(tiny_tokenizer, sample_text):
 def test_sanitize_model_id():
     assert sanitize_model_id("BAAI/bge-m3") == "bge-m3"
     assert sanitize_model_id("bge-m3") == "bge-m3"
+
+
+class TestManifestCorruption:
+    """Sharded-matrix persistence must fail loudly and typed on corruption
+    (VERDICT round-1 weak #7), and the engine must isolate the bad module."""
+
+    def _big_index(self, tmp_path, monkeypatch, n=600):
+        import tensortruth_tpu.index.store as store_mod
+
+        monkeypatch.setattr(store_mod, "SHARD_ROWS", 256)  # force sharding
+        rng = np.random.default_rng(0)
+        emb = rng.standard_normal((n, 8)).astype(np.float32)
+        nodes = [
+            Node(node_id=f"n{i}", text=f"t{i}", level=0, doc_id="d")
+            for i in range(n)
+        ]
+        store = HierarchyStore()
+        store.add_all(nodes)
+        store.finalize_leaves()
+        idx = VectorIndex(emb, [f"n{i}" for i in range(n)],
+                          store, {"embedding_model": "tiny"})
+        path = tmp_path / "mod"
+        idx.save(path)
+        return path
+
+    def test_sharded_roundtrip(self, tmp_path, monkeypatch):
+        path = self._big_index(tmp_path, monkeypatch)
+        assert (path / "embeddings.manifest.json").exists()
+        assert len(list(path.glob("embeddings.shard*.npy"))) == 3
+        loaded = VectorIndex.load(path)
+        assert loaded.n_rows == 600
+
+    def test_missing_shard_raises_typed_error(self, tmp_path, monkeypatch):
+        from tensortruth_tpu.index.store import CorruptIndexError
+
+        path = self._big_index(tmp_path, monkeypatch)
+        next(path.glob("embeddings.shard*.npy")).unlink()
+        with pytest.raises(CorruptIndexError, match="missing shard"):
+            VectorIndex.load(path)
+
+    def test_garbage_manifest_raises_typed_error(self, tmp_path, monkeypatch):
+        from tensortruth_tpu.index.store import CorruptIndexError
+
+        path = self._big_index(tmp_path, monkeypatch)
+        (path / "embeddings.manifest.json").write_text("{not json")
+        with pytest.raises(CorruptIndexError, match="unreadable"):
+            VectorIndex.load(path)
+
+    def test_shard_shape_mismatch_raises(self, tmp_path, monkeypatch):
+        from tensortruth_tpu.index.store import CorruptIndexError
+
+        path = self._big_index(tmp_path, monkeypatch)
+        shard = sorted(path.glob("embeddings.shard*.npy"))[0]
+        np.save(shard, np.zeros((5, 8), np.float32))  # wrong row count
+        with pytest.raises(CorruptIndexError, match="shape"):
+            VectorIndex.load(path)
+
+    def test_engine_skips_corrupt_module(self, tmp_path, monkeypatch, tiny_tokenizer):
+        """A corrupt module is skipped with an error log; healthy modules load."""
+        from tensortruth_tpu.engine import load_engine_for_modules
+        from tensortruth_tpu.app.config import TensorTruthTPUConfig
+        from tensortruth_tpu.models.manager import ModelManager
+
+        monkeypatch.setenv("TENSOR_TRUTH_TPU_DATA_DIR", str(tmp_path))
+        ModelManager.reset_instance()
+        model_dir = tmp_path / "indexes" / "tiny-embedder"
+        good = self._big_index(model_dir, monkeypatch)
+        (model_dir / "mod").rename(model_dir / "library_good")
+        bad = self._big_index(model_dir, monkeypatch)
+        (model_dir / "mod").rename(model_dir / "library_bad")
+        (model_dir / "library_bad" / "embeddings.manifest.json").write_text("{broken")
+
+        cfg = TensorTruthTPUConfig.default()
+        cfg.rag.default_embedding_model = "tiny-embedder"
+        cfg.rag.default_reranker = "tiny-reranker"
+        cfg.rag.use_fused_topk = False
+        engine = load_engine_for_modules(
+            ["good", "bad"], {}, indexes_dir=tmp_path / "indexes", config=cfg
+        )
+        assert engine.modules == ["good"]
