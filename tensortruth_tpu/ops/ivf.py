@@ -46,18 +46,30 @@ def _is_tpu() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def _probe_kernel(probe_ref, q_ref, block_ref, valid_ref, out_ref):
+def _probe_kernel(*refs, quantized: bool = False):
     """Score one (query, probe, row-tile) cell: (1, D) @ (TILE, D)^T.
 
     ``probe_ref`` is scalar-prefetched, so Mosaic issues the DMA for the
     right cluster block before the step runs — no XLA gather materializes.
+    ``quantized``: the block tile is int8 with a (1, TILE) per-row scale
+    input — HBM traffic halves vs bf16 (the beyond-HBM capacity tier).
     """
+    if quantized:
+        probe_ref, q_ref, block_ref, scale_ref, valid_ref, out_ref = refs
+    else:
+        probe_ref, q_ref, block_ref, valid_ref, out_ref = refs
+        scale_ref = None
+    e = block_ref[0]  # (TILE, D)
+    if scale_ref is not None:
+        e = e.astype(q_ref.dtype)  # int8 → compute dtype in VMEM
     s = jax.lax.dot_general(
         q_ref[0],  # (1, D)
-        block_ref[0],  # (TILE, D)
+        e,
         (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (1, TILE)
+    if scale_ref is not None:
+        s = s * scale_ref[0].astype(jnp.float32)
     out_ref[0, 0] = jnp.where(valid_ref[0] > 0, s, NEG_INF)  # (1, TILE)
 
 
@@ -67,6 +79,7 @@ def _probe_scores(
     q: jax.Array,  # (B, D)
     blocks: jax.Array,  # (n_clusters, rpc, D)
     valid: jax.Array,  # (n_clusters, rpc) int32
+    scales: jax.Array | None = None,  # (n_clusters, rpc) f32 for int8 blocks
     interpret: bool | None = None,
 ) -> jax.Array:
     """(B, nprobe, rpc) scores via scalar-prefetch DMA of probed blocks."""
@@ -77,32 +90,43 @@ def _probe_scores(
     tile = next((t for t in (PROBE_TILE, 512, 256, 128) if rpc % t == 0), rpc)
     n_tiles = rpc // tile
 
+    quantized = scales is not None
     # Mosaic block rule: the last two block dims must divide (8, 128) or
     # equal the array dims — hence the explicit singleton axes below.
-    q3 = q.astype(blocks.dtype)[:, None, :]  # (B, 1, D)
+    q_dtype = jnp.bfloat16 if quantized else blocks.dtype
+    q3 = q.astype(q_dtype)[:, None, :]  # (B, 1, D)
     valid3 = valid[:, None, :]  # (n_clusters, 1, rpc)
+    in_specs = [
+        pl.BlockSpec((1, 1, d), lambda bi, pi, ti, probe: (bi, 0, 0)),
+        pl.BlockSpec(
+            (1, tile, d), lambda bi, pi, ti, probe: (probe[bi, pi], ti, 0)
+        ),
+    ]
+    inputs = [probe, q3, blocks]
+    if quantized:
+        scales3 = scales[:, None, :]  # (n_clusters, 1, rpc)
+        in_specs.append(
+            pl.BlockSpec((1, 1, tile), lambda bi, pi, ti, probe: (probe[bi, pi], 0, ti))
+        )
+        inputs.append(scales3)
+    in_specs.append(
+        pl.BlockSpec((1, 1, tile), lambda bi, pi, ti, probe: (probe[bi, pi], 0, ti))
+    )
+    inputs.append(valid3)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b, nprobe, n_tiles),
-        in_specs=[
-            pl.BlockSpec((1, 1, d), lambda bi, pi, ti, probe: (bi, 0, 0)),
-            pl.BlockSpec(
-                (1, tile, d), lambda bi, pi, ti, probe: (probe[bi, pi], ti, 0)
-            ),
-            pl.BlockSpec(
-                (1, 1, tile), lambda bi, pi, ti, probe: (probe[bi, pi], 0, ti)
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, 1, 1, tile), lambda bi, pi, ti, probe: (bi, pi, 0, ti)
         ),
     )
     out = pl.pallas_call(
-        _probe_kernel,
+        functools.partial(_probe_kernel, quantized=quantized),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, nprobe, 1, rpc), jnp.float32),
         interpret=interpret,
-    )(probe, q3, blocks, valid3)
+    )(*inputs)
     return out[:, :, 0, :]
 
 
@@ -136,6 +160,7 @@ class IVFIndex:
     blocks: jax.Array  # (n_clusters, rows_per_cluster, D)
     row_map: np.ndarray  # (n_clusters, rows_per_cluster) -> original row or -1
     n_actual: int
+    scales: jax.Array | None = None  # (n_clusters, rpc) f32 when blocks are int8
 
     @property
     def n_clusters(self) -> int:
@@ -175,25 +200,44 @@ def build_ivf(
     """
     n, d = emb.shape
     rng = np.random.default_rng(seed)
-    sample = emb[rng.choice(n, min(sample_size, n), replace=False)]
+    sample = emb[rng.choice(n, min(sample_size, n), replace=False)].astype(np.float32)
     n_clusters = max(1, min(n_clusters, len(sample)))  # k-means needs k ≤ n
     centroids = np.asarray(
         _kmeans_fit(jnp.asarray(sample), jnp.asarray([seed]), n_clusters, kmeans_iters)
     )
 
-    # Full assignment pass (chunked matmul to bound host memory).
+    # Full assignment pass (chunked; on-device matmul at the multi-million
+    # tier — the host path would take hours at 10M×1024 on one CPU core).
     assign = np.empty(n, np.int32)
     second = np.empty(n, np.int32)
     step = 262_144
-    for s in range(0, n, step):
-        scores = emb[s : s + step] @ centroids.T
-        part = np.argpartition(-scores, 1, axis=1)[:, :2]
-        best_is_first = (
-            scores[np.arange(len(part)), part[:, 0]]
-            >= scores[np.arange(len(part)), part[:, 1]]
-        )
-        assign[s : s + step] = np.where(best_is_first, part[:, 0], part[:, 1])
-        second[s : s + step] = np.where(best_is_first, part[:, 1], part[:, 0])
+    if _is_tpu() and n * d > 2**28:
+        @jax.jit
+        def _top2(chunk, cent):
+            s = jax.lax.dot_general(
+                chunk, cent, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            _, idx = jax.lax.top_k(s, 2)
+            return idx
+
+        cent_dev = jnp.asarray(centroids, jnp.bfloat16)
+        for s in range(0, n, step):
+            idx2 = np.asarray(
+                _top2(jnp.asarray(emb[s : s + step], jnp.bfloat16), cent_dev)
+            )
+            assign[s : s + step] = idx2[:, 0]
+            second[s : s + step] = idx2[:, 1]
+    else:
+        for s in range(0, n, step):
+            scores = emb[s : s + step].astype(np.float32) @ centroids.T
+            part = np.argpartition(-scores, 1, axis=1)[:, :2]
+            best_is_first = (
+                scores[np.arange(len(part)), part[:, 0]]
+                >= scores[np.arange(len(part)), part[:, 1]]
+            )
+            assign[s : s + step] = np.where(best_is_first, part[:, 0], part[:, 1])
+            second[s : s + step] = np.where(best_is_first, part[:, 1], part[:, 0])
 
     mean_rows = n / n_clusters
     rows_per_cluster = int(np.ceil(mean_rows * overflow))
@@ -253,17 +297,33 @@ def build_ivf(
                         row_map[c, rows_per_cluster - free[c]] = row
                         free[c] -= 1
                         break
+    scales = None
+    if block_dtype == jnp.int8:
+        # Per-row symmetric quantization (ops/topk.py quantize_corpus
+        # discipline): halves HBM per chunk again vs bf16 — the capacity
+        # knob for the beyond-HBM tier. Padding rows get scale 1 (harmless:
+        # their scores are masked by ``valid``).
+        s = np.abs(blocks).max(axis=2) / 127.0  # (nc, rpc)
+        s = np.where(s > 0, s, 1.0).astype(np.float32)
+        blocks = np.clip(np.rint(blocks / s[:, :, None]), -127, 127).astype(np.int8)
+        scales = jnp.asarray(s)
+        blocks_dev = jnp.asarray(blocks)
+        bytes_per = 1
+    else:
+        blocks_dev = jnp.asarray(blocks, dtype=block_dtype)
+        bytes_per = 2
     index = IVFIndex(
         centroids=jnp.asarray(centroids),
-        blocks=jnp.asarray(blocks, dtype=block_dtype),
+        blocks=blocks_dev,
         row_map=row_map,
         n_actual=n,
+        scales=scales,
     )
     logger.info(
         "IVF built: %d clusters × %d rows/cluster, %.1f%% padding waste "
         "(%.2f GB blocks at %s)",
         n_clusters, rows_per_cluster, 100 * index.padding_waste,
-        blocks.size * np.dtype(np.float16).itemsize / 2**30, block_dtype,
+        blocks.size * bytes_per / 2**30, block_dtype,
     )
     return index
 
@@ -276,11 +336,12 @@ def _ivf_search_device(
     valid: jax.Array,
     k: int,
     nprobe: int,
+    scales: jax.Array | None = None,
 ):
     """Device part: probe top-nprobe clusters per query, exact top-k inside.
 
     Returns (scores (B,k), padded positions (B,k) encoded as
-    cluster*rows_per_cluster+slot).
+    cluster*rows_per_cluster+slot). ``scales`` present = int8 blocks.
     """
     b = q.shape[0]
     n_clusters, rpc, d = blocks.shape
@@ -293,17 +354,21 @@ def _ivf_search_device(
         # Scalar-prefetch Pallas kernel: probed blocks DMA straight from
         # HBM to VMEM per (query, probe, tile) — no XLA gather ever
         # materializes a (B, ·, rpc, D) tensor.
-        scores = _probe_scores(probe, q, blocks, valid.astype(jnp.int32))
+        scores = _probe_scores(probe, q, blocks, valid.astype(jnp.int32), scales)
     else:
         # CPU/interpret fallback: one probe column at a time bounds peak
         # memory to a single (B, rpc, D) gather.
+        compute_dtype = jnp.float32 if scales is not None else blocks.dtype
+
         def one_probe(p_col):
-            gathered = blocks[p_col]  # (B, rpc, D)
+            gathered = blocks[p_col].astype(compute_dtype)  # (B, rpc, D)
             gvalid = valid[p_col]  # (B, rpc)
             s = jnp.einsum(
-                "bd,brd->br", q.astype(blocks.dtype), gathered,
+                "bd,brd->br", q.astype(compute_dtype), gathered,
                 preferred_element_type=jnp.float32,
             )
+            if scales is not None:
+                s = s * scales[p_col]
             return jnp.where(gvalid, s, NEG_INF)
 
         scores = jax.lax.map(one_probe, probe.T).transpose(1, 0, 2)
@@ -337,6 +402,7 @@ class ShardedIVF:
     n_actual: int
     n_clusters_actual: int
     mesh: object
+    scales: jax.Array | None = None  # (nc_pad, rpc) f32, sharded (int8 blocks)
 
     @property
     def rows_per_cluster(self) -> int:
@@ -355,6 +421,7 @@ def shard_ivf(index: IVFIndex, mesh) -> ShardedIVF:
     blocks = np.asarray(index.blocks)
     centroids = np.asarray(index.centroids)
     row_map = index.row_map
+    scales = np.asarray(index.scales) if index.scales is not None else None
     if nc_pad != nc:
         blocks = np.concatenate(
             [blocks, np.zeros((nc_pad - nc, rpc, blocks.shape[2]), blocks.dtype)]
@@ -365,16 +432,22 @@ def shard_ivf(index: IVFIndex, mesh) -> ShardedIVF:
         row_map = np.concatenate(
             [row_map, np.full((nc_pad - nc, rpc), -1, row_map.dtype)]
         )
+        if scales is not None:
+            scales = np.concatenate(
+                [scales, np.ones((nc_pad - nc, rpc), scales.dtype)]
+            )
     shard3 = NamedSharding(mesh, P(SHARD_AXIS, None, None))
     shard2 = NamedSharding(mesh, P(SHARD_AXIS, None))
+    cent_dtype = jnp.bfloat16 if scales is not None else index.blocks.dtype
     return ShardedIVF(
-        centroids=jax.device_put(jnp.asarray(centroids, index.blocks.dtype), shard2),
-        blocks=jax.device_put(jnp.asarray(blocks, index.blocks.dtype), shard3),
+        centroids=jax.device_put(jnp.asarray(centroids, cent_dtype), shard2),
+        blocks=jax.device_put(jnp.asarray(blocks), shard3),
         valid=jax.device_put(jnp.asarray(row_map >= 0, jnp.int32), shard2),
         row_map=row_map,
         n_actual=index.n_actual,
         n_clusters_actual=nc,
         mesh=mesh,
+        scales=jax.device_put(jnp.asarray(scales), shard2) if scales is not None else None,
     )
 
 
@@ -391,6 +464,7 @@ def _ivf_search_sharded_device(
     nprobe: int,
     mesh,
     n_clusters_actual: int,
+    scales: jax.Array | None = None,
 ):
     """shard_map: per-shard local probe + top-k, candidates merged over ICI."""
     from jax.sharding import PartitionSpec as P
@@ -400,8 +474,9 @@ def _ivf_search_sharded_device(
     nc_pad, rpc, d = blocks.shape
     cpl = nc_pad // p  # clusters per shard
     np_l = min(nprobe, cpl)
+    quantized = scales is not None
 
-    def shard_fn(q_l, cent_l, blocks_l, valid_l):
+    def shard_fn(q_l, cent_l, blocks_l, valid_l, scales_l=None):
         shard = jax.lax.axis_index(SHARD_AXIS)
         cluster0 = shard * cpl
         cscores = jax.lax.dot_general(
@@ -413,15 +488,19 @@ def _ivf_search_sharded_device(
         _, probe = jax.lax.top_k(cscores, np_l)  # (B, np_l) local cluster ids
 
         if _is_tpu():
-            scores = _probe_scores(probe, q_l, blocks_l, valid_l)
+            scores = _probe_scores(probe, q_l, blocks_l, valid_l, scales_l)
         else:
+            compute_dtype = jnp.float32 if quantized else blocks_l.dtype
+
             def one_probe(p_col):
-                gathered = blocks_l[p_col]  # (B, rpc, D)
+                gathered = blocks_l[p_col].astype(compute_dtype)  # (B, rpc, D)
                 gvalid = valid_l[p_col]
                 s = jnp.einsum(
-                    "bd,brd->br", q_l.astype(blocks_l.dtype), gathered,
+                    "bd,brd->br", q_l.astype(compute_dtype), gathered,
                     preferred_element_type=jnp.float32,
                 )
+                if quantized:
+                    s = s * scales_l[p_col]
                 return jnp.where(gvalid > 0, s, NEG_INF)
 
             scores = jax.lax.map(one_probe, probe.T).transpose(1, 0, 2)
@@ -446,22 +525,28 @@ def _ivf_search_sharded_device(
             out_p = jnp.pad(out_p, ((0, 0), (0, k - k_out)), constant_values=-1)
         return out_v, out_p
 
+    in_specs = [P(), P(SHARD_AXIS, None), P(SHARD_AXIS, None, None), P(SHARD_AXIS, None)]
+    args = [q, centroids, blocks, valid]
+    if quantized:
+        in_specs.append(P(SHARD_AXIS, None))
+        args.append(scales)
     fn = jax.shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(), P(SHARD_AXIS, None), P(SHARD_AXIS, None, None), P(SHARD_AXIS, None)),
+        in_specs=tuple(in_specs),
         out_specs=(P(), P()),
         check_vma=False,  # post-all_gather reduction is replicated (as in sharded_topk)
     )
-    return fn(q, centroids, blocks, valid)
+    return fn(*args)
 
 
 def ivf_search_sharded(
     sidx: ShardedIVF, q: np.ndarray | jax.Array, k: int, nprobe: int = 8
 ) -> tuple[np.ndarray, np.ndarray]:
     """Host wrapper for the sharded tier: same returns as ivf_search."""
+    q_dtype = jnp.bfloat16 if sidx.scales is not None else sidx.blocks.dtype
     vals, pos = _ivf_search_sharded_device(
-        jnp.asarray(q, dtype=sidx.blocks.dtype),
+        jnp.asarray(q, dtype=q_dtype),
         sidx.centroids,
         sidx.blocks,
         sidx.valid,
@@ -469,6 +554,7 @@ def ivf_search_sharded(
         nprobe=nprobe,
         mesh=sidx.mesh,
         n_clusters_actual=sidx.n_clusters_actual,
+        scales=sidx.scales,
     )
     vals, pos = np.asarray(vals), np.asarray(pos)
     rows = np.where(pos >= 0, sidx.row_map.reshape(-1)[pos], -1)
@@ -481,13 +567,16 @@ def ivf_search(
 ) -> tuple[np.ndarray, np.ndarray]:
     """Host wrapper: (scores (B,k) f32, original row ids (B,k) i64, -1 pads)."""
     valid = jnp.asarray(index.row_map >= 0)
+    # int8 blocks keep the query (and centroid scoring) in bf16.
+    q_dtype = jnp.bfloat16 if index.scales is not None else index.blocks.dtype
     vals, pos = _ivf_search_device(
-        jnp.asarray(q, dtype=index.blocks.dtype),
-        index.centroids.astype(index.blocks.dtype),
+        jnp.asarray(q, dtype=q_dtype),
+        index.centroids.astype(q_dtype),
         index.blocks,
         valid,
         k,
         min(nprobe, index.n_clusters),
+        scales=index.scales,
     )
     vals, pos = np.asarray(vals), np.asarray(pos)
     rows = index.row_map.reshape(-1)[pos]

@@ -144,7 +144,11 @@ class MultiIndexEngine:
         if self._n_actual >= self.ivf_threshold * n_shards:
             from tensortruth_tpu.ops.ivf import build_ivf, shard_ivf
 
-            ivf = build_ivf(emb, n_clusters=self.ivf_clusters)
+            ivf = build_ivf(
+                emb,
+                n_clusters=self.ivf_clusters,
+                block_dtype=jnp.int8 if self.corpus_dtype == "int8" else jnp.bfloat16,
+            )
             if self.mesh is not None:
                 self._ivf_sharded = shard_ivf(ivf, self.mesh)
                 self._stacked = self._ivf_sharded.blocks

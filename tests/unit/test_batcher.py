@@ -138,3 +138,56 @@ def test_rag_service_batched_matches_unbatched(tmp_path, monkeypatch, tiny_token
             rtol=1e-3, atol=1e-3,
         )
     assert svc._batcher is None
+
+def test_partial_group_failure_isolated():
+    """One engine-group failing must not poison another group's futures."""
+    def run_batch(texts, key):
+        if key == "bad":
+            raise RuntimeError("engine gone")
+        return [t + "!" for t in texts]
+
+    b = QueryBatcher(run_batch, max_batch=16, max_wait_ms=40)
+    good = [b.submit(f"g{i}", key="good") for i in range(3)]
+    bad = [b.submit(f"b{i}", key="bad") for i in range(3)]
+    assert [f.result(5) for f in good] == ["g0!", "g1!", "g2!"]
+    for f in bad:
+        with pytest.raises(RuntimeError, match="engine gone"):
+            f.result(5)
+    b.stop()
+
+
+def test_retrieve_timeout_raises():
+    def run_batch(texts, key):
+        time.sleep(5)
+        return texts
+
+    b = QueryBatcher(run_batch, max_batch=2, max_wait_ms=5)
+    from concurrent.futures import TimeoutError as FTimeout
+
+    with pytest.raises(FTimeout):
+        b.retrieve("x", timeout=0.2)
+    b.stop()
+
+
+def test_wrong_result_count_fails_all_in_group():
+    def run_batch(texts, key):
+        return texts[:-1]  # one short
+
+    b = QueryBatcher(run_batch, max_batch=4, max_wait_ms=20)
+    futures = [b.submit(f"q{i}") for i in range(3)]
+    for f in futures:
+        with pytest.raises(RuntimeError, match="returned"):
+            f.result(5)
+    b.stop()
+
+
+def test_stop_then_start_recovers():
+    def run_batch(texts, key):
+        return [t.upper() for t in texts]
+
+    b = QueryBatcher(run_batch, max_batch=4, max_wait_ms=10)
+    assert b.retrieve("a", timeout=5) == "A"
+    b.stop()
+    time.sleep(0.15)  # let the worker observe the stop event
+    assert b.retrieve("b", timeout=5) == "B"  # submit() restarts the worker
+    b.stop()

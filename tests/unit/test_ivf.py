@@ -289,3 +289,58 @@ class TestClusteredDataAndPadding:
         # (below the cap) so nothing is truncated.
         ivf = build_ivf(emb, n_clusters=4, sample_size=2000, max_overflow=8.0)
         assert (ivf.row_map >= 0).sum() == 2000
+
+
+class TestInt8IVF:
+    """int8 cluster blocks: the capacity knob for the beyond-HBM tier."""
+
+    def _build(self, rng, n=4096, d=64):
+        import jax.numpy as jnp
+
+        emb = rng.standard_normal((n, d)).astype(np.float32)
+        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        ivf = build_ivf(emb, n_clusters=16, sample_size=n, block_dtype=jnp.int8)
+        return emb, ivf
+
+    def test_blocks_are_int8_with_scales(self):
+        rng = np.random.default_rng(5)
+        emb, ivf = self._build(rng)
+        assert ivf.blocks.dtype == np.int8
+        assert ivf.scales is not None and ivf.scales.shape == ivf.row_map.shape
+
+    def test_int8_recall_close_to_bf16(self):
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(5)
+        emb, ivf8 = self._build(rng)
+        ivf16 = build_ivf(emb, n_clusters=16, sample_size=len(emb))
+        q = emb[rng.choice(len(emb), 8, replace=False)]
+        k = 10
+        _, rows16 = ivf_search(ivf16, q, k, nprobe=8)
+        _, rows8 = ivf_search(ivf8, q, k, nprobe=8)
+        overlap = np.mean([
+            len(set(rows8[i].tolist()) & set(rows16[i].tolist())) / k
+            for i in range(len(q))
+        ])
+        assert overlap >= 0.9, overlap
+
+    def test_int8_self_retrieval(self):
+        rng = np.random.default_rng(6)
+        emb, ivf = self._build(rng)
+        vals, rows = ivf_search(ivf, emb[:8], k=1, nprobe=4)
+        assert (rows[:, 0] == np.arange(8)).mean() >= 0.9
+        # int8 round-trip keeps cosine ≈ 1 within quant error
+        assert vals[:, 0] == pytest.approx(np.ones(8), abs=2e-2)
+
+    def test_int8_sharded_search(self):
+        from tensortruth_tpu.ops.ivf import ivf_search_sharded, shard_ivf
+        from tensortruth_tpu.parallel.mesh import make_mesh
+
+        rng = np.random.default_rng(7)
+        emb, ivf = self._build(rng)
+        sidx = shard_ivf(ivf, make_mesh())
+        assert sidx.scales is not None
+        vals, rows = ivf_search_sharded(sidx, emb[:4], k=5, nprobe=4)
+        assert (rows[:, 0] == np.arange(4)).mean() >= 0.75
+        live = rows[vals > float("-inf")]
+        assert live.min() >= 0 and live.max() < len(emb)
