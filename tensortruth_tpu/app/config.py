@@ -72,9 +72,9 @@ class EmbeddingModelConfig:
     config_schema.py:41-79 CUDA knobs)."""
 
     batch_buckets: list = field(default_factory=lambda: [16, 64, 128])
-    seq_buckets: list = field(default_factory=lambda: [128, 512])
+    seq_buckets: list = field(default_factory=lambda: [128, 512, 2048])
     dtype: str = "bfloat16"
-    max_length: int = 512
+    max_length: int = 2048  # = largest chunk level; BGE-M3 supports up to 8192
     local_dir: str | None = None  # local HF checkpoint for weight conversion
     tokenizer_path: str | None = None
 

@@ -55,9 +55,9 @@ class Embedder:
         params: dict,
         cfg: XLMRConfig,
         tokenizer,
-        max_length: int = 512,
+        max_length: int = 2048,
         batch_buckets: Sequence[int] = (16, 64, 256),
-        seq_buckets: Sequence[int] = (128, 256, 384, 512),
+        seq_buckets: Sequence[int] = (128, 256, 384, 512, 1024, 2048),
         query_prefix: str = "",
         mesh=None,
     ):

@@ -110,7 +110,10 @@ def discover_checkpoint(model_id: str) -> tuple[str | None, str | None]:
 class ModelSpec:
     model_id: str
     dtype: str = "bfloat16"
-    max_length: int = 512
+    # Matches the chunker's largest (level-0) node: a 2048-token parent can be
+    # embedded/reranked un-truncated (BGE-M3 itself supports 8192 — raise via
+    # config per model if needed). Queries still land in the small seq buckets.
+    max_length: int = 2048
     local_dir: str | None = None  # local HF checkpoint to convert
     tokenizer_path: str | None = None
 

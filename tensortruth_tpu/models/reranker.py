@@ -37,9 +37,9 @@ class Reranker:
         params: dict,
         cfg: XLMRConfig,
         tokenizer,
-        max_length: int = 512,
+        max_length: int = 2048,
         batch_buckets: Sequence[int] = (16, 64),
-        seq_buckets: Sequence[int] = (256, 320, 512),
+        seq_buckets: Sequence[int] = (256, 320, 512, 1024, 2048),
         mesh=None,
     ):
         assert cfg.num_labels == 1, "reranker config needs num_labels=1"
