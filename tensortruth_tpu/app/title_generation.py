@@ -32,7 +32,7 @@ def generate_smart_title(prompt: str, llm=None, max_len: int = MAX_TITLE_LEN) ->
     if llm is not None:
         try:
             raw = llm.complete(TITLE_PROMPT.format(message=prompt[:500])).strip()
-            raw = raw.strip("\"'").splitlines()[0].strip() if raw else ""
+            raw = raw.splitlines()[0].strip().strip("\"'") if raw else ""
             if 0 < len(raw) <= max_len * 2:
                 return raw[:max_len]
         except Exception as e:
