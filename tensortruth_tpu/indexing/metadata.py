@@ -113,7 +113,9 @@ def extract_arxiv_metadata_from_config(
     (reference metadata.py:529)."""
     meta = {"doc_type": DocumentType.PAPERS.value, "category": module}
     papers = sources.get("papers", {}).get(module, {})
-    entries = papers.get("papers", papers) if isinstance(papers, dict) else {}
+    entries = papers.get("papers", papers) if isinstance(papers, dict) else papers
+    if isinstance(entries, list):  # bare id list is a valid sources.json shape
+        entries = {str(i): None for i in entries}
     stem = Path(filename).stem
     for arxiv_id, info in (entries or {}).items():
         if str(arxiv_id).replace(".", "_") in stem or str(arxiv_id) in stem:
