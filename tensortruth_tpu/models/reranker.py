@@ -38,7 +38,7 @@ class Reranker:
         cfg: XLMRConfig,
         tokenizer,
         max_length: int = 2048,
-        batch_buckets: Sequence[int] = (16, 64),
+        batch_buckets: Sequence[int] = (16, 64, 128),
         seq_buckets: Sequence[int] = (256, 320, 512, 1024, 2048),
         mesh=None,
     ):
@@ -75,30 +75,7 @@ class Reranker:
 
     def score(self, query: str, docs: Sequence[str]) -> np.ndarray:
         """Sigmoid relevance scores in [0, 1], shape (len(docs),) f32."""
-        if not docs:
-            return np.zeros((0,), dtype=np.float32)
-        max_batch = self.batch_buckets[-1]
-        out = np.empty((len(docs),), dtype=np.float32)
-        for start in range(0, len(docs), max_batch):
-            chunk = docs[start : start + max_batch]
-            out[start : start + len(chunk)] = self._score_batch(query, chunk)
-        return out
-
-    def _score_batch(self, query: str, docs: Sequence[str]) -> np.ndarray:
-        ids, mask = self.tokenizer.encode_batch(
-            [query] * len(docs), self.max_length, pair=list(docs)
-        )
-        real_len = int(mask.sum(axis=1).max())
-        seq = _bucket(real_len, self.seq_buckets)
-        bsz = _bucket(len(docs), self.batch_buckets)
-        bsz = -(-bsz // self._batch_multiple) * self._batch_multiple  # DP shardable
-        ids_p = np.full((bsz, seq), self.tokenizer.pad_id, dtype=np.int32)
-        mask_p = np.zeros((bsz, seq), dtype=np.int32)
-        ids_p[: len(docs)] = ids[:, :seq]
-        mask_p[: len(docs)] = mask[:, :seq]
-        logits = self._fwd(self.params, jnp.asarray(ids_p), jnp.asarray(mask_p))
-        probs = jax.nn.sigmoid(logits[: len(docs)])
-        return np.asarray(probs, dtype=np.float32)
+        return self.score_pairs([(query, d) for d in docs])
 
     def rerank(
         self, query: str, docs: Sequence[str], top_n: int
@@ -116,6 +93,11 @@ class Reranker:
         are tokenized once and processed longest-first so each device batch
         lands in the tightest (batch, seq) bucket — mixed-length workloads
         waste no MXU cycles on padding.
+
+        Throughput discipline (same as Embedder.encode): every device batch
+        is dispatched asynchronously and converted after the LAST dispatch,
+        so host-side padding of batch i+1 and the per-dispatch tunnel RTT
+        overlap device compute of batch i instead of serializing after it.
         """
         if not pairs:
             return np.zeros((0,), dtype=np.float32)
@@ -126,7 +108,7 @@ class Reranker:
         order = np.argsort(-lengths, kind="stable")  # longest first
 
         max_batch = self.batch_buckets[-1]
-        out = np.empty((len(pairs),), dtype=np.float32)
+        pending = []  # (selection, device probs, n_real)
         for start in range(0, len(pairs), max_batch):
             sel = order[start : start + max_batch]
             real_len = int(lengths[sel].max())
@@ -138,7 +120,9 @@ class Reranker:
             ids_p[: len(sel)] = ids[sel, :seq]
             mask_p[: len(sel)] = mask[sel, :seq]
             logits = self._fwd(self.params, jnp.asarray(ids_p), jnp.asarray(mask_p))
-            out[sel] = np.asarray(
-                jax.nn.sigmoid(logits[: len(sel)]), dtype=np.float32
-            )
+            pending.append((sel, jax.nn.sigmoid(logits), len(sel)))
+
+        out = np.empty((len(pairs),), dtype=np.float32)
+        for sel, probs, n in pending:
+            out[sel] = np.asarray(probs[:n], dtype=np.float32)
         return out

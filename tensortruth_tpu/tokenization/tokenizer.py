@@ -131,12 +131,23 @@ def _batch_encode(
     bsz = len(texts)
     ids = np.full((bsz, max_length), tok.pad_id, dtype=np.int32)
     mask = np.zeros((bsz, max_length), dtype=np.int32)
+    # Tokenize each unique string once: rerank batches repeat the same query
+    # across all of its candidate docs (N pairs share ~N/top_k queries), so
+    # memoizing here nearly halves host tokenize time on the serving path.
+    cache: dict[str, list[int]] = {}
+
+    def enc(t: str) -> list[int]:
+        got = cache.get(t)
+        if got is None:
+            got = cache[t] = tok.encode(t)
+        return got
+
     for i, text in enumerate(texts):
-        a = tok.encode(text)
+        a = enc(text)
         if pair is None:
             seq = [tok.cls_id] + a[: max_length - 2] + [tok.sep_id]
         else:
-            b = tok.encode(pair[i])
+            b = enc(pair[i])
             # Budget: favour the query (a) up to half, rest to the doc.
             a_budget = min(len(a), max(1, (max_length - 4) // 2))
             b_budget = max_length - 4 - a_budget
