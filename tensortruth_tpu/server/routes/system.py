@@ -112,8 +112,87 @@ async def ollama_unload(request: web.Request):
         return web.json_response({"status": "error", "error": str(e)}, status=502)
 
 
+def _llama_cpp_provider(request: web.Request, provider_id: str | None = None):
+    """First configured llama_cpp provider (reference system.py:159-235)."""
+    from tensortruth_tpu.core.providers import ProviderRegistry
+
+    registry = ProviderRegistry.get_instance(
+        request.app["services"].config.providers
+    )
+    if provider_id:
+        p = registry.get_provider(provider_id)
+        return p if p is not None and p.type == "llama_cpp" else None
+    return next(
+        (p for p in registry.providers.values() if p.type == "llama_cpp"), None
+    )
+
+
 async def llama_cpp_status(request: web.Request):
-    return web.json_response({"reachable": False, "detail": "llama.cpp provider not configured"})
+    from tensortruth_tpu.core import llama_cpp
+
+    provider = _llama_cpp_provider(request)
+    if provider is None:
+        return web.json_response({"running": False, "models": [], "base_url": ""})
+    base = provider.base_url.rstrip("/")
+
+    def probe():
+        models = llama_cpp.get_available_models(base)
+        return {
+            "running": bool(models),
+            "base_url": base,
+            "models": [
+                {**m, "display_name": llama_cpp.format_display_name(m["id"])}
+                for m in models
+            ],
+        }
+
+    return web.json_response(await asyncio.to_thread(probe))
+
+
+async def llama_cpp_load(request: web.Request):
+    from tensortruth_tpu.core import llama_cpp
+
+    body = await request.json() if request.can_read_body else {}
+    provider = _llama_cpp_provider(request, body.get("provider_id"))
+    if provider is None:
+        return web.json_response(
+            {"success": False, "message": "No llama_cpp provider found"}, status=404
+        )
+    model = body.get("model", "")
+    if not model:
+        return web.json_response(
+            {"success": False, "message": "missing 'model'"}, status=422
+        )
+    ok = await asyncio.to_thread(
+        llama_cpp.load_model, provider.base_url.rstrip("/"), model
+    )
+    return web.json_response(
+        {"success": ok, "message": f"load {'ok' if ok else 'failed'}: {model}"},
+        status=200 if ok else 502,
+    )
+
+
+async def llama_cpp_unload(request: web.Request):
+    from tensortruth_tpu.core import llama_cpp
+
+    body = await request.json() if request.can_read_body else {}
+    provider = _llama_cpp_provider(request, body.get("provider_id"))
+    if provider is None:
+        return web.json_response(
+            {"success": False, "message": "No llama_cpp provider found"}, status=404
+        )
+    model = body.get("model", "")
+    if not model:
+        return web.json_response(
+            {"success": False, "message": "missing 'model'"}, status=422
+        )
+    ok = await asyncio.to_thread(
+        llama_cpp.unload_model, provider.base_url.rstrip("/"), model
+    )
+    return web.json_response(
+        {"success": ok, "message": f"unload {'ok' if ok else 'failed'}: {model}"},
+        status=200 if ok else 502,
+    )
 
 
 async def rag_status(request: web.Request):
@@ -188,6 +267,8 @@ def setup(app: web.Application) -> None:
     r.add_post("/api/system/ollama/load", ollama_load)
     r.add_post("/api/system/ollama/unload", ollama_unload)
     r.add_get("/api/system/llama-cpp/status", llama_cpp_status)
+    r.add_post("/api/system/llama-cpp/load", llama_cpp_load)
+    r.add_post("/api/system/llama-cpp/unload", llama_cpp_unload)
     r.add_get("/api/system/rag/status", rag_status)
     r.add_post("/api/system/restart-engine", restart_engine)
     r.add_post("/api/system/models/unload", models_unload)
