@@ -44,6 +44,14 @@ class XLMRConfig:
     # Pallas blocked attention (ops/attention.py): None = auto (TPU and
     # seq ≥ 512), True/False forces. Matters for 2048-token build chunks.
     flash_attention: bool | None = None
+    # GELU flavor: None = auto (tanh approximation on TPU — measured 7-13%
+    # of the whole cross-encoder forward goes to exact-erf on the VPU,
+    # scripts/measure_rerank_variants.py — exact erf elsewhere, which is
+    # what torch-parity tests compare against). The tanh form's error
+    # (~1e-3 absolute, peak near |x|≈2) is far below the bf16 activation
+    # rounding the TPU path already carries. True forces approx, False
+    # forces exact.
+    approx_gelu: bool | None = None
     # Position-id convention: "xlmr" = cumsum(mask)+pad_id (RoBERTa family),
     # "bert" = plain arange (BERT/MiniLM rerankers like
     # cross-encoder/ms-marco-MiniLM).
@@ -128,6 +136,12 @@ def _use_flash(cfg: XLMRConfig, s: int) -> bool:
     return jax.default_backend() == "tpu" and s >= 512 and s % 256 == 0
 
 
+def _use_approx_gelu(cfg: XLMRConfig) -> bool:
+    if cfg.approx_gelu is not None:
+        return cfg.approx_gelu
+    return jax.default_backend() == "tpu"
+
+
 def _attention(
     x: jax.Array, mask: jax.Array, mask_bias: jax.Array, lp: dict, cfg: XLMRConfig
 ) -> jax.Array:
@@ -171,7 +185,9 @@ def _layer(
     attn = _attention(x, mask, mask_bias, lp, cfg)
     x = _layer_norm(x + attn, lp["ln1_scale"], lp["ln1_bias"], cfg.layer_norm_eps)
     ffn = _dense(x, lp["fc1_w"], lp["fc1_b"])
-    ffn = jax.nn.gelu(ffn.astype(jnp.float32), approximate=False).astype(x.dtype)
+    ffn = jax.nn.gelu(
+        ffn.astype(jnp.float32), approximate=_use_approx_gelu(cfg)
+    ).astype(x.dtype)
     ffn = _dense(ffn, lp["fc2_w"], lp["fc2_b"])
     x = _layer_norm(x + ffn, lp["ln2_scale"], lp["ln2_bias"], cfg.layer_norm_eps)
     return x

@@ -239,3 +239,28 @@ def test_full_depth_encoder_parity(rng):
     emb = np.asarray(cls_embed(params, jnp.asarray(ids), jnp.asarray(mask), cfg))
     cos = (emb * ref_cls).sum(axis=1)
     assert (cos > 0.999).all(), cos
+
+
+def test_approx_gelu_within_bf16_noise():
+    """The TPU-default tanh GELU must track exact-erf closely (the delta is
+    far below bf16 activation rounding; models/xlmr.py XLMRConfig.approx_gelu).
+    On CPU the default stays exact so the torch-parity tests above pin the
+    canonical math."""
+    from dataclasses import replace
+
+    from tensortruth_tpu.models.xlmr import _use_approx_gelu, init_params
+
+    import jax
+
+    cfg_exact = replace(_tiny_cfg(num_labels=1), approx_gelu=False)
+    cfg_approx = replace(cfg_exact, approx_gelu=True)
+    assert _use_approx_gelu(_tiny_cfg()) is (jax.default_backend() == "tpu")
+
+    params = init_params(cfg_exact, jax.random.PRNGKey(0), dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    ids, mask = _batch(rng, bsz=4, seq=23)
+    exact = np.asarray(rerank_logits(params, jnp.asarray(ids), jnp.asarray(mask), cfg=cfg_exact))
+    approx = np.asarray(rerank_logits(params, jnp.asarray(ids), jnp.asarray(mask), cfg=cfg_approx))
+    np.testing.assert_allclose(approx, exact, rtol=2e-2, atol=5e-3)
+    # ranking order of the 4 pair scores is unchanged
+    assert (np.argsort(exact) == np.argsort(approx)).all()
