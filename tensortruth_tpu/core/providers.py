@@ -91,8 +91,14 @@ class BaseLLM:
         return "".join(out)
 
     def stream_chat(
-        self, messages: list[dict], system: str | None = None
+        self,
+        messages: list[dict],
+        system: str | None = None,
+        temperature: float | None = None,
     ) -> Iterator[ChatDelta]:
+        """``temperature`` overrides the instance default for this call only
+        (model-family prompt adaptation, web/synthesis.py
+        ModelPromptConfig.temperature_override)."""
         raise NotImplementedError
 
     def chat_with_tools(
@@ -111,7 +117,7 @@ class BaseLLM:
 class OllamaLLM(BaseLLM):
     """Ollama /api/chat streaming client (reference core/ollama.py:24-545)."""
 
-    def stream_chat(self, messages, system=None) -> Iterator[ChatDelta]:
+    def stream_chat(self, messages, system=None, temperature=None) -> Iterator[ChatDelta]:
         import requests
 
         msgs = ([{"role": "system", "content": system}] if system else []) + messages
@@ -120,7 +126,7 @@ class OllamaLLM(BaseLLM):
             "messages": msgs,
             "stream": True,
             "options": {
-                "temperature": self.temperature,
+                "temperature": self.temperature if temperature is None else temperature,
                 "num_ctx": self.context_window,
                 "num_predict": self.max_tokens,
             },
@@ -187,7 +193,7 @@ class OpenAICompatibleLLM(BaseLLM):
     """OpenAI-compatible /v1/chat/completions SSE client
     (reference providers.py:533-561; also serves llama.cpp router mode)."""
 
-    def stream_chat(self, messages, system=None) -> Iterator[ChatDelta]:
+    def stream_chat(self, messages, system=None, temperature=None) -> Iterator[ChatDelta]:
         import requests
 
         msgs = ([{"role": "system", "content": system}] if system else []) + messages
@@ -195,7 +201,7 @@ class OpenAICompatibleLLM(BaseLLM):
             "model": self.model,
             "messages": msgs,
             "stream": True,
-            "temperature": self.temperature,
+            "temperature": self.temperature if temperature is None else temperature,
             "max_tokens": self.max_tokens,
         }
         url = self.base_url

@@ -115,12 +115,14 @@ class Embedder:
         # the device still computes slab s's async dispatches.
         slab = max(8 * max_batch, 2048)
 
-        pending = []  # (global selection, device array, n_real)
+        out = np.empty((len(texts), self.cfg.hidden_size), dtype=np.float32)
+        prev = []  # previous slab's (global selection, device array, n_real)
         for slab_start in range(0, len(texts), slab):
             chunk = list(texts[slab_start : slab_start + slab])
             ids, mask = self.tokenizer.encode_batch(chunk, self.max_length)
             lengths = mask.sum(axis=1)
             order = np.argsort(-lengths, kind="stable")  # longest first
+            cur = []
             for start in range(0, len(chunk), max_batch):
                 sel = order[start : start + max_batch]
                 seq = _bucket(int(lengths[sel].max()), self.seq_buckets)
@@ -131,10 +133,17 @@ class Embedder:
                 ids_p[: len(sel)] = ids[sel, :seq]
                 mask_p[: len(sel)] = mask[sel, :seq]
                 emb = self._fwd(self.params, jnp.asarray(ids_p), jnp.asarray(mask_p))
-                pending.append((slab_start + sel, emb, len(sel)))
-
-        out = np.empty((len(texts), self.cfg.hidden_size), dtype=np.float32)
-        for sel, emb, n in pending:
+                cur.append((slab_start + sel, emb, len(sel)))
+            # Drain one slab BEHIND the dispatch front: the whole current
+            # slab is already queued on the device, so converting the
+            # previous slab's (finished or finishing) outputs here keeps
+            # the device fed while bounding held outputs to ~2 slabs —
+            # the all-pending variant held every output of a 1M+-chunk
+            # build on a 16 GB chip.
+            for sel, emb, n in prev:
+                out[sel] = np.asarray(emb[:n], dtype=np.float32)
+            prev = cur
+        for sel, emb, n in prev:
             out[sel] = np.asarray(emb[:n], dtype=np.float32)
         return out
 

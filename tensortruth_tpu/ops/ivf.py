@@ -211,7 +211,12 @@ def build_ivf(
     assign = np.empty(n, np.int32)
     second = np.empty(n, np.int32)
     step = 262_144
-    if _is_tpu() and n * d > 2**28:
+    if n_clusters == 1:
+        # top-2 selection below needs ≥2 columns; with one cluster every
+        # row (and its spill target) is cluster 0
+        assign[:] = 0
+        second[:] = 0
+    elif _is_tpu() and n * d > 2**28:
         @jax.jit
         def _top2(chunk, cent):
             s = jax.lax.dot_general(

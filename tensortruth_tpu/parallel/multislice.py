@@ -77,9 +77,9 @@ def partition_ivf(index: IVFIndex, n_groups: int) -> list[IVFIndex]:
         bounds.append(min(nc - (n_groups - len(bounds)), bounds[-1] + 1))
     bounds.append(nc)
 
-    blocks = np.asarray(index.blocks)
-    centroids = np.asarray(index.centroids)
-    scales = np.asarray(index.scales) if index.scales is not None else None
+    # Slice device arrays directly — never round-trip the multi-GB block
+    # tensor through the host; the cluster-major layout makes each part a
+    # contiguous row range.
     parts = []
     for g in range(n_groups):
         lo, hi = bounds[g], bounds[g + 1]
@@ -89,7 +89,7 @@ def partition_ivf(index: IVFIndex, n_groups: int) -> list[IVFIndex]:
                 blocks=index.blocks[lo:hi],
                 row_map=index.row_map[lo:hi],
                 n_actual=index.n_actual,
-                scales=index.scales[lo:hi] if scales is not None else None,
+                scales=index.scales[lo:hi] if index.scales is not None else None,
             )
         )
     logger.info(

@@ -214,8 +214,14 @@ class MultiIndexEngine:
         # Over-retrieve so every module could fill its quota (reference
         # retrieves top_k per index then merges).
         k = min(self.similarity_top_k * max(1, len(self.modules)), self._n_actual)
+        # NEVER cast the query to int8: normalized query components are all
+        # |v| < 1 and would truncate to zero. int8 lives corpus-side only
+        # (scales in _stacked_scales or inside the IVF index); queries score
+        # in bf16 against it.
         q_dtype = (
-            jnp.bfloat16 if self._stacked_scales is not None else self._stacked.dtype
+            jnp.bfloat16
+            if (self._stacked_scales is not None or self._stacked.dtype == jnp.int8)
+            else self._stacked.dtype
         )
         q = jnp.asarray(query_embs, dtype=q_dtype)
         if self._ivf_sharded is not None:

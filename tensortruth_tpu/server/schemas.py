@@ -161,6 +161,9 @@ class ChatRequest(APIModel):
 KNOWN_CONFIG_SECTIONS = {
     "ollama", "llm", "rag", "conversation", "agent",
     "history_cleaning", "web_search", "providers",
+    # top-level scalar the console round-trips via GET /api/config
+    # (app/config.py to_dict)
+    "extension_catalog_url",
 }
 
 
@@ -204,8 +207,16 @@ async def read_json(request: web.Request) -> Any:
 async def parse_body(request: web.Request, model: type[APIModel]):
     """Validate the JSON body against ``model``; 422 on contract violation."""
     data = await read_json(request)
+    if not isinstance(data, dict):
+        raise web.HTTPUnprocessableEntity(
+            text=json.dumps(
+                {"detail": [{"loc": ["body"], "msg": "body must be a JSON object",
+                             "type": "type_error"}]}
+            ),
+            content_type="application/json",
+        )
     try:
-        return model.model_validate(data if isinstance(data, dict) else {})
+        return model.model_validate(data)
     except ValidationError as e:
         detail = [
             {"loc": ["body", *err["loc"]], "msg": err["msg"], "type": err["type"]}

@@ -25,12 +25,19 @@ logger = logging.getLogger(__name__)
 
 
 def _extract_with_pymupdf(data: bytes) -> list[str] | None:
+    """None on ANY failure (not just missing pymupdf): pymupdf is stricter
+    than the pure-python fallback, and a malformed/encrypted PDF it rejects
+    may still yield text below — never abort ingestion here."""
     try:
         import pymupdf  # type: ignore
+
+        with pymupdf.open(stream=data, filetype="pdf") as doc:
+            return [page.get_text() for page in doc]
     except ImportError:
         return None
-    with pymupdf.open(stream=data, filetype="pdf") as doc:
-        return [page.get_text() for page in doc]
+    except Exception as e:  # noqa: BLE001 — fall back to the COS parser
+        logger.debug("pymupdf extraction failed, using fallback: %s", e)
+        return None
 
 
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.DOTALL)
@@ -230,6 +237,8 @@ def extract_pdf_toc(data: bytes) -> list[dict]:
             ]
     except ImportError:
         pass
+    except Exception as e:  # noqa: BLE001 — pure-python outline walk below
+        logger.debug("pymupdf TOC failed, using fallback: %s", e)
 
     objs = _parse_objects(data)
     page_order = {pn: i for i, pn in enumerate(_ordered_page_objnums(objs))}
@@ -337,6 +346,8 @@ def extract_pdf_metadata(data: bytes) -> dict:
             return {"title": (md.get("title") or "").strip(), "authors": authors}
     except ImportError:
         pass
+    except Exception as e:  # noqa: BLE001 — COS /Info parse below
+        logger.debug("pymupdf metadata failed, using fallback: %s", e)
     objs = _parse_objects(data)
     info_ref = None
     m = re.search(rb"trailer\s*<<(.*?)>>", data, re.DOTALL)

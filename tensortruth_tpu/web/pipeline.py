@@ -255,6 +255,10 @@ async def web_search_stream(
         kwargs = {}
         if system is not None:
             kwargs["system"] = system
+        if temp_override is not None:
+            # model-family adaptation (e.g. deepseek-r1 runs best at 0.6,
+            # web/synthesis.py get_model_prompt_config)
+            kwargs["temperature"] = temp_override
         return list(llm.stream_chat([{"role": "user", "content": prompt}], **kwargs))
 
     deltas = await loop.run_in_executor(None, run_stream)

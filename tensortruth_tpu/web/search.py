@@ -176,25 +176,55 @@ async def search_arxiv_tool(query: str, max_results: int = 5):
     return await asyncio.to_thread(search_arxiv, query, max_results)
 
 
-async def fetch_pages_batch_tool(urls: list[str], max_chars_per_page: int = 4000):
+async def fetch_pages_batch_tool(
+    urls: list[str],
+    max_chars_per_page: int = 4000,
+    discover_links: bool | None = None,
+):
     """Parallel page fetch with per-page link discovery
-    (reference orchestrator_tool_wrappers.py:651-929)."""
+    (reference orchestrator_tool_wrappers.py:651-929).
+
+    ``discover_links`` None = follow config web_search.discover_links;
+    when on, each successful page carries its outbound links PLUS
+    head-fetched metadata suggestions (web/links.py fetch_link_metadata)
+    so the agent can decide which links to follow next.
+    """
     from tensortruth_tpu.web.fetch import fetch_url_as_markdown
-    from tensortruth_tpu.web.links import extract_links_from_markdown
+    from tensortruth_tpu.web.links import (
+        extract_links_from_markdown,
+        fetch_link_metadata,
+        format_link_suggestions,
+    )
+
+    if discover_links is None:
+        try:
+            from tensortruth_tpu.app.config import load_config
+
+            discover_links = load_config().web_search.discover_links
+        except Exception:
+            discover_links = True
 
     fetched_set = set(urls)
 
     async def one(url: str):
         try:
             title, md = await asyncio.to_thread(fetch_url_as_markdown, url)
-            links = extract_links_from_markdown(md, url, exclude_urls=fetched_set)
-            return {
+            out = {
                 "url": url,
                 "title": title,
                 "markdown": md[:max_chars_per_page],
-                "links": [{"title": a, "url": u} for a, u in links],
+                "links": [],
                 "status": "success",
             }
+            if discover_links:
+                links = extract_links_from_markdown(md, url, exclude_urls=fetched_set)
+                out["links"] = [{"title": a, "url": u} for a, u in links]
+                if links:
+                    metas = await fetch_link_metadata(links)
+                    suggestions = format_link_suggestions(metas)
+                    if suggestions:
+                        out["link_suggestions"] = suggestions
+            return out
         except Exception as e:
             return {"url": url, "status": "failed", "error": str(e)}
 

@@ -95,3 +95,24 @@ async def test_document_ingest_requires_source(client):
     sid = (await r.json())["id"]
     r = await client.post(f"/api/sessions/{sid}/documents", json={})
     assert r.status == 422
+
+
+async def test_non_object_body_is_422(client):
+    """Regression: a JSON array/string body must 422, not silently validate
+    as an empty object with all defaults."""
+    r = await client.post("/api/sessions", json=[1, 2, 3])
+    assert r.status == 422
+    detail = (await r.json())["detail"]
+    assert detail[0]["msg"] == "body must be a JSON object"
+    r = await client.post("/api/sessions", json="just a string")
+    assert r.status == 422
+
+
+async def test_config_save_roundtrip_includes_catalog_url(client):
+    """Regression: the console PATCHes the full GET /api/config object back,
+    which includes the top-level extension_catalog_url key — must not 422."""
+    r = await client.get("/api/config")
+    cfg = await r.json()
+    assert "extension_catalog_url" in cfg
+    r = await client.patch("/api/config", json=cfg)
+    assert r.status == 200

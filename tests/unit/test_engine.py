@@ -203,3 +203,23 @@ def test_mesh_scales_ivf_threshold(tiny_tokenizer, sample_text):
     assert eng._ivf_sharded is not None and eng._ivf is None
     results = eng.retrieve_batch(np.asarray(mat[0][None, :], np.float32))[0]
     assert results
+
+
+def test_int8_ivf_tier_keeps_query_float(tiny_tokenizer, sample_text):
+    """Regression: the int8-IVF tier (corpus past the beyond-HBM threshold
+    with corpus_dtype='int8') must NOT cast normalized query embeddings to
+    the int8 block dtype — |v|<1 components truncate to zero and retrieval
+    silently collapses to arbitrary rows."""
+    idx = _index(tiny_tokenizer, sample_text, "docA", "mod_a")
+    eng = MultiIndexEngine(
+        {"mod_a": idx}, similarity_top_k=5, use_fused=False,
+        corpus_dtype="int8", ivf_threshold=1, ivf_clusters=4, ivf_nprobe=4,
+    )
+    assert eng._ivf is not None and eng._ivf.scales is not None  # int8 blocks
+    mat, rows = idx.matrix()
+    results = eng.retrieve_batch(mat[2][None, :])[0]
+    assert results
+    # self-retrieval: the query IS row 2, score must be ~1, not ~0
+    assert results[0].score > 0.9
+    expected = idx.node_of_row(int(rows[2]))
+    assert results[0].node_id in (expected.node_id, expected.parent_id)

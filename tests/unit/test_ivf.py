@@ -344,3 +344,18 @@ class TestInt8IVF:
         assert (rows[:, 0] == np.arange(4)).mean() >= 0.75
         live = rows[vals > float("-inf")]
         assert live.min() >= 0 and live.max() < len(emb)
+
+
+def test_build_ivf_single_cluster():
+    """Regression: the n_clusters clamp can yield 1 for tiny corpora; the
+    top-2 assignment pass must not require two columns."""
+    rng = np.random.default_rng(0)
+    emb = _corpus(rng, 5, 16)
+    index = build_ivf(emb, n_clusters=1, sample_size=5, kmeans_iters=2)
+    assert index.n_clusters == 1
+    vals, rows = ivf_search(index, emb[:3], k=2, nprobe=1)
+    assert (rows[:, 0] == np.arange(3)).all()  # self-retrieval
+    # and the degenerate 1-row corpus path
+    tiny = build_ivf(emb[:1], n_clusters=8, sample_size=1, kmeans_iters=1)
+    v1, r1 = ivf_search(tiny, emb[:1], k=1, nprobe=1)
+    assert r1[0, 0] == 0
