@@ -40,6 +40,9 @@ def validate_module_for_build(module: str, sources: dict, docs_dir) -> str | Non
 
 
 def main(argv: list[str] | None = None) -> int:
+    from tensortruth_tpu.models.manager import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
     parser = argparse.ArgumentParser(description="Build TPU vector indexes")
     sel = parser.add_mutually_exclusive_group(required=True)
     sel.add_argument("--modules", nargs="+", help="modules to build")

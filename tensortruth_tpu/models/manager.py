@@ -37,6 +37,30 @@ logger = logging.getLogger(__name__)
 DEFAULT_EMBEDDING_MODEL = "BAAI/bge-m3"
 DEFAULT_RERANKER_MODEL = "BAAI/bge-reranker-v2-m3"
 
+
+def enable_persistent_compilation_cache(cache_dir: str | None = None) -> None:
+    """Turn on JAX's persistent compilation cache for this process.
+
+    Cold-compiling the 568M encoder/reranker graphs costs tens of seconds
+    per (batch, seq) bucket — minutes over a remote-tunnelled device; with
+    the cache, every later process start is warm. Called by the server app
+    factory and the build CLI; no-ops if the app already configured a dir.
+    """
+    import os
+
+    if jax.config.jax_compilation_cache_dir:
+        return
+    cache_dir = cache_dir or os.path.join(
+        os.path.expanduser("~"), ".cache", "tensortruth_tpu_jax"
+    )
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        logger.info("persistent XLA compilation cache at %s", cache_dir)
+    except Exception as e:  # cache is an optimization, never fatal
+        logger.warning("could not enable compilation cache: %s", e)
+
 # Architectures known to this engine, keyed by HF model id. ``tiny-*`` ids
 # exist for tests/CI so suites never build 568M-param models.
 _EMBEDDER_ARCHS: dict[str, XLMRConfig] = {

@@ -73,6 +73,9 @@ async def error_middleware(request: web.Request, handler):
 
 
 def create_app(data_dir: str | Path | None = None, config=None) -> web.Application:
+    from tensortruth_tpu.models.manager import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
     app = web.Application(
         middlewares=[cors_middleware, error_middleware, path_param_middleware],
         client_max_size=256 * 2**20,  # uploads
