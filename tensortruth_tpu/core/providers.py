@@ -279,8 +279,13 @@ class ProviderRegistry:
 
     @classmethod
     def get_instance(cls, providers: list[ProviderConfig] | None = None) -> "ProviderRegistry":
+        """Singleton accessor. ``providers`` seeds CONSTRUCTION only — an
+        existing instance is returned as-is (rebuilding on every call would
+        discard the model/capability TTL caches each status poll). Mutating
+        provider config must call ``reset_instance()`` (the provider CRUD
+        routes do), after which the next call rebuilds."""
         with cls._lock:
-            if cls._instance is None or providers is not None:
+            if cls._instance is None:
                 if providers is None:
                     from tensortruth_tpu.app.config import load_config
 

@@ -29,6 +29,13 @@ _SAFE_PARAM = re.compile(r"[A-Za-z0-9][A-Za-z0-9 _.\-]{0,127}$")
 _SAFE_MODEL_ID = re.compile(
     r"[A-Za-z0-9][A-Za-z0-9_.\-]{0,127}(/[A-Za-z0-9][A-Za-z0-9_.\-]{0,127})?$"
 )
+# aiohttp's add_static binds nested asset paths (e.g. sub/app.css) to
+# 'filename'; bundler output may start with '_' or '.' — allow multi-segment
+# paths (the '..'-segment check below plus aiohttp's own resolve-inside-root
+# protection keep it traversal-safe).
+_SAFE_STATIC = re.compile(
+    r"[A-Za-z0-9_.\-][A-Za-z0-9 _.\-]{0,127}(/[A-Za-z0-9_.\-][A-Za-z0-9 _.\-]{0,127})*$"
+)
 _UNVALIDATED_PARAMS = {"tail"}  # SPA catch-all; never touches the filesystem
 
 
@@ -38,7 +45,12 @@ async def path_param_middleware(request: web.Request, handler):
     for name, value in request.match_info.items():
         if name in _UNVALIDATED_PARAMS:
             continue
-        pat = _SAFE_MODEL_ID if name == "model_id" else _SAFE_PARAM
+        if name == "model_id":
+            pat = _SAFE_MODEL_ID
+        elif name == "filename":
+            pat = _SAFE_STATIC
+        else:
+            pat = _SAFE_PARAM
         if not pat.fullmatch(value) or ".." in value.split("/"):
             raise web.HTTPBadRequest(reason=f"invalid path parameter {name!r}")
     return await handler(request)

@@ -30,6 +30,12 @@ async def patch_config(request: web.Request):
     merged = merge(current, patch)
     services.config = TensorTruthTPUConfig.from_dict(merged)
     save_config(services.config)
+    if "providers" in patch:
+        # get_instance no longer rebuilds on every call — a provider change
+        # through the config editor must invalidate the registry singleton
+        from tensortruth_tpu.core.providers import ProviderRegistry
+
+        ProviderRegistry.reset_instance()
     return web.json_response(services.config.to_dict())
 
 

@@ -37,7 +37,7 @@ async def add_server(request):
 
 async def patch_server(request):
     await request.app["services"].invalidate_mcp_tools()
-    patch = (await parse_body(request, MCPServerPatch)).model_dump(exclude_none=True)
+    patch = (await parse_body(request, MCPServerPatch)).model_dump(exclude_unset=True)
     out = _svc(request).update_server(request.match_info["name"], patch)
     if out is None:
         raise web.HTTPNotFound(reason="server not found")

@@ -40,7 +40,7 @@ async def get_project(request):
 
 
 async def patch_project(request):
-    patch = (await parse_body(request, ProjectPatch)).model_dump(exclude_none=True)
+    patch = (await parse_body(request, ProjectPatch)).model_dump(exclude_unset=True)
     p = _svc(request).update_project(request.match_info["project_id"], patch)
     if p is None:
         raise web.HTTPNotFound(reason="project not found")

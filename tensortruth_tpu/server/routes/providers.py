@@ -44,9 +44,10 @@ async def patch_provider(request: web.Request):
     p = _find(services, request.match_info["provider_id"])
     if p is None:
         raise web.HTTPNotFound(reason="provider not found")
-    body = (await parse_body(request, ProviderPatch)).model_dump(exclude_none=True)
+    body = (await parse_body(request, ProviderPatch)).model_dump(exclude_unset=True)
     for k, v in body.items():
-        if hasattr(p, k) and k != "id":
+        # no ProviderConfig field is nullable — explicit null means "leave"
+        if v is not None and hasattr(p, k) and k != "id":
             setattr(p, k, v)
     save_config(services.config)
     ProviderRegistry.reset_instance()

@@ -40,7 +40,7 @@ async def get_session(request):
 
 
 async def patch_session(request):
-    body = (await parse_body(request, SessionPatch)).model_dump(exclude_none=True)
+    body = (await parse_body(request, SessionPatch)).model_dump(exclude_unset=True)
     session = _svc(request).update_session(request.match_info["session_id"], body)
     if session is None:
         raise web.HTTPNotFound(reason="session not found")

@@ -91,7 +91,9 @@ async def reinitialize_indexes(request: web.Request):
             shutil.rmtree(d)
             removed.append(d.name)
     services = request.app["services"]
-    services.rag_service.unload()
+    # the index dirs are GONE — every cached engine is stale, not just the
+    # current pointer
+    services.rag_service.clear_engines()
     return web.json_response({"status": "reinitialized", "removed": removed})
 
 

@@ -11,6 +11,8 @@ import asyncio
 
 from aiohttp import web
 
+from tensortruth_tpu.server.schemas import read_json
+
 
 async def memory(request: web.Request):
     import jax
@@ -75,7 +77,8 @@ async def ollama_status(request: web.Request):
 
 async def ollama_load(request: web.Request):
     services = request.app["services"]
-    body = await request.json()
+    body = await read_json(request)
+    body = body if isinstance(body, dict) else {}
     import requests
 
     def load():
@@ -95,7 +98,8 @@ async def ollama_load(request: web.Request):
 
 async def ollama_unload(request: web.Request):
     services = request.app["services"]
-    body = await request.json()
+    body = await read_json(request)
+    body = body if isinstance(body, dict) else {}
     import requests
 
     def unload():
@@ -152,7 +156,8 @@ async def llama_cpp_status(request: web.Request):
 async def llama_cpp_load(request: web.Request):
     from tensortruth_tpu.core import llama_cpp
 
-    body = await request.json() if request.can_read_body else {}
+    body = await read_json(request)
+    body = body if isinstance(body, dict) else {}
     provider = _llama_cpp_provider(request, body.get("provider_id"))
     if provider is None:
         return web.json_response(
@@ -175,7 +180,8 @@ async def llama_cpp_load(request: web.Request):
 async def llama_cpp_unload(request: web.Request):
     from tensortruth_tpu.core import llama_cpp
 
-    body = await request.json() if request.can_read_body else {}
+    body = await read_json(request)
+    body = body if isinstance(body, dict) else {}
     provider = _llama_cpp_provider(request, body.get("provider_id"))
     if provider is None:
         return web.json_response(
@@ -220,7 +226,8 @@ async def profile_start(request: web.Request):
     """Start a jax.profiler trace (SURVEY §5.1 TPU observability)."""
     import jax
 
-    body = await request.json() if request.can_read_body else {}
+    body = await read_json(request)
+    body = body if isinstance(body, dict) else {}
     log_dir = body.get("log_dir") or str(
         request.app["services"].data_dir / "profiles"
     )
@@ -243,7 +250,9 @@ async def profile_stop(request: web.Request):
 
 async def restart_engine(request: web.Request):
     services = request.app["services"]
-    services.rag_service.unload()
+    # a restart must drop the engine CACHE too — a cached engine would be
+    # served back verbatim (old models and all) on the next request
+    services.rag_service.clear_engines()
     from tensortruth_tpu.models.manager import ModelManager
 
     ModelManager.get_instance().unload_all()

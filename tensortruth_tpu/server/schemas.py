@@ -82,6 +82,10 @@ class ProviderCreate(APIModel):
     api_key: str = ""
     enabled: bool = True
     models: list[str] = Field(default_factory=list)
+    # full ProviderConfig surface (app/config.py) — extra="ignore" would
+    # otherwise silently drop these on create/patch
+    timeout: int = Field(default=300, ge=1, le=3600)
+    default_capabilities: list[str] = Field(default_factory=list)
 
 
 class ProviderPatch(APIModel):
@@ -90,6 +94,8 @@ class ProviderPatch(APIModel):
     api_key: str | None = None
     enabled: bool | None = None
     models: list[str] | None = None
+    timeout: int | None = Field(default=None, ge=1, le=3600)
+    default_capabilities: list[str] | None = None
 
 
 class ProviderTest(APIModel):

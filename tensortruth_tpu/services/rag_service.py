@@ -127,6 +127,14 @@ class RAGService:
                 modules, params, [str(p) for p in (extra_index_paths or [])]
             )
 
+    def _model_key(self, engine: RAGEngine) -> tuple:
+        """(embedding model, reranker model) an engine holds resident."""
+        p = engine.params or {}
+        return (
+            p.get("embedding_model", self.config.rag.default_embedding_model),
+            p.get("reranker_model", self.config.rag.default_reranker),
+        )
+
     def load_engine(
         self,
         modules: list[str],
@@ -144,10 +152,32 @@ class RAGService:
                 self._engines.move_to_end(h)
                 self._engine, self._engine_hash = cached, h
                 return cached
-            engine = load_engine_for_modules(
-                modules, params, extra_index_paths=extra_index_paths,
-                config=self.config, **kw,
-            )
+        # Build OUTSIDE the lock: a cold build (model conversion + XLA
+        # compile) takes seconds-to-minutes and must not head-of-line-block
+        # concurrent queries that only need the already-current engine.
+        # A duplicate concurrent build of the same hash is possible and
+        # harmless — first insert wins below; ModelManager serializes the
+        # heavy model loads internally anyway.
+        engine = load_engine_for_modules(
+            modules, params, extra_index_paths=extra_index_paths,
+            config=self.config, **kw,
+        )
+        with self._lock:
+            existing = self._engines.get(h)
+            if existing is not None:
+                self._engines.move_to_end(h)
+                self._engine, self._engine_hash = existing, h
+                return existing
+            # A model swap means ModelManager just released the OLD models'
+            # HBM — cached engines still pinning those params would keep
+            # both models + both corpora resident (OOM near the capacity
+            # tier). Drop every cached engine built on different models.
+            new_key = self._model_key(engine)
+            for k in [
+                k for k, e in self._engines.items()
+                if self._model_key(e) != new_key
+            ]:
+                self._engines.pop(k).retriever.clear_cache()
             self._engines[h] = engine
             while len(self._engines) > self._max_cached_engines:
                 _, evicted = self._engines.popitem(last=False)

@@ -141,7 +141,10 @@ class SessionService:
         for key in ("title", "modules", "params", "project_id", "title_needs_update"):
             if key in patch:
                 if key == "params":
-                    session["params"] = {**session.get("params", {}), **patch["params"]}
+                    # explicit null params = no-op merge, not a crash
+                    session["params"] = {
+                        **session.get("params", {}), **(patch["params"] or {})
+                    }
                 else:
                     session[key] = patch[key]
         self.save_session(session)

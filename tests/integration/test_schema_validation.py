@@ -116,3 +116,32 @@ async def test_config_save_roundtrip_includes_catalog_url(client):
     assert "extension_catalog_url" in cfg
     r = await client.patch("/api/config", json=cfg)
     assert r.status == 200
+
+
+async def test_patch_with_explicit_null_clears_field(client):
+    """Regression: exclude_none dropped explicit nulls, so un-assigning a
+    session from a project was silently impossible (exclude_unset now)."""
+    r = await client.post("/api/projects", json={"name": "P"})
+    pid = (await r.json())["id"]
+    r = await client.post(f"/api/projects/{pid}/sessions", json={})
+    sid = (await r.json())["id"]
+    assert (await r.json())["project_id"] == pid
+
+    r = await client.patch(f"/api/sessions/{sid}", json={"project_id": None})
+    assert r.status == 200
+    assert (await r.json())["project_id"] is None
+
+
+async def test_provider_timeout_and_capabilities_roundtrip(client):
+    """Regression: ProviderCreate dropped timeout/default_capabilities."""
+    r = await client.post(
+        "/api/providers",
+        json={"id": "slowbox", "type": "openai_compatible",
+              "base_url": "http://localhost:9", "timeout": 600,
+              "default_capabilities": ["tools"]},
+    )
+    assert r.status == 200, await r.text()
+    r = await client.get("/api/providers")
+    p = next(p for p in (await r.json())["providers"] if p["id"] == "slowbox")
+    assert p["timeout"] == 600
+    assert p["default_capabilities"] == ["tools"]
