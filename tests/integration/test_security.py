@@ -85,3 +85,29 @@ async def test_valid_ids_still_work(client):
     sid = (await r.json())["id"]
     r = await client.get(f"/api/sessions/{sid}")
     assert r.status == 200
+
+
+async def test_static_assets_allow_nested_paths_but_not_traversal(client):
+    """Regression: the param middleware rejected any nested static asset
+    path (aiohttp binds them to 'filename'); nested paths must pass the
+    middleware while traversal still dies."""
+    # nested path reaches the static handler (404 = no such file, NOT 400)
+    r = await client.get("/assets/sub/app.css")
+    assert r.status in (403, 404), r.status
+    # leading underscore / dot segments (bundler output) also pass
+    r = await client.get("/assets/_chunks/x.js")
+    assert r.status in (403, 404)
+    # traversal is still rejected before any filesystem touch
+    r = await client.get("/assets/..%2F..%2Fetc%2Fpasswd")
+    assert r.status in (400, 403, 404)
+    body = await r.read()
+    assert b"root:" not in body
+
+
+async def test_extension_uninstall_rejects_traversal(client):
+    r = await client.delete("/api/extensions/commands/..%2F..%2Fconfig.yaml")
+    assert r.status in (400, 404)
+    # aiohttp normalizes the decoded ".." during routing → 405 on the
+    # parent path; any of these means the loader was never reached
+    r = await client.delete("/api/extensions/commands/%2e%2e")
+    assert r.status in (400, 404, 405)

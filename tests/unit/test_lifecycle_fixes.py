@@ -102,3 +102,46 @@ def test_registry_singleton_not_rebuilt_per_call():
     c = ProviderRegistry.get_instance(provs)
     assert c is not a
     ProviderRegistry.reset_instance()
+
+
+def test_concurrent_load_unload_no_corruption(data_env, tmp_path):
+    """The engine build now runs outside the service lock: hammer
+    load/unload/retrieve from threads and assert no exception and a
+    consistent final state (the ADVICE race, re-checked after the change)."""
+    import threading
+
+    from tensortruth_tpu.services.rag_service import RAGService
+
+    svc = RAGService(config=data_env)
+    d = _build_session_index(tmp_path, data_env)
+    errors = []
+
+    def loader(n):
+        try:
+            for i in range(4):
+                svc.load_engine(
+                    [], params={"reranker_top_n": (n + i) % 3 + 2},
+                    extra_index_paths=[str(d)],
+                )
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    def unloader():
+        try:
+            for _ in range(6):
+                svc.unload()
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=loader, args=(i,)) for i in range(3)]
+    threads.append(threading.Thread(target=unloader))
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    # cache bounded and engines usable
+    assert len(svc._engines) <= svc._max_cached_engines
+    eng = svc.load_engine([], params={"reranker_top_n": 2},
+                          extra_index_paths=[str(d)])
+    assert eng.retriever.n_chunks > 0
