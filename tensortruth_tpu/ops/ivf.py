@@ -246,11 +246,15 @@ def build_ivf(
 
     mean_rows = n / n_clusters
     rows_per_cluster = int(np.ceil(mean_rows * overflow))
-    # Size to the actual assignment skew (up to the hard cap) so clustered
-    # real-text data doesn't truncate, while bounding HBM at
-    # max_overflow × the balanced layout.
+    # Size to the 95th-percentile cluster (up to the hard cap): every probe
+    # pays nprobe × rows_per_cluster of HBM traffic, so sizing to the MAX
+    # cluster made the whole scan ~28% slower for the benefit of the few
+    # largest clusters (measured, BASELINE.md config 5). The tail spills to
+    # second-best / capacity-aware slots instead — total capacity
+    # n_clusters × rows_per_cluster ≥ n by construction, so no row is ever
+    # dropped; spilled rows surface when their spill cluster is probed.
     counts = np.bincount(assign, minlength=n_clusters)
-    rows_per_cluster = max(rows_per_cluster, int(counts.max()))
+    rows_per_cluster = max(rows_per_cluster, int(np.percentile(counts, 95)))
     rows_per_cluster = min(rows_per_cluster, int(np.ceil(mean_rows * max_overflow)))
     # Lane-align for the MXU.
     rows_per_cluster = -(-rows_per_cluster // 128) * 128
