@@ -138,3 +138,26 @@ def test_self_retrieval_through_routing(setup):
     v, rows = ms.search(q, k=1, nprobe=4)
     assert (rows[:, 0] == np.arange(100, 116)).mean() >= 0.9
     assert v[:, 0] == pytest.approx(np.ones(16), abs=5e-3)
+
+
+def test_multislice_with_int8_blocks(setup):
+    """int8 cluster blocks (the capacity tier) through partition + routing:
+    scales must slice with their clusters and dequant must survive the
+    group boundary."""
+    import jax.numpy as jnp
+    from tensortruth_tpu.ops.ivf import build_ivf
+
+    emb, _ = setup
+    index8 = build_ivf(
+        emb, n_clusters=16, sample_size=4_000, kmeans_iters=5,
+        block_dtype=jnp.int8,
+    )
+    assert index8.scales is not None
+    ms = MultiSliceIVF(index8, n_groups=3)
+    for g in ms.groups:
+        assert g.index.scales is not None  # scales partitioned alongside
+    q = emb[40:52]
+    v, rows = ms.search(q, k=5, nprobe=6)
+    # int8 self-retrieval: top hit is the row itself at score ~1
+    assert (rows[:, 0] == np.arange(40, 52)).mean() >= 0.9
+    assert np.all(v[:, 0] > 0.95)
