@@ -120,7 +120,12 @@ async def ws_chat(request: web.Request):
     """WS chat protocol (reference chat.py:596-1002)."""
     services = request.app["services"]
     session_id = request.match_info["session_id"]
-    ws = web.WebSocketResponse(heartbeat=30)
+    # No server-side heartbeat: on a saturated single-core host (tests,
+    # small deployments) a blocked event loop misses the 30s pong deadline
+    # mid-compile and aiohttp hard-closes the socket mid-stream. The
+    # reference's FastAPI WS runs without one too; clients keep their own
+    # timeouts.
+    ws = web.WebSocketResponse()
     await ws.prepare(request)
 
     async for msg in ws:

@@ -64,8 +64,12 @@ async def upload_document(request: web.Request):
 
 async def list_documents(request: web.Request):
     services = request.app["services"]
-    docs = services.document_service.list_documents(_scope_dir(request))
-    return web.json_response({"documents": docs})
+    details = services.document_service.describe_documents(_scope_dir(request))
+    # ``documents`` carries id+filename+chunks objects (reference
+    # PDFListResponse); ``ids`` keeps the flat list for scripted clients.
+    return web.json_response(
+        {"documents": details, "ids": [d["id"] for d in details]}
+    )
 
 
 async def delete_document(request: web.Request):

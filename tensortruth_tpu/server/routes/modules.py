@@ -12,6 +12,28 @@ from tensortruth_tpu.indexing.metadata import (
 )
 
 
+def _count_rows(mod_dir) -> int | None:
+    """Leaf-chunk count without loading embeddings: shard manifest n_rows,
+    else the .npy header shape via mmap."""
+    import json
+
+    manifest = mod_dir / "embeddings.manifest.json"
+    if manifest.exists():
+        try:
+            return int(json.loads(manifest.read_text())["n_rows"])
+        except Exception:
+            return None
+    npy = mod_dir / "embeddings.npy"
+    if npy.exists():
+        try:
+            import numpy as np
+
+            return int(np.load(npy, mmap_mode="r").shape[0])
+        except Exception:
+            return None
+    return None
+
+
 async def list_modules(request: web.Request):
     services = request.app["services"]
     model = request.query.get(
@@ -22,7 +44,8 @@ async def list_modules(request: web.Request):
     for name in list_modules_for_model(base, model):
         from tensortruth_tpu.index.store import sanitize_model_id
 
-        meta = read_index_metadata(base / sanitize_model_id(model) / name) or {}
+        mod_dir = base / sanitize_model_id(model) / name
+        meta = read_index_metadata(mod_dir) or {}
         doc_type, _, module = name.partition("_")
         modules.append(
             {
@@ -32,6 +55,7 @@ async def list_modules(request: web.Request):
                 "embedding_model": meta.get("embedding_model", model),
                 "created_at": meta.get("created_at"),
                 "chunking_strategy": meta.get("chunking_strategy"),
+                "n_chunks": _count_rows(mod_dir),
             }
         )
     return web.json_response({"modules": modules})

@@ -108,6 +108,25 @@ class DocumentService:
     def list_documents(self, scope_dir: str | Path) -> list[str]:
         return self._builder(Path(scope_dir)).doc_ids()
 
+    def describe_documents(self, scope_dir: str | Path) -> list[dict]:
+        """[{id, filename, chunks}] for the management UI (reference
+        PDFListResponse shape, api/routes/pdfs.py:15)."""
+        builder = self._builder(Path(scope_dir))
+        index = builder.load()
+        if index is None:
+            return []
+        by_doc: dict[str, dict] = {}
+        for n in index.store.nodes():
+            d = by_doc.setdefault(
+                n.doc_id,
+                {"id": n.doc_id, "filename": "", "chunks": 0},
+            )
+            if not d["filename"]:
+                d["filename"] = (n.metadata or {}).get("filename", "")
+            if n.is_leaf:  # leaves = embedded chunks
+                d["chunks"] += 1
+        return [by_doc[k] for k in sorted(by_doc)]
+
     def remove_document(self, scope_dir: str | Path, doc_id: str) -> int:
         scope_dir = Path(scope_dir)
         removed = self._builder(scope_dir).remove_document(doc_id)

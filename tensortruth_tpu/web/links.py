@@ -106,7 +106,7 @@ async def fetch_link_metadata(
             logger.debug("link head fetch failed for %s: %s", url, e)
         return meta
 
-    async with __import__("aiohttp").ClientSession(
+    async with aiohttp.ClientSession(
         headers={"User-Agent": "Mozilla/5.0 (research-assistant)"}
     ) as session:
         return list(

@@ -238,9 +238,18 @@ async def web_search_stream(
     # citation style, structure template (web/synthesis.py).
     from tensortruth_tpu.web.synthesis import CitationStyle, build_synthesis_prompt
 
-    style = CitationStyle(
-        (ws_cfg.citation_style if ws_cfg and getattr(ws_cfg, "citation_style", None) else "hyperlink")
+    raw_style = (
+        ws_cfg.citation_style
+        if ws_cfg and getattr(ws_cfg, "citation_style", None)
+        else "hyperlink"
     )
+    try:
+        style = CitationStyle(raw_style)
+    except ValueError:
+        # citation_style is free-form in config.yaml — a typo must not
+        # break every /web query after the search work is already done
+        logger.warning("unknown citation_style %r; using hyperlink", raw_style)
+        style = CitationStyle.HYPERLINK
     prompt, system, temp_override = build_synthesis_prompt(
         query,
         fitted,

@@ -219,16 +219,32 @@ async def fetch_pages_batch_tool(
             if discover_links:
                 links = extract_links_from_markdown(md, url, exclude_urls=fetched_set)
                 out["links"] = [{"title": a, "url": u} for a, u in links]
-                if links:
-                    metas = await fetch_link_metadata(links)
-                    suggestions = format_link_suggestions(metas)
-                    if suggestions:
-                        out["link_suggestions"] = suggestions
             return out
         except Exception as e:
             return {"url": url, "status": "failed", "error": str(e)}
 
-    return await asyncio.gather(*(one(u) for u in urls))
+    results = await asyncio.gather(*(one(u) for u in urls))
+    if discover_links:
+        # ONE capped head-metadata pass over the union of discovered links
+        # (not per page — per-page probing multiplied every batch fetch by
+        # up to 8 extra GETs per URL): ≤ max_links extra requests per batch,
+        # deduped, attached to the first successful page.
+        seen: set[str] = set()
+        union: list[tuple[str, str]] = []
+        for r in results:
+            for l in r.get("links", []):
+                if l["url"] not in seen:
+                    seen.add(l["url"])
+                    union.append((l["title"], l["url"]))
+        if union:
+            metas = await fetch_link_metadata(union)
+            suggestions = format_link_suggestions(metas)
+            if suggestions:
+                for r in results:
+                    if r.get("status") == "success":
+                        r["link_suggestions"] = suggestions
+                        break
+    return results
 
 
 async def get_arxiv_paper_tool(arxiv_id: str):

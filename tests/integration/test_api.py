@@ -145,8 +145,10 @@ async def test_documents_upload_text_and_reindex(client):
     assert doc["status"] == "success" and doc["chunks"] > 0
 
     r = await client.get(f"/api/sessions/{sid}/documents")
-    docs = (await r.json())["documents"]
-    assert doc["doc_id"] in docs
+    body = await r.json()
+    assert doc["doc_id"] in body["ids"]
+    entry = next(d for d in body["documents"] if d["id"] == doc["doc_id"])
+    assert entry["filename"] == "notes.md" and entry["chunks"] > 0
 
     r = await client.post(f"/api/sessions/{sid}/documents/reindex")
     assert (await r.json())["documents"] == 1
