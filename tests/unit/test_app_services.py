@@ -207,3 +207,23 @@ def test_doc_id_stable():
     assert a == make_doc_id("report final.pdf", b"data")
     assert a != make_doc_id("report final.pdf", b"other")
     assert " " not in a
+
+
+def test_modules_route_count_rows(tmp_path):
+    """_count_rows (server/routes/modules.py) reads the chunk count from
+    the shard manifest or the npy header without loading embeddings."""
+    import json
+
+    import numpy as np
+
+    from tensortruth_tpu.server.routes.modules import _count_rows
+
+    d = tmp_path / "mod"
+    d.mkdir()
+    assert _count_rows(d) is None  # empty dir
+    np.save(d / "embeddings.npy", np.zeros((7, 4), np.float32))
+    assert _count_rows(d) == 7
+    (d / "embeddings.manifest.json").write_text(json.dumps({"n_rows": 123}))
+    assert _count_rows(d) == 123  # manifest wins (sharded saves)
+    (d / "embeddings.manifest.json").write_text("{corrupt")
+    assert _count_rows(d) is None  # corrupt manifest degrades to None
