@@ -86,10 +86,11 @@ def load_engine_for_modules(
     model_dir = indexes_dir / sanitize_model_id(embedding_model)
 
     indexes: dict[str, VectorIndex] = {}
+    from tensortruth_tpu.index.store import resolve_module_dir
+
     for module in modules:
         # Accept both bare module names and {doc_type}_{module} dir names.
-        candidates = [model_dir / module] + sorted(model_dir.glob(f"*_{module}"))
-        path = next((c for c in candidates if VectorIndex.is_valid(c)), None)
+        path = resolve_module_dir(model_dir, module)
         if path is None:
             logger.warning("module index not found, skipping: %s", module)
             continue

@@ -85,7 +85,12 @@ class CorruptIndexError(RuntimeError):
 def _load_matrix(path: Path) -> np.ndarray:
     manifest = path / EMB_MANIFEST
     if not manifest.exists():
-        return np.load(path / EMB_FILE)
+        try:
+            return np.load(path / EMB_FILE)
+        except Exception as e:
+            raise CorruptIndexError(
+                f"unreadable embeddings at {path / EMB_FILE}: {e}"
+            ) from e
     try:
         m = json.loads(manifest.read_text())
         shards = m["shards"]
@@ -98,10 +103,17 @@ def _load_matrix(path: Path) -> np.ndarray:
         f = path / shard["file"]
         if not f.exists():
             raise CorruptIndexError(f"missing shard {f} (manifest lists it)")
-        arr = np.load(f)
-        if arr.shape[0] != shard["rows"] or arr.shape[1] != dim:
+        try:
+            arr = np.load(f)
+        except Exception as e:  # truncated/zero-byte/garbage .npy
+            raise CorruptIndexError(f"unreadable shard {f}: {e}") from e
+        if arr.ndim != 2 or arr.shape[0] != shard["rows"] or arr.shape[1] != dim:
             raise CorruptIndexError(
                 f"shard {f} shape {arr.shape} != manifest ({shard['rows']}, {dim})"
+            )
+        if row + arr.shape[0] > n_rows:
+            raise CorruptIndexError(
+                f"shards over-supply rows (> {n_rows} manifest total) at {f}"
             )
         out[row : row + arr.shape[0]] = arr
         row += arr.shape[0]
@@ -284,3 +296,14 @@ class VectorIndex:
         path = Path(path)
         has_matrix = (path / EMB_FILE).exists() or (path / EMB_MANIFEST).exists()
         return has_matrix and (path / METADATA_FILE).exists()
+
+
+def resolve_module_dir(model_dir: Path, module: str) -> Path | None:
+    """First VALID index dir for ``module`` under a model's index root.
+
+    Accepts both bare module names and ``{doc_type}_{module}`` dir names;
+    filters by VectorIndex.is_valid so stray/leftover directories never
+    mask the real index (shared by engine.py and the orchestrator's module
+    descriptions)."""
+    candidates = [model_dir / module] + sorted(model_dir.glob(f"*_{module}"))
+    return next((c for c in candidates if VectorIndex.is_valid(c)), None)

@@ -116,6 +116,10 @@ def extract_arxiv_metadata_from_config(
     entries = papers.get("papers", papers) if isinstance(papers, dict) else papers
     if isinstance(entries, list):  # bare id list is a valid sources.json shape
         entries = {str(i): None for i in entries}
+    elif isinstance(entries, str):  # single bare id
+        entries = {entries: None}
+    elif not isinstance(entries, dict):  # any other scalar: no metadata
+        entries = {}
     stem = Path(filename).stem
     for arxiv_id, info in (entries or {}).items():
         if str(arxiv_id).replace(".", "_") in stem or str(arxiv_id) in stem:

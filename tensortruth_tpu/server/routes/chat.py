@@ -56,24 +56,28 @@ def _chat_context(services, session: dict) -> dict:
     }
 
 
-async def _ensure_engine(services, ctx: dict) -> None:
+async def _ensure_engine(services, ctx: dict):
+    """Load (or fetch from cache) THIS session's engine and return it.
+
+    The returned engine must be passed to query()/retrieve(): the service's
+    current-engine pointer is shared and a concurrent session may swap it
+    between load and query (rag_service.retrieve docstring)."""
     rag = services.rag_service
     if not ctx["modules"] and not ctx["extra_index_paths"]:
         rag.unload()
-        return
-    if rag.needs_reload(ctx["modules"], ctx["params"], ctx["extra_index_paths"]):
-        loop = asyncio.get_running_loop()
-        await loop.run_in_executor(
-            None,
-            lambda: rag.load_engine(
-                ctx["modules"], ctx["params"], extra_index_paths=ctx["extra_index_paths"]
-            ),
-        )
+        return None
+    loop = asyncio.get_running_loop()
+    return await loop.run_in_executor(
+        None,
+        lambda: rag.load_engine(
+            ctx["modules"], ctx["params"], extra_index_paths=ctx["extra_index_paths"]
+        ),
+    )
 
 
-def _pump_query(rag, prompt, params, messages):
+def _pump_query(rag, prompt, params, messages, engine=None):
     """Run the sync generator to completion; returns (events, response)."""
-    gen = rag.query(prompt, params=params, session_messages=messages)
+    gen = rag.query(prompt, params=params, session_messages=messages, engine=engine)
     events = []
     while True:
         try:
@@ -92,11 +96,11 @@ async def rest_chat(request: web.Request):
     body = await request.json()
     prompt = body.get("message", "")
     ctx = _chat_context(services, session)
-    await _ensure_engine(services, ctx)
+    engine = await _ensure_engine(services, ctx)
     messages = session.get("messages", [])
     loop = asyncio.get_running_loop()
     _, response = await loop.run_in_executor(
-        None, _pump_query, services.rag_service, prompt, ctx["params"], messages
+        None, _pump_query, services.rag_service, prompt, ctx["params"], messages, engine
     )
     services.session_service.add_message(session_id, "user", prompt)
     services.session_service.add_message(
@@ -192,7 +196,7 @@ async def ws_chat(request: web.Request):
 
         ctx = _chat_context(services, session)
         try:
-            await _ensure_engine(services, ctx)
+            engine = await _ensure_engine(services, ctx)
         except Exception as e:
             await ws.send_json({"type": "error", "error": f"engine load failed: {e}"})
             continue
@@ -207,7 +211,8 @@ async def ws_chat(request: web.Request):
         # tool-capable model; any failure falls back to the direct pipeline.
         if _orchestrator_enabled(services, ctx["params"]):
             ok = await _run_orchestrator(
-                services, ws, session_id, session, prompt, ctx, messages
+                services, ws, session_id, session, prompt, ctx, messages,
+                engine=engine,
             )
             if ok:
                 continue
@@ -220,7 +225,10 @@ async def ws_chat(request: web.Request):
 
         def pump():
             rag = services.rag_service
-            gen = rag.query(prompt, params=ctx["params"], session_messages=messages)
+            gen = rag.query(
+                prompt, params=ctx["params"], session_messages=messages,
+                engine=engine,
+            )
             while True:
                 try:
                     chunk = next(gen)
@@ -287,7 +295,7 @@ def _orchestrator_enabled(services, params: dict) -> bool:
 
 
 async def _run_orchestrator(
-    services, ws, session_id, session, prompt, ctx, messages
+    services, ws, session_id, session, prompt, ctx, messages, engine=None
 ) -> bool:
     """Returns True when the orchestrator produced an answer; False → direct
     fallback (reference chat.py:839-847)."""
@@ -314,7 +322,7 @@ async def _run_orchestrator(
     try:
         async for event in orch.execute(
             prompt, llm, synthesis_llm=synth_llm, extra_tools=service_tools,
-            modules=ctx["modules"], params=ctx["params"],
+            modules=ctx["modules"], params=ctx["params"], engine=engine,
             history=[
                 {"role": m["role"], "content": m["content"]}
                 for m in messages

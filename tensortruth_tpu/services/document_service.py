@@ -110,13 +110,20 @@ class DocumentService:
 
     def describe_documents(self, scope_dir: str | Path) -> list[dict]:
         """[{id, filename, chunks}] for the management UI (reference
-        PDFListResponse shape, api/routes/pdfs.py:15)."""
-        builder = self._builder(Path(scope_dir))
-        index = builder.load()
-        if index is None:
+        PDFListResponse shape, api/routes/pdfs.py:15).
+
+        Reads ONLY the node hierarchy file — never the embedding matrix and
+        never the embedder (whose construction would load a 568M model just
+        to list filenames on a cold server)."""
+        from tensortruth_tpu.index.nodes import HierarchyStore
+        from tensortruth_tpu.index.store import HIER_FILE
+
+        hier = Path(scope_dir) / "index" / HIER_FILE
+        if not hier.exists():
             return []
+        store = HierarchyStore.load(hier)
         by_doc: dict[str, dict] = {}
-        for n in index.store.nodes():
+        for n in store.nodes():
             d = by_doc.setdefault(
                 n.doc_id,
                 {"id": n.doc_id, "filename": "", "chunks": 0},

@@ -85,12 +85,24 @@ def budget_history(
     return out
 
 
+def budget_prompt(text: str, context_window: int, share: float) -> str:
+    """Cap one prompt section to its window share (chars), keeping the tail
+    head-biased: truncation keeps the beginning, which carries the
+    instruction/question (reference :559-636 user/system caps)."""
+    limit = int(context_window * CHARS_PER_TOKEN * share)
+    if len(text) <= limit:
+        return text
+    return text[: max(0, limit - 15)] + "\n...[truncated]"
+
+
 def load_module_descriptions(
-    modules: list[str], config=None, indexes_dir=None
+    modules: list[str], config=None, indexes_dir=None, params=None
 ) -> list[dict]:
     """[{name, display_name, doc_type}] from index metadata
     (reference :1274-1345). Modules whose metadata is unavailable come back
-    with their bare name and doc_type 'unknown'."""
+    with their bare name and doc_type 'unknown'. ``params`` carries the
+    session's embedding_model override — its indexes live under that
+    model's directory, not the config default's."""
     from pathlib import Path
 
     from tensortruth_tpu.index.store import sanitize_model_id
@@ -103,28 +115,40 @@ def load_module_descriptions(
             from tensortruth_tpu.app.paths import get_base_indexes_dir
 
             indexes_dir = get_base_indexes_dir()
-        model = (
+        model = (params or {}).get("embedding_model") or (
             config.rag.default_embedding_model if config else "BAAI/bge-m3"
         )
         model_dir = Path(indexes_dir) / sanitize_model_id(model)
     except Exception:
         model_dir = None
 
+    from tensortruth_tpu.index.store import resolve_module_dir
+
     out = []
     for module in modules:
         desc = {"name": module, "display_name": module, "doc_type": "unknown"}
         if model_dir is not None and model_dir.is_dir():
-            cands = [model_dir / module] + sorted(model_dir.glob(f"*_{module}"))
-            for c in cands:
-                if not c.is_dir():
-                    continue
+            # same candidate resolution as the engine loader — a VALID index
+            # wins, so a stray/leftover directory can't mask it; fall back
+            # to any candidate that at least has readable metadata
+            c = resolve_module_dir(model_dir, module)
+            if c is None:
+                c = next(
+                    (
+                        x
+                        for x in [model_dir / module]
+                        + sorted(model_dir.glob(f"*_{module}"))
+                        if read_index_metadata(x)
+                    ),
+                    None,
+                )
+            if c is not None:
                 if c.name != module and c.name.endswith(f"_{module}"):
                     desc["doc_type"] = c.name[: -len(module) - 1]
                 meta = read_index_metadata(c) or {}
                 desc["display_name"] = meta.get("display_name") or module
                 if meta.get("doc_type"):
                     desc["doc_type"] = meta["doc_type"]
-                break
         out.append(desc)
     return out
 
@@ -136,12 +160,15 @@ class OrchestratorService:
         self.config = config
         self.last_sources: list = []
 
-    def _rag_tool(self, params: dict) -> ToolSpec:
+    def _rag_tool(self, params: dict, engine=None) -> ToolSpec:
         service = self.rag_service
         outer = self
 
         async def rag_query(query: str):
-            result = await asyncio.to_thread(service.retrieve, query, params)
+            kw = {"engine": engine} if engine is not None else {}
+            result = await asyncio.to_thread(
+                lambda: service.retrieve(query, params, **kw)
+            )
             outer.last_sources.extend(result.sources)
             if not result.sources:
                 return "No indexed documents matched this query."
@@ -165,11 +192,11 @@ class OrchestratorService:
             fn=rag_query,
         )
 
-    def _system_prompt(self, modules: list[str], tools: dict) -> str:
+    def _system_prompt(self, modules: list[str], tools: dict, params=None) -> str:
         tool_list = "\n".join(
             f"- {t.name}: {t.description}" for t in tools.values()
         )
-        descs = load_module_descriptions(modules, self.config)
+        descs = load_module_descriptions(modules, self.config, params=params)
         if descs:
             module_block = "; ".join(
                 f"{d['display_name']} ({d['doc_type']})" if d["doc_type"] != "unknown"
@@ -193,11 +220,14 @@ class OrchestratorService:
         params: dict | None = None,
         history: list[dict] | None = None,
         extra_tools: dict | None = None,
+        engine=None,
     ) -> AsyncIterator[dict]:
         """Yields WS events; final 'done' carries the synthesized answer.
 
         ``extra_tools`` lets the caller add service-backed tools (MCP
         management, project ingestion — services/orchestrator_tools.py).
+        ``engine`` pins rag_query to the engine the chat route loaded for
+        THIS session (rag_service.retrieve docstring).
         """
         params = params or {}
         modules = modules or []
@@ -206,11 +236,20 @@ class OrchestratorService:
         extra_tools = dict(extra_tools or {})
         # rag_query exists whenever a retrieval engine is loaded — catalog
         # modules AND/OR session/project document indexes.
-        if modules or getattr(self.rag_service, "engine", None) is not None:
-            extra_tools["rag_query"] = self._rag_tool(params)
+        if engine is not None or modules or getattr(self.rag_service, "engine", None) is not None:
+            extra_tools["rag_query"] = self._rag_tool(params, engine=engine)
         all_tools = dict(extra_tools)
         all_tools.update(self.tool_service.tools)
-        system_prompt = self._system_prompt(modules, all_tools)
+        ctx_window = params.get("context_window", 8192)
+        # User text caps at its 18% share. The system prompt carries the
+        # tool list (truncating it breaks function calling), so it only
+        # caps at 2× its nominal share as a runaway guard; between nominal
+        # and 2×, budget_history absorbs the overage from history's share.
+        system_prompt = budget_prompt(
+            self._system_prompt(modules, all_tools, params=params),
+            ctx_window, 2 * BUDGET_SYSTEM,
+        )
+        prompt = budget_prompt(prompt, ctx_window, BUDGET_USER)
         agent = FunctionAgent(
             context={
                 "llm": llm,

@@ -46,6 +46,10 @@ from tensortruth_tpu.services.condenser import condense_query
 
 logger = logging.getLogger(__name__)
 
+# Sentinel for "use the service's current engine pointer" — distinct from
+# None, which means "no engine" (LLM-only).
+_CURRENT = object()
+
 
 @dataclass
 class RAGChunk:
@@ -128,11 +132,23 @@ class RAGService:
             )
 
     def _model_key(self, engine: RAGEngine) -> tuple:
-        """(embedding model, reranker model) an engine holds resident."""
+        """(embedding model, reranker model or None) an engine holds resident.
+
+        ``None`` reranker = the engine pins no reranker at all
+        (use_reranker=False / params carry an explicit None)."""
         p = engine.params or {}
-        return (
-            p.get("embedding_model", self.config.rag.default_embedding_model),
-            p.get("reranker_model", self.config.rag.default_reranker),
+        emb = p.get("embedding_model") or self.config.rag.default_embedding_model
+        if engine.reranker is None:
+            return (emb, None)
+        return (emb, p.get("reranker_model") or self.config.rag.default_reranker)
+
+    @staticmethod
+    def _models_compatible(k1: tuple, k2: tuple) -> bool:
+        """Same resident-model footprint? A None reranker pins no extra HBM
+        and is compatible with any reranker choice — evicting on it would
+        reintroduce the full-rebuild thrash the cache exists to avoid."""
+        return k1[0] == k2[0] and (
+            k1[1] is None or k2[1] is None or k1[1] == k2[1]
         )
 
     def load_engine(
@@ -175,7 +191,7 @@ class RAGService:
             new_key = self._model_key(engine)
             for k in [
                 k for k, e in self._engines.items()
-                if self._model_key(e) != new_key
+                if not self._models_compatible(self._model_key(e), new_key)
             ]:
                 self._engines.pop(k).retriever.clear_cache()
             self._engines[h] = engine
@@ -344,9 +360,16 @@ class RAGService:
         prompt: str,
         params: dict | None = None,
         session_messages: list[dict] | None = None,
+        engine: "RAGEngine | None" = _CURRENT,
     ) -> RetrievalResult:
-        with self._lock:
-            engine = self._engine  # capture once; survives concurrent unload
+        """``engine`` pins the request to the engine its route loaded —
+        without it, a concurrent session loading a different module set
+        swaps the shared current pointer between load and query and this
+        request would answer from the WRONG corpus. Default = the current
+        pointer (single-session / test convenience)."""
+        if engine is _CURRENT:
+            with self._lock:
+                engine = self._engine  # capture once; survives concurrent unload
         if engine is None:
             return RetrievalResult(confidence=ConfidenceLevel.NO_SOURCES.value)
         params = {**engine.params, **(params or {})}
@@ -364,9 +387,11 @@ class RAGService:
         prompt: str,
         params: dict | None = None,
         session_messages: list[dict] | None = None,
+        engine: "RAGEngine | None" = _CURRENT,
     ) -> Generator[RAGChunk, None, RAGResponse]:
-        with self._lock:
-            engine = self._engine  # capture once; survives concurrent unload
+        if engine is _CURRENT:
+            with self._lock:
+                engine = self._engine  # capture once; survives concurrent unload
         params = {**(engine.params if engine else {}), **(params or {})}
         llm = self._get_llm(params)
         history = self.chat_history_service.build_history(

@@ -69,7 +69,9 @@ def test_clear_engines_drops_cache_and_pointer(data_env, tmp_path):
 
 def test_model_swap_evicts_other_model_engines(data_env, tmp_path):
     """A cached engine built on model X must be dropped when a new engine
-    loads model Y — otherwise both models + corpora stay pinned in HBM."""
+    loads model Y — otherwise both models + corpora stay pinned in HBM.
+    Turning the reranker OFF pins nothing extra and must NOT evict."""
+    from tensortruth_tpu.models import manager as manager_mod
     from tensortruth_tpu.services.rag_service import RAGService
 
     svc = RAGService(config=data_env)
@@ -82,14 +84,24 @@ def test_model_swap_evicts_other_model_engines(data_env, tmp_path):
                                 "reranker_top_n": 3},
                     extra_index_paths=[str(d)])
     assert len(svc._engines) == 2
-    # a different reranker = a model swap → older engines evicted
+    # use_reranker=False is model-compatible — nothing evicted for it
     svc.load_engine([], params={"embedding_model": "tiny-embedder",
-                                "reranker_model": "tiny-reranker",
                                 "use_reranker": False},
                     extra_index_paths=[str(d)])
-    assert len(svc._engines) <= 2
-    keys = {svc._model_key(e) for e in svc._engines.values()}
-    assert len(keys) == 1  # only one model set remains resident
+    assert len(svc._engines) == 2  # LRU cap, no model-swap purge
+
+    # a genuinely different embedding model IS a swap → all others evicted
+    manager_mod._EMBEDDER_ARCHS.setdefault(
+        "tiny-embedder-b", manager_mod._EMBEDDER_ARCHS["tiny-embedder"]
+    )
+    try:
+        svc.load_engine([], params={"embedding_model": "tiny-embedder-b",
+                                    "use_reranker": False},
+                        extra_index_paths=[str(d)])
+        keys = {svc._model_key(e)[0] for e in svc._engines.values()}
+        assert keys == {"tiny-embedder-b"}
+    finally:
+        manager_mod._EMBEDDER_ARCHS.pop("tiny-embedder-b", None)
 
 
 def test_registry_singleton_not_rebuilt_per_call():
