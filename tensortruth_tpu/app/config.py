@@ -71,8 +71,11 @@ class EmbeddingModelConfig:
     """Per-embedding-model TPU tuning (replaces reference
     config_schema.py:41-79 CUDA knobs)."""
 
-    batch_buckets: list = field(default_factory=lambda: [16, 64, 128])
-    seq_buckets: list = field(default_factory=lambda: [128, 512, 2048])
+    # None = the runtime's measured-tuned buckets (models/embedder.py,
+    # models/reranker.py); set explicit lists to trade compile count vs
+    # padding waste for a non-default model.
+    batch_buckets: list | None = None
+    seq_buckets: list | None = None
     dtype: str = "bfloat16"
     max_length: int = 2048  # = largest chunk level; BGE-M3 supports up to 8192
     local_dir: str | None = None  # local HF checkpoint for weight conversion

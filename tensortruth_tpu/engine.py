@@ -120,6 +120,8 @@ def load_engine_for_modules(
             max_length=mc.max_length,
             local_dir=mc.local_dir,
             tokenizer_path=mc.tokenizer_path,
+            batch_buckets=tuple(mc.batch_buckets) if mc.batch_buckets else None,
+            seq_buckets=tuple(mc.seq_buckets) if mc.seq_buckets else None,
         ),
         mesh=mesh,
     )

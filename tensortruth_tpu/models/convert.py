@@ -104,8 +104,18 @@ def convert_local_checkpoint(
     import os
 
     st = os.path.join(model_dir, "model.safetensors")
+    index = os.path.join(model_dir, "model.safetensors.index.json")
     if os.path.exists(st):
         sd = load_safetensors(st)
+    elif os.path.exists(index):
+        # sharded checkpoint: the index maps tensor name -> shard file
+        import json
+
+        with open(index, encoding="utf-8") as f:
+            weight_map = json.load(f)["weight_map"]
+        sd = {}
+        for shard in sorted(set(weight_map.values())):
+            sd.update(load_safetensors(os.path.join(model_dir, shard)))
     else:
         import torch
 

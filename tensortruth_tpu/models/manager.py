@@ -107,7 +107,25 @@ def discover_checkpoint(model_id: str) -> tuple[str | None, str | None]:
     roots.append(Path(hub) if hub else Path.home() / ".cache/huggingface/hub")
 
     def weights_in(d: Path) -> bool:
-        return (d / "model.safetensors").exists() or (d / "pytorch_model.bin").exists()
+        return (
+            (d / "model.safetensors").exists()
+            or (d / "model.safetensors.index.json").exists()  # sharded
+            or (d / "pytorch_model.bin").exists()
+        )
+
+    def snapshots_ordered(repo_dir: Path) -> list[Path]:
+        """Current revision first: refs/main names the live commit hash —
+        lexicographic hash order is arbitrary and can pick a stale
+        revision. Fallback: newest mtime first."""
+        snap_root = repo_dir / "snapshots"
+        snaps = [p for p in snap_root.iterdir() if p.is_dir()]
+        ref = repo_dir / "refs" / "main"
+        if ref.exists():
+            head = ref.read_text().strip()
+            snaps.sort(key=lambda p: (p.name != head, -p.stat().st_mtime))
+        else:
+            snaps.sort(key=lambda p: -p.stat().st_mtime)
+        return snaps
 
     candidates: list[Path] = []
     sanitized = model_id.split("/")[-1]
@@ -115,9 +133,9 @@ def discover_checkpoint(model_id: str) -> tuple[str | None, str | None]:
         if not root.is_dir():
             continue
         candidates += [root / model_id, root / sanitized]
-        snap_root = root / f"models--{model_id.replace('/', '--')}" / "snapshots"
-        if snap_root.is_dir():
-            candidates += sorted(snap_root.iterdir(), reverse=True)
+        repo_dir = root / f"models--{model_id.replace('/', '--')}"
+        if (repo_dir / "snapshots").is_dir():
+            candidates += snapshots_ordered(repo_dir)
 
     for d in candidates:
         if d.is_dir() and weights_in(d):
@@ -140,9 +158,41 @@ class ModelSpec:
     max_length: int = 2048
     local_dir: str | None = None  # local HF checkpoint to convert
     tokenizer_path: str | None = None
+    # None = the runtime's tuned defaults (config.yaml per-model blocks
+    # override, app/config.py EmbeddingModelConfig)
+    batch_buckets: tuple | None = None
+    seq_buckets: tuple | None = None
 
     def key(self) -> tuple:
-        return (self.model_id, self.dtype, self.max_length, self.local_dir)
+        # tokenizer_path included: a newly discovered/changed tokenizer.json
+        # MUST swap the resident model or stale hash-token embeddings keep
+        # serving until restart
+        return (
+            self.model_id, self.dtype, self.max_length,
+            self.local_dir, self.tokenizer_path,
+            self.batch_buckets, self.seq_buckets,
+        )
+
+    def bucket_kwargs(self) -> dict:
+        """Non-None bucket overrides for Embedder/Reranker construction."""
+        kw = {}
+        if self.batch_buckets:
+            kw["batch_buckets"] = tuple(self.batch_buckets)
+        if self.seq_buckets:
+            kw["seq_buckets"] = tuple(self.seq_buckets)
+        return kw
+
+
+def _mesh_desc(mesh) -> tuple | None:
+    """JSON-able VALUE identity for a mesh: config-driven meshes are fresh
+    objects each engine load, so object identity would thrash the model
+    cache, and raw Mesh objects crash json.dumps in status()."""
+    if mesh is None:
+        return None
+    return (
+        tuple(sorted(dict(mesh.shape).items())),
+        tuple(int(d.id) for d in mesh.devices.flat),
+    )
 
 
 class ModelManager:
@@ -172,16 +222,40 @@ class ModelManager:
 
     # -- embedder ------------------------------------------------------------
 
-    @staticmethod
-    def _resolve_spec(spec: ModelSpec) -> ModelSpec:
+    # model_id -> (expiry, (local_dir, tokenizer_path)): the filesystem scan
+    # (models dir + HF cache snapshots) must not run per serving request
+    _discovery_cache: dict[str, tuple[float, tuple]] = {}
+    _DISCOVERY_TTL = 60.0
+
+    @classmethod
+    def _discover_cached(cls, model_id: str) -> tuple[str | None, str | None]:
+        import time
+
+        hit = cls._discovery_cache.get(model_id)
+        now = time.monotonic()
+        if hit and hit[0] > now:
+            return hit[1]
+        found = discover_checkpoint(model_id)
+        cls._discovery_cache[model_id] = (now + cls._DISCOVERY_TTL, found)
+        return found
+
+    @classmethod
+    def _resolve_spec(cls, spec: ModelSpec) -> ModelSpec:
         """Fill local_dir/tokenizer_path from on-disk checkpoints (no network)."""
         from dataclasses import replace
+        from pathlib import Path
 
         if spec.model_id.startswith("tiny-"):
             return spec  # test architectures are always random-init
+        if spec.local_dir and not spec.tokenizer_path:
+            # an explicitly configured checkpoint dir usually ships its own
+            # tokenizer.json — look there before the global search roots
+            tok = Path(spec.local_dir) / "tokenizer.json"
+            if tok.exists():
+                spec = replace(spec, tokenizer_path=str(tok))
         if spec.local_dir and spec.tokenizer_path:
             return spec
-        local_dir, tok = discover_checkpoint(spec.model_id)
+        local_dir, tok = cls._discover_cached(spec.model_id)
         return replace(
             spec,
             local_dir=spec.local_dir or local_dir,
@@ -202,11 +276,24 @@ class ModelManager:
                 role, spec.model_id,
             )
 
+    @staticmethod
+    def _key_matches(resident_key, new_key, mesh) -> bool:
+        """mesh=None means "don't care": callers off the engine path
+        (document uploads, web reranking) must reuse the resident model
+        rather than swap-thrash it into a second full HBM copy."""
+        if resident_key is None:
+            return False
+        if mesh is None:
+            return resident_key[:-1] == new_key[:-1]
+        return resident_key == new_key
+
     def get_embedder(self, spec: ModelSpec | None = None, mesh=None) -> Embedder:
         spec = self._resolve_spec(spec or ModelSpec(DEFAULT_EMBEDDING_MODEL))
-        key = (*spec.key(), mesh)
+        key = (*spec.key(), _mesh_desc(mesh))
         with self._lock:
-            if self._embedder is not None and self._embedder_key == key:
+            if self._embedder is not None and self._key_matches(
+                self._embedder_key, key, mesh
+            ):
                 return self._embedder
             if self._embedder is not None:
                 logger.info("swapping embedder %s -> %s", self._embedder_key, key)
@@ -227,14 +314,16 @@ class ModelManager:
                 spec.local_dir, num_layers=cfg.num_layers, dtype=dtype
             )
             embedder = Embedder(
-                params, cfg, tokenizer, max_length=spec.max_length, mesh=mesh
+                params, cfg, tokenizer, max_length=spec.max_length, mesh=mesh,
+                **spec.bucket_kwargs(),
             )
         else:
             logger.warning(
                 "no local checkpoint for %s — using random-init weights", spec.model_id
             )
             embedder = Embedder.random_init(
-                cfg, tokenizer, dtype=dtype, max_length=spec.max_length, mesh=mesh
+                cfg, tokenizer, dtype=dtype, max_length=spec.max_length, mesh=mesh,
+                **spec.bucket_kwargs(),
             )
         embedder.model_id = spec.model_id
         return embedder
@@ -243,9 +332,11 @@ class ModelManager:
 
     def get_reranker(self, spec: ModelSpec | None = None, mesh=None) -> Reranker:
         spec = self._resolve_spec(spec or ModelSpec(DEFAULT_RERANKER_MODEL))
-        key = (*spec.key(), mesh)
+        key = (*spec.key(), _mesh_desc(mesh))
         with self._lock:
-            if self._reranker is not None and self._reranker_key == key:
+            if self._reranker is not None and self._key_matches(
+                self._reranker_key, key, mesh
+            ):
                 return self._reranker
             if self._reranker is not None:
                 logger.info("swapping reranker %s -> %s", self._reranker_key, key)
@@ -267,14 +358,16 @@ class ModelManager:
                 num_labels=cfg.num_labels, dtype=dtype,
             )
             reranker = Reranker(
-                params, cfg, tokenizer, max_length=spec.max_length, mesh=mesh
+                params, cfg, tokenizer, max_length=spec.max_length, mesh=mesh,
+                **spec.bucket_kwargs(),
             )
         else:
             logger.warning(
                 "no local checkpoint for %s — using random-init weights", spec.model_id
             )
             reranker = Reranker.random_init(
-                cfg, tokenizer, dtype=dtype, max_length=spec.max_length, mesh=mesh
+                cfg, tokenizer, dtype=dtype, max_length=spec.max_length, mesh=mesh,
+                **spec.bucket_kwargs(),
             )
         reranker.model_id = spec.model_id
         return reranker

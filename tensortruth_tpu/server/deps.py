@@ -93,6 +93,8 @@ class ServiceContainer:
                         max_length=mc.max_length,
                         local_dir=mc.local_dir,
                         tokenizer_path=mc.tokenizer_path,
+                        batch_buckets=tuple(mc.batch_buckets) if mc.batch_buckets else None,
+                        seq_buckets=tuple(mc.seq_buckets) if mc.seq_buckets else None,
                     )
                 )
 

@@ -134,3 +134,71 @@ def test_max_length_covers_largest_chunk_level():
         sig = inspect.signature(cls.__init__)
         assert sig.parameters["max_length"].default >= largest
         assert max(sig.parameters["seq_buckets"].default) >= largest
+
+
+def test_mesh_key_is_value_based_and_json_safe(tmp_path, monkeypatch):
+    """A mesh in the model key must be a VALUE descriptor: fresh Mesh
+    objects per engine load must not thrash the cache, and status() must
+    stay JSON-serializable (the rag-status route dumps it)."""
+    import json
+
+    from tensortruth_tpu.models.manager import ModelManager, ModelSpec, _mesh_desc
+    from tensortruth_tpu.parallel import make_mesh
+
+    ModelManager.reset_instance()
+    mgr = ModelManager.get_instance()
+    spec = ModelSpec("tiny-embedder")
+    m1, m2 = make_mesh(), make_mesh()  # same layout, different objects
+    assert _mesh_desc(m1) == _mesh_desc(m2)
+    e1 = mgr.get_embedder(spec, mesh=m1)
+    e2 = mgr.get_embedder(spec, mesh=m2)
+    assert e1 is e2  # no swap-thrash on a fresh-but-equal mesh
+    # mesh=None = "don't care": off-engine callers reuse the resident model
+    assert mgr.get_embedder(spec) is e1
+    json.dumps(mgr.status())  # Mesh object in the key would raise here
+    ModelManager.reset_instance()
+
+
+def test_sharded_safetensors_checkpoint(tmp_path):
+    """Sharded HF checkpoints (index.json + shard files) convert like
+    single-file ones."""
+    import json
+
+    import numpy as np
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    safetensors_torch = pytest.importorskip("safetensors.torch")
+
+    from tensortruth_tpu.models.manager import discover_checkpoint
+
+    d = tmp_path / "m"
+    d.mkdir()
+    t1 = {"a.weight": torch.zeros(2, 2)}
+    t2 = {"b.weight": torch.ones(2)}
+    safetensors_torch.save_file(t1, str(d / "model-00001-of-00002.safetensors"))
+    safetensors_torch.save_file(t2, str(d / "model-00002-of-00002.safetensors"))
+    (d / "model.safetensors.index.json").write_text(json.dumps({
+        "weight_map": {"a.weight": "model-00001-of-00002.safetensors",
+                       "b.weight": "model-00002-of-00002.safetensors"},
+    }))
+
+    import os
+    os.environ["TENSOR_TRUTH_TPU_MODELS_DIR"] = str(tmp_path)
+    try:
+        local, tok = discover_checkpoint("m")
+        assert local == str(d)  # sharded checkpoint is discovered
+    finally:
+        del os.environ["TENSOR_TRUTH_TPU_MODELS_DIR"]
+
+    from tensortruth_tpu.models.convert import convert_local_checkpoint
+
+    # the shard merge itself (architecture mapping tested elsewhere)
+    import tensortruth_tpu.models.convert as cv
+    merged = {}
+    with open(d / "model.safetensors.index.json", encoding="utf-8") as f:
+        wm = json.load(f)["weight_map"]
+    for shard in sorted(set(wm.values())):
+        merged.update(cv.load_safetensors(str(d / shard)))
+    assert set(merged) == {"a.weight", "b.weight"}
+    assert np.asarray(merged["b.weight"]).tolist() == [1.0, 1.0]
