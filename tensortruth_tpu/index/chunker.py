@@ -149,14 +149,17 @@ def semantic_breakpoints(
 ) -> list[int]:
     """Indices i where a new section starts AFTER sentence i.
 
-    Distance = 1 - cosine(group_i, group_{i+1}) with each group a
-    ``buffer_size``-sentence window (reference builder.py:391-398 params).
+    Distance = 1 - cosine(group_i, group_{i+1}) with each group sentence i
+    plus ``buffer_size`` neighbors on BOTH sides — the smoothing window the
+    reference's SemanticSplitterNodeParser uses (buffer_size=1 → 3-sentence
+    groups; a trailing-only window gave zero smoothing at the default and
+    noisier boundaries). Reference builder.py:391-398 params.
     """
     if len(sentences) < 2:
         return []
     groups = []
     for i in range(len(sentences)):
-        lo, hi = max(0, i - buffer_size + 1), i + 1
+        lo, hi = max(0, i - buffer_size), min(len(sentences), i + buffer_size + 1)
         groups.append(" ".join(sentences[lo:hi]))
     emb = np.asarray(embed_fn(groups), dtype=np.float32)
     emb /= np.linalg.norm(emb, axis=1, keepdims=True) + 1e-9

@@ -140,12 +140,18 @@ class HierarchyStore:
     # -- persistence ---------------------------------------------------------
 
     def save(self, path: str | Path) -> None:
-        """JSONL: one node per line, then a footer with the leaf ordering."""
+        """JSONL: one node per line, then a footer with the leaf ordering.
+
+        Atomic (tmp + rename) like every other index artifact: a crash
+        mid-save must not leave a half-written hierarchy next to a valid
+        matrix — is_valid() would pass and load() would then fail."""
         path = Path(path)
-        with path.open("w", encoding="utf-8") as f:
+        tmp = path.with_suffix(path.suffix + ".tmp")
+        with tmp.open("w", encoding="utf-8") as f:
             for n in self._nodes.values():
                 f.write(json.dumps(n.to_dict(), ensure_ascii=False) + "\n")
             f.write(json.dumps({"__leaf_ids__": self._leaf_ids}) + "\n")
+        tmp.replace(path)
 
     @classmethod
     def load(cls, path: str | Path) -> "HierarchyStore":

@@ -62,6 +62,10 @@ class ChatHistoryService:
             max_turns = (
                 self.config.conversation.max_history_turns if self.config else 3
             )
+        if max_turns <= 0:
+            # config-resolved 0 means history OFF too — `valid[-0:]` below
+            # would otherwise return the ENTIRE history
+            return ChatHistory(messages=())
         max_turns = min(max_turns, self.MAX_HISTORY_TURNS)
         if apply_cleaning is None:
             apply_cleaning = bool(

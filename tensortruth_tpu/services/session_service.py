@@ -50,7 +50,9 @@ class SessionService:
             "orchestrator_enabled": c.agent.orchestrator_enabled,
             "max_history_turns": c.conversation.max_history_turns,
         }
-        return {**defaults, **params}
+        # explicit nulls in the request body must not shadow defaults with
+        # None (a None confidence_cutoff later crashes the gate compare)
+        return {**defaults, **{k: v for k, v in params.items() if v is not None}}
 
     # -- index cache -----------------------------------------------------------
 

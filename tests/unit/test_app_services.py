@@ -227,3 +227,16 @@ def test_modules_route_count_rows(tmp_path):
     assert _count_rows(d) == 123  # manifest wins (sharded saves)
     (d / "embeddings.manifest.json").write_text("{corrupt")
     assert _count_rows(d) is None  # corrupt manifest degrades to None
+
+
+def test_session_params_null_does_not_shadow_defaults(tmp_path, monkeypatch):
+    """Regression: explicit null params overrode config defaults with None
+    (a None confidence_cutoff later crashes the gate compare)."""
+    monkeypatch.setenv("TENSOR_TRUTH_TPU_DATA_DIR", str(tmp_path))
+    from tensortruth_tpu.app.config import TensorTruthTPUConfig
+    from tensortruth_tpu.services.session_service import SessionService
+
+    svc = SessionService(tmp_path / "sessions", config=TensorTruthTPUConfig.default())
+    s = svc.create_session(params={"confidence_cutoff": None, "temperature": 0.1})
+    assert s["params"]["confidence_cutoff"] == 0.35  # default preserved
+    assert s["params"]["temperature"] == 0.1  # real values still override

@@ -82,3 +82,16 @@ def test_cleaner_disabled_passthrough():
     cfg = HistoryCleaningConfig(enabled=False)
     s = "Great question!   \n\n\n\n x"
     assert clean_history_content(s, cfg) == s
+
+
+def test_config_zero_turns_disables_history():
+    """Regression: config max_history_turns=0 resolved AFTER the explicit
+    max_turns==0 guard, and valid[-0:] returned the ENTIRE history."""
+    from tensortruth_tpu.app.config import TensorTruthTPUConfig
+    from tensortruth_tpu.services.chat_history import ChatHistoryService
+
+    cfg = TensorTruthTPUConfig.default()
+    cfg.conversation.max_history_turns = 0
+    svc = ChatHistoryService(cfg)
+    msgs = [{"role": "user", "content": f"q{i}"} for i in range(6)]
+    assert svc.build_history(msgs, max_turns=None).messages == ()
