@@ -107,7 +107,10 @@ class FunctionAgent(Agent):
                 {"role": "assistant", "content": text or "",
                  "tool_calls": [
                      {"id": cid, "type": "function",
-                      "function": {"name": c["name"], "arguments": c["arguments"]}}
+                      # the chat-completions schema requires arguments as a
+                      # JSON STRING; spec-strict servers 400 on a dict
+                      "function": {"name": c["name"],
+                                   "arguments": json.dumps(c["arguments"] or {})}}
                      for cid, c in zip(call_ids, calls)
                  ]}
             )

@@ -59,6 +59,16 @@ class MCPStdioClient:
             "clientInfo": {"name": "tensortruth-tpu", "version": "0.1.0"},
             "capabilities": {},
         })
+        # the MCP lifecycle REQUIRES this notification before normal
+        # operations — SDK-built servers reject tools/list without it
+        await self._notify("notifications/initialized")
+
+    async def _notify(self, method: str, params: dict | None = None) -> None:
+        assert self._proc is not None and self._proc.stdin
+        async with self._lock:
+            msg = {"jsonrpc": "2.0", "method": method, "params": params or {}}
+            self._proc.stdin.write((json.dumps(msg) + "\n").encode())
+            await self._proc.stdin.drain()
 
     async def _request(self, method: str, params: dict | None = None) -> dict:
         assert self._proc is not None and self._proc.stdin and self._proc.stdout
@@ -68,10 +78,31 @@ class MCPStdioClient:
                    "params": params or {}}
             self._proc.stdin.write((json.dumps(req) + "\n").encode())
             await self._proc.stdin.drain()
-            line = await asyncio.wait_for(
-                self._proc.stdout.readline(), REQUEST_TIMEOUT
-            )
-        resp = json.loads(line)
+            # read until OUR response id: servers may interleave
+            # notifications (logging/progress) and, after an earlier
+            # timeout, a stale response — both must be skipped or every
+            # later call pairs with the wrong reply
+            deadline = asyncio.get_running_loop().time() + REQUEST_TIMEOUT
+            while True:
+                remaining = deadline - asyncio.get_running_loop().time()
+                if remaining <= 0:
+                    raise TimeoutError(f"MCP {self.name}.{method} timed out")
+                line = await asyncio.wait_for(
+                    self._proc.stdout.readline(), remaining
+                )
+                if not line.strip():
+                    continue
+                try:
+                    resp = json.loads(line)
+                except json.JSONDecodeError:
+                    continue  # non-protocol noise on stdout
+                if resp.get("id") == self._id:
+                    break
+                # notification or stale response from a timed-out call
+                logger.debug(
+                    "MCP %s: skipping message id=%s (%s)",
+                    self.name, resp.get("id"), resp.get("method", "response"),
+                )
         if "error" in resp:
             raise RuntimeError(f"MCP {self.name}.{method}: {resp['error']}")
         return resp.get("result", {})

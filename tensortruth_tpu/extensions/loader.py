@@ -61,7 +61,7 @@ def load_user_extensions(services) -> dict:
             spec = CommandSpec.from_dict(yaml.safe_load(f.read_text()) or {})
             registry.register(YamlCommand(spec, services.tool_service))
             loaded.append(f"commands/{f.name}")
-        except (ExtensionError, yaml.YAMLError, OSError) as e:
+        except (ExtensionError, yaml.YAMLError, OSError, ValueError) as e:
             errors.append({"file": f.name, "error": str(e)})
 
     from tensortruth_tpu.agents.registry import AgentFactoryRegistry

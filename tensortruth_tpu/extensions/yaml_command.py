@@ -67,8 +67,19 @@ class YamlCommand(ToolCommand):
             from tensortruth_tpu.agents.registry import AgentFactoryRegistry
 
             agent = AgentFactoryRegistry.get_instance().create(self.spec.agent, context)
+            answered = False
             async for event in agent.run(args, context):
-                yield event
+                # translate the agent's final answer into the WS protocol the
+                # chat route/frontend consume (token + done) — raw agent_done
+                # is invisible to both (same translation the orchestrator does)
+                if event.get("type") == "agent_done":
+                    answered = True
+                    yield {"type": "token", "content": event.get("content", "")}
+                else:
+                    yield event
+            yield {"type": "done"} if answered else {
+                "type": "error", "error": "agent produced no answer"
+            }
             return
         for i, step in enumerate(self.spec.steps):
             yield {

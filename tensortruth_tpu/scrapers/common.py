@@ -21,8 +21,11 @@ def url_to_filename(url: str) -> str:
 
 
 def process_url(url: str, output_dir: str | Path, min_size: int = 0,
-                selector: str | None = None) -> str:
-    """Download one page → markdown file. Returns 'success'/'skipped'/'failed'."""
+                selector: str | None = None, html_cleaner=None) -> str:
+    """Download one page → markdown file. Returns 'success'/'skipped'/'failed'.
+
+    ``html_cleaner``: optional html→html pre-pass (e.g. the Doxygen noise
+    strip) applied before selector/markdown conversion."""
     import requests
 
     from tensortruth_tpu.web.html2md import html_to_markdown
@@ -31,6 +34,8 @@ def process_url(url: str, output_dir: str | Path, min_size: int = 0,
         r = requests.get(url, timeout=30, headers={"User-Agent": "Mozilla/5.0"})
         r.raise_for_status()
         html = r.text
+        if html_cleaner is not None:
+            html = html_cleaner(html)
         if selector:
             from bs4 import BeautifulSoup
 

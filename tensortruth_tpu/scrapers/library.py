@@ -27,10 +27,17 @@ def scrape_library(
     progress_callback: Callable[[int, int, int], None] | None = None,
 ) -> bool:
     doc_type = config.get("doc_type", config.get("type", "sphinx"))
+    html_cleaner = None
     if doc_type == "doxygen":
-        from tensortruth_tpu.scrapers.doxygen import fetch_doxygen_urls
+        from tensortruth_tpu.scrapers.doxygen import (
+            clean_doxygen_html,
+            fetch_doxygen_urls,
+        )
 
         urls = fetch_doxygen_urls(config)
+        # strip nav trees/breadcrumbs/tabs before markdown conversion —
+        # otherwise every indexed page carries the chrome into the corpus
+        html_cleaner = clean_doxygen_html
     else:
         from tensortruth_tpu.scrapers.sphinx import fetch_inventory
 
@@ -46,7 +53,9 @@ def scrape_library(
     counts = {"success": 0, "skipped": 0, "failed": 0}
     with ThreadPoolExecutor(max_workers=max_workers) as executor:
         futures = [
-            executor.submit(process_url, url, output_dir, min_size, selector)
+            executor.submit(
+                process_url, url, output_dir, min_size, selector, html_cleaner
+            )
             for url in urls
         ]
         for f in as_completed(futures):

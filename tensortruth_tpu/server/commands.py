@@ -32,8 +32,30 @@ class CommandRegistry:
         self._aliases: dict[str, str] = {}
 
     def register(self, cmd: ToolCommand) -> None:
+        # a user command must never shadow a built-in: the overwrite would
+        # survive until the next reload, whose unregister_user_commands
+        # then deletes the name entirely — the built-in is gone for the
+        # life of the process
+        existing = self._commands.get(cmd.name)
+        if (
+            getattr(cmd, "is_user_command", False)
+            and existing is not None
+            and not getattr(existing, "is_user_command", False)
+        ):
+            raise ValueError(
+                f"command name '/{cmd.name}' collides with a built-in"
+            )
         self._commands[cmd.name] = cmd
         for alias in cmd.aliases:
+            target = self._commands.get(self._aliases.get(alias, ""), None)
+            if (
+                getattr(cmd, "is_user_command", False)
+                and target is not None
+                and not getattr(target, "is_user_command", False)
+            ):
+                raise ValueError(
+                    f"alias '/{alias}' collides with built-in '/{target.name}'"
+                )
             self._aliases[alias] = cmd.name
 
     def unregister_user_commands(self) -> None:

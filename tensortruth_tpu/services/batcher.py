@@ -43,19 +43,35 @@ class QueryBatcher:
         self._queue: queue.Queue[_Request] = queue.Queue()
         self._worker: threading.Thread | None = None
         self._stop = threading.Event()
+        self._start_lock = threading.Lock()
         self.batches_run = 0  # introspection/tests
         self.requests_served = 0
 
     def start(self) -> None:
-        if self._worker is None or not self._worker.is_alive():
-            self._stop.clear()
-            self._worker = threading.Thread(
-                target=self._loop, name="query-batcher", daemon=True
-            )
-            self._worker.start()
+        # locked check-then-act: concurrent first submits must not spawn
+        # two workers — a single worker thread owns the device
+        with self._start_lock:
+            if self._worker is None or not self._worker.is_alive():
+                self._stop.clear()
+                self._worker = threading.Thread(
+                    target=self._loop, name="query-batcher", daemon=True
+                )
+                self._worker.start()
 
     def stop(self) -> None:
         self._stop.set()
+        worker = self._worker
+        if worker is not None:
+            worker.join(timeout=5.0)
+        # fail queued requests immediately instead of stranding their
+        # callers until the 120s result timeout
+        while True:
+            try:
+                req = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if not req.future.done():
+                req.future.set_exception(RuntimeError("batcher stopped"))
 
     def submit(self, text: str, key: object = None) -> Future:
         self.start()

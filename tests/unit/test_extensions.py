@@ -291,3 +291,64 @@ def test_list_installed_extensions(ext_env):
     install_extension("agents", "r.yaml", "name: r\n")
     listed = list_installed_extensions()
     assert [(e["ext_type"], e["filename"]) for e in listed] == [("agents", "r.yaml")]
+
+
+def test_agent_command_translates_agent_done_to_token_and_done(event_loop, monkeypatch):
+    """Regression: agent-delegated YAML commands yielded raw agent_done,
+    which neither the chat route nor the SPA consume — the answer was
+    invisible and unsaved. It must surface as token + done."""
+    from tensortruth_tpu.agents.registry import AgentFactoryRegistry
+
+    class FakeAgent:
+        async def run(self, prompt, context=None):
+            yield {"type": "tool_phase", "tools": ["x"], "iteration": 1}
+            yield {"type": "agent_done", "content": "the answer", "tool_outputs": []}
+
+    reg = AgentFactoryRegistry.get_instance()
+    monkeypatch.setattr(reg, "create", lambda name, ctx=None: FakeAgent())
+    cmd = YamlCommand(CommandSpec.from_dict({"name": "ag", "agent": "fake"}), None)
+
+    async def collect():
+        return [e async for e in cmd.execute("q", {})]
+
+    events = event_loop.run_until_complete(collect())
+    types = [e["type"] for e in events]
+    assert types == ["tool_phase", "token", "done"]
+    assert events[1]["content"] == "the answer"
+
+
+def test_user_command_cannot_shadow_builtin():
+    """Regression: a user command named like a built-in replaced it, and the
+    next reload's unregister_user_commands deleted the name entirely."""
+    import pytest as _pytest
+
+    from tensortruth_tpu.server.commands import CommandRegistry, ToolCommand
+
+    class Builtin(ToolCommand):
+        name = "web"
+        aliases = ["search"]
+        description = "builtin"
+
+        async def execute(self, args, context):
+            yield {"type": "done"}
+
+    class UserCmd(Builtin):
+        is_user_command = True
+
+    reg = CommandRegistry()
+    reg.register(Builtin())
+    with _pytest.raises(ValueError):
+        reg.register(UserCmd())
+    assert reg.get("web").is_user_command is False  # built-in survived
+
+    class UserAlias(ToolCommand):
+        name = "mine"
+        aliases = ["search"]  # collides with the built-in's alias
+        description = "user"
+        is_user_command = True
+
+        async def execute(self, args, context):
+            yield {"type": "done"}
+
+    with _pytest.raises(ValueError):
+        reg.register(UserAlias())
