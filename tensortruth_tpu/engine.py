@@ -131,6 +131,19 @@ def load_engine_for_modules(
         else None
     )
 
+    # GELU-flavor compat: an index embedded with one GELU variant scored
+    # against queries embedded with the other carries ~1e-3 activation error
+    # (TPU default tanh vs CPU/GPU exact). Detectable, not fatal — warn.
+    query_flavor = getattr(embedder, "gelu_flavor", "")
+    for module, idx in indexes.items():
+        built_flavor = idx.metadata.get("gelu", "")
+        if built_flavor and query_flavor and built_flavor != query_flavor:
+            logger.warning(
+                "module %s was embedded with %s GELU but queries use %s "
+                "GELU — rebuild the index on this backend for exact parity",
+                module, built_flavor, query_flavor,
+            )
+
     retriever = MultiIndexEngine(
         indexes,
         similarity_top_k=adaptive_top_k(top_n),

@@ -163,9 +163,12 @@ class VectorIndex:
         chunk_overlap: int = 64,
         chunking_strategy: str = "hierarchical",
         batch_size: int = 64,
+        gelu_flavor: str = "",
     ) -> "VectorIndex":
         """ALL nodes go to the hierarchy store, ONLY leaves are embedded
-        (reference builder.py:420-442)."""
+        (reference builder.py:420-442). ``gelu_flavor`` records the encoder's
+        GELU variant ("tanh"/"exact") so old-index/new-query math mismatches
+        are detectable at engine load (models/embedder.py gelu_flavor)."""
         store = HierarchyStore()
         store.add_all(nodes)
         leaf_ids = store.finalize_leaves()
@@ -180,6 +183,8 @@ class VectorIndex:
             "chunk_overlap": chunk_overlap,
             "chunking_strategy": chunking_strategy,
         }
+        if gelu_flavor:
+            meta["gelu"] = gelu_flavor
         return cls(emb, leaf_ids, store, meta)
 
     # -- introspection ---------------------------------------------------------

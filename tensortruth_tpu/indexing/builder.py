@@ -137,6 +137,7 @@ def build_module(
         chunk_sizes=chunk_sizes,
         chunk_overlap=chunk_overlap,
         chunking_strategy=chunking_strategy,
+        gelu_flavor=getattr(embedder, "gelu_flavor", ""),
     )
     index.save(index_dir)
     if progress_callback:

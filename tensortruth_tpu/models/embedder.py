@@ -89,6 +89,18 @@ class Embedder:
     def dim(self) -> int:
         return self.cfg.hidden_size
 
+    @property
+    def gelu_flavor(self) -> str:
+        """"tanh" or "exact" — the GELU variant this encoder computes.
+
+        Recorded in index metadata at build time so an index embedded with
+        one flavor queried with the other (~1e-3 activation delta; TPU
+        defaults to tanh, CPU/GPU to exact) is detectable at load.
+        """
+        from tensortruth_tpu.models.xlmr import _use_approx_gelu
+
+        return "tanh" if _use_approx_gelu(self.cfg) else "exact"
+
     def param_bytes(self) -> int:
         return sum(x.size * x.dtype.itemsize for x in jax.tree_util.tree_leaves(self.params))
 

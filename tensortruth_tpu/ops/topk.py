@@ -292,11 +292,14 @@ def fused_topk_int8(
     c_out: int = 2048,
     interpret: bool | None = None,
     n_actual: int | None = None,
+    n_valid: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """fused_topk over an int8 corpus + per-row scales (see quantize_corpus).
 
     Same returns as exact_topk. HBM reads halve vs bf16; the int8→bf16
-    convert rides the VPU while the MXU does the matmul.
+    convert rides the VPU while the MXU does the matmul. ``n_valid`` is the
+    traced per-shard valid-row override (see fused_topk) so the int8 path
+    also runs under shard_map on a mesh.
     """
     if interpret is None:
         interpret = not _is_tpu()
@@ -334,31 +337,37 @@ def fused_topk_int8(
         n_rot=n_rot,
         n_actual=n_actual,
         quantized=True,
+        dynamic_valid=n_valid is not None,
     )
     rot_spec = pl.BlockSpec(
         (b_pad, c), lambda b_, t: (0, b_), memory_space=pltpu.VMEM
     )
+    in_specs = [
+        pl.BlockSpec((b_pad, d), lambda b_, t: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (tile_n, d), lambda b_, t: (t * n_rot + b_, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, tile_n), lambda b_, t: (0, t * n_rot + b_),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    inputs = [q, emb_q, scales2d]
+    if n_valid is not None:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        inputs.append(jnp.asarray(n_valid, jnp.int32).reshape(1))
     cand_vals, cand_idx = pl.pallas_call(
         kernel,
         grid=(n_rot, inner),
-        in_specs=[
-            pl.BlockSpec((b_pad, d), lambda b_, t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (tile_n, d), lambda b_, t: (t * n_rot + b_, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, tile_n), lambda b_, t: (0, t * n_rot + b_),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=[rot_spec, rot_spec],
         out_shape=[
             jax.ShapeDtypeStruct((b_pad, c_out), jnp.float32),
             jax.ShapeDtypeStruct((b_pad, c_out), jnp.int32),
         ],
         interpret=interpret,
-    )(q, emb_q, scales2d)
+    )(*inputs)
 
     k_eff = min(k, n_actual, c_out)
     top_vals, top_pos = jax.lax.top_k(cand_vals, k_eff)

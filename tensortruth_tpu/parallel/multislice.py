@@ -179,18 +179,30 @@ class MultiSliceIVF:
             merged_q.append(np.flatnonzero(rows_mask))
         logger.debug("multislice batch touched %d/%d groups", touched, len(self.groups))
 
-        # host merge: per query, best-k across every group that served it
-        for vals, rows, qidx in zip(merged_v, merged_r, merged_q):
-            for j, qi in enumerate(qidx):
-                cat_v = np.concatenate([out_v[qi], vals[j]])
-                cat_r = np.concatenate([out_r[qi], rows[j]])
-                keep = cat_r >= 0
-                # dedup (a row lives in exactly one cluster, but padding -1
-                # repeats); stable best-first selection
-                order = np.argsort(-cat_v, kind="stable")
-                order = order[keep[order]][:k]
-                out_v[qi, : len(order)] = cat_v[order]
-                out_r[qi, : len(order)] = cat_r[order]
-                out_v[qi, len(order):] = -np.inf
-                out_r[qi, len(order):] = -1
+        # Host merge, fully vectorized (no per-query Python — O(B·G·k) numpy
+        # at serving batch sizes): scatter each group's k candidates into a
+        # (B, G·k) slab, then ONE segment-wise top-k over the slab. A corpus
+        # row lives in exactly one cluster (one group), so the only repeated
+        # id is the -1 pad — masked to -inf so it sorts last.
+        g_t = len(merged_v)
+        if g_t:
+            slab_v = np.full((b, g_t * k), -np.inf, np.float32)
+            slab_r = np.full((b, g_t * k), -1, np.int64)
+            for gi, (vals, rows, qidx) in enumerate(
+                zip(merged_v, merged_r, merged_q)
+            ):
+                slab_v[qidx, gi * k : (gi + 1) * k] = np.where(
+                    rows >= 0, vals, -np.inf
+                )
+                slab_r[qidx, gi * k : (gi + 1) * k] = rows
+            if g_t > 1:
+                part = np.argpartition(-slab_v, k - 1, axis=1)[:, :k]
+            else:
+                part = np.broadcast_to(np.arange(k), (b, k))
+            pv = np.take_along_axis(slab_v, part, axis=1)
+            order = np.argsort(-pv, axis=1, kind="stable")
+            sel = np.take_along_axis(part, order, axis=1)
+            out_v = np.take_along_axis(slab_v, sel, axis=1)
+            out_r = np.take_along_axis(slab_r, sel, axis=1)
+            out_r[~np.isfinite(out_v)] = -1  # -inf slots are padding
         return out_v, out_r

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from tensortruth_tpu.ops.topk import exact_topk, fused_topk
+from tensortruth_tpu.ops.topk import exact_topk, fused_topk, fused_topk_int8
 from tensortruth_tpu.parallel.mesh import SHARD_AXIS, row_sharded
 
 NEG_INF = float("-inf")
@@ -62,6 +62,35 @@ def shard_corpus(
     return sharded, n
 
 
+def shard_corpus_int8(
+    emb: np.ndarray, mesh: Mesh, tile_n: int | None = None
+) -> tuple[jax.Array, jax.Array, int]:
+    """int8-quantize an (N, D) matrix and place it row-sharded on the mesh.
+
+    Returns (emb_q (N_pad, D) int8 row-sharded, scales (N_pad,) f32 sharded
+    identically, original N). Halves per-device HBM vs bf16 so
+    ``corpus_dtype: int8`` works on a mesh too (flat tier; the sharded IVF
+    tier already supports int8 blocks via ops/ivf.py).
+    """
+    from jax.sharding import NamedSharding
+
+    from tensortruth_tpu.ops.topk import quantize_corpus
+
+    emb_q, scales = quantize_corpus(emb)
+    n, d = emb_q.shape
+    p = mesh.shape[SHARD_AXIS]
+    per_shard = -(-n // p)
+    if tile_n:
+        per_shard = -(-per_shard // tile_n) * tile_n
+    n_pad = per_shard * p
+    if n_pad != n:
+        emb_q = np.concatenate([emb_q, np.zeros((n_pad - n, d), np.int8)], axis=0)
+        scales = np.concatenate([scales, np.zeros(n_pad - n, np.float32)])
+    emb_dev = jax.device_put(emb_q, row_sharded(mesh))
+    scales_dev = jax.device_put(scales, NamedSharding(mesh, P(SHARD_AXIS)))
+    return emb_dev, scales_dev, n
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("k", "mesh", "n_actual", "use_fused", "m", "tile_n", "q_sharded"),
@@ -77,6 +106,7 @@ def sharded_topk(
     m: int = 1,
     tile_n: int = 2048,
     q_sharded: bool = False,
+    scales: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Global top-k over a row-sharded corpus.
 
@@ -86,6 +116,10 @@ def sharded_topk(
     needed); emb: (N_pad, D) row-sharded. Returns (scores (B, k) f32, global
     indices (B, k) i32); indices of padded rows never appear (masked to
     -inf / -1).
+
+    ``scales``: (N_pad,) per-row int8 scales sharded like ``emb`` — the int8
+    flat tier on a mesh (shard_corpus_int8). Fused path rescales inside the
+    Pallas kernel; the exact path dequantizes the local slice in-registers.
     """
     from tensortruth_tpu.parallel.mesh import DATA_AXIS
     n_pad = emb.shape[0]
@@ -93,7 +127,7 @@ def sharded_topk(
     local_n = n_pad // p
     k_local = min(k, local_n)
 
-    def shard_fn(q_l: jax.Array, emb_l: jax.Array):
+    def shard_fn(q_l: jax.Array, emb_l: jax.Array, scales_l: jax.Array | None = None):
         shard = jax.lax.axis_index(SHARD_AXIS)
         offset = shard * local_n
         # Per-shard valid-row count (traced: depends on axis_index). Padding
@@ -101,7 +135,15 @@ def sharded_topk(
         # (cosine 0) can never displace a true negative-cosine row — the
         # merged global top-k is exact all the way into negative scores.
         n_valid_local = jnp.clip(n_actual - offset, 0, local_n).astype(jnp.int32)
-        if use_fused:
+        if scales_l is not None and use_fused:
+            vals, idx = fused_topk_int8(
+                q_l, emb_l, scales_l, k_local, m=m, tile_n=tile_n,
+                n_valid=n_valid_local,
+            )
+        elif scales_l is not None:
+            emb_deq = emb_l.astype(q_l.dtype) * scales_l[:, None].astype(q_l.dtype)
+            vals, idx = exact_topk(q_l, emb_deq, k_local, n_valid=n_valid_local)
+        elif use_fused:
             vals, idx = fused_topk(
                 q_l, emb_l, k_local, m=m, tile_n=tile_n, n_valid=n_valid_local
             )
@@ -128,17 +170,22 @@ def sharded_topk(
         return top_v, top_i
 
     q_spec = P(DATA_AXIS) if q_sharded else P()
+    in_specs = [q_spec, P(SHARD_AXIS, None)]
+    args = [q, emb]
+    if scales is not None:
+        in_specs.append(P(SHARD_AXIS))
+        args.append(scales)
     fn = jax.shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(q_spec, P(SHARD_AXIS, None)),
+        in_specs=tuple(in_specs),
         out_specs=(q_spec, q_spec),
         # Outputs ARE replicated over ``shards`` (identical post-all_gather
         # reduction on every shard) but VMA can't statically infer that
         # through top_k.
         check_vma=False,
     )
-    return fn(q, emb)
+    return fn(*args)
 
 
 def sharded_topk_search(

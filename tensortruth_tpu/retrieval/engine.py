@@ -27,6 +27,7 @@ Behavioral contracts preserved:
 
 from __future__ import annotations
 
+import logging
 from collections import OrderedDict
 from dataclasses import dataclass
 
@@ -39,6 +40,8 @@ from tensortruth_tpu.index.store import VectorIndex
 from tensortruth_tpu.ops.topk import topk_search
 from tensortruth_tpu.parallel.sharded_topk import shard_corpus, sharded_topk
 from tensortruth_tpu.retrieval.automerge import auto_merge
+
+logger = logging.getLogger(__name__)
 
 
 @dataclass
@@ -135,6 +138,7 @@ class MultiIndexEngine:
         self._n_actual = emb.shape[0]
         self._ivf = None
         self._ivf_sharded = None
+        self._stacked_scales = None
         # A mesh shards the flat full-recall scan P ways, so the beyond-HBM
         # threshold scales with the shard count; past it, IVF cluster blocks
         # themselves shard over ``shards`` (SURVEY.md §2.14; BASELINE cfg 5).
@@ -155,7 +159,13 @@ class MultiIndexEngine:
             else:
                 self._ivf = ivf
                 self._stacked = self._ivf.blocks  # handle for n_chunks math
-        elif self.corpus_dtype == "int8" and self.use_fused and self.mesh is None:
+        elif self.corpus_dtype == "int8" and self.mesh is not None:
+            from tensortruth_tpu.parallel.sharded_topk import shard_corpus_int8
+
+            self._stacked, self._stacked_scales, _ = shard_corpus_int8(
+                emb, self.mesh, tile_n=2048 if self.use_fused else None
+            )
+        elif self.corpus_dtype == "int8" and self.use_fused:
             from tensortruth_tpu.ops.topk import pad_corpus_for_fused, quantize_corpus
 
             emb_q, scales = quantize_corpus(emb)
@@ -164,6 +174,13 @@ class MultiIndexEngine:
             self._stacked = jnp.asarray(emb_q)
             self._stacked_scales = jnp.asarray(scales)
         else:
+            if self.corpus_dtype == "int8":
+                # int8 flat scan needs the fused kernel; exact XLA falls back
+                # to bf16 — say so instead of silently doubling HBM.
+                logger.warning(
+                    "corpus_dtype=int8 requested but use_fused=False on a "
+                    "single device: falling back to bfloat16 corpus (2x HBM)"
+                )
             # bf16 on device by default: halves HBM and keeps the fused
             # kernel inside the VMEM budget (f32 tiles double-buffer past
             # 16MB); scores accumulate in f32 regardless (ops/topk.py).
@@ -244,6 +261,7 @@ class MultiIndexEngine:
                 mesh=self.mesh,
                 n_actual=self._n_actual,
                 use_fused=self.use_fused,
+                scales=self._stacked_scales,
             )
         elif self._stacked_scales is not None:
             from tensortruth_tpu.ops.topk import fused_topk_int8

@@ -47,15 +47,17 @@ class CommandRegistry:
             )
         self._commands[cmd.name] = cmd
         for alias in cmd.aliases:
+            # get() resolves aliases BEFORE command names, so an alias that
+            # equals a built-in command NAME hijacks that built-in just as
+            # surely as an alias→alias collision — check both tables.
             target = self._commands.get(self._aliases.get(alias, ""), None)
-            if (
-                getattr(cmd, "is_user_command", False)
-                and target is not None
-                and not getattr(target, "is_user_command", False)
-            ):
-                raise ValueError(
-                    f"alias '/{alias}' collides with built-in '/{target.name}'"
-                )
+            shadowed = self._commands.get(alias)
+            if getattr(cmd, "is_user_command", False):
+                for hit in (target, shadowed):
+                    if hit is not None and not getattr(hit, "is_user_command", False):
+                        raise ValueError(
+                            f"alias '/{alias}' collides with built-in '/{hit.name}'"
+                        )
             self._aliases[alias] = cmd.name
 
     def unregister_user_commands(self) -> None:

@@ -124,12 +124,12 @@ async def ws_chat(request: web.Request):
     """WS chat protocol (reference chat.py:596-1002)."""
     services = request.app["services"]
     session_id = request.match_info["session_id"]
-    # No server-side heartbeat: on a saturated single-core host (tests,
-    # small deployments) a blocked event loop misses the 30s pong deadline
-    # mid-compile and aiohttp hard-closes the socket mid-stream. The
-    # reference's FastAPI WS runs without one too; clients keep their own
-    # timeouts.
-    ws = web.WebSocketResponse()
+    # Long heartbeat (5 min) rather than aiohttp's 30s default: on a
+    # saturated single-core host the event loop blocks mid-compile and a
+    # short pong deadline hard-closes the socket mid-stream. 300s survives
+    # any compile while still reaping half-open peers, which with NO
+    # heartbeat would leak a handler task + session state until restart.
+    ws = web.WebSocketResponse(heartbeat=300)
     await ws.prepare(request)
 
     async for msg in ws:

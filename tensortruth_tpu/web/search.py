@@ -176,6 +176,27 @@ async def search_arxiv_tool(query: str, max_results: int = 5):
     return await asyncio.to_thread(search_arxiv, query, max_results)
 
 
+_DISCOVER_LINKS_CACHE: tuple[float, bool] | None = None
+_DISCOVER_LINKS_TTL = 30.0  # seconds; config edits pick up within one TTL
+
+
+def _discover_links_default() -> bool:
+    """Config default for link discovery, TTL-cached: load_config() is a
+    disk read + full YAML parse, far too heavy per tool call in agent loops."""
+    global _DISCOVER_LINKS_CACHE
+    now = time.monotonic()
+    if _DISCOVER_LINKS_CACHE is not None and now - _DISCOVER_LINKS_CACHE[0] < _DISCOVER_LINKS_TTL:
+        return _DISCOVER_LINKS_CACHE[1]
+    try:
+        from tensortruth_tpu.app.config import load_config
+
+        value = load_config().web_search.discover_links
+    except Exception:
+        value = True
+    _DISCOVER_LINKS_CACHE = (now, value)
+    return value
+
+
 async def fetch_pages_batch_tool(
     urls: list[str],
     max_chars_per_page: int = 4000,
@@ -197,12 +218,7 @@ async def fetch_pages_batch_tool(
     )
 
     if discover_links is None:
-        try:
-            from tensortruth_tpu.app.config import load_config
-
-            discover_links = load_config().web_search.discover_links
-        except Exception:
-            discover_links = True
+        discover_links = _discover_links_default()
 
     fetched_set = set(urls)
 

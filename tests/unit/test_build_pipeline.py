@@ -168,3 +168,39 @@ def test_load_documents_filters(tmp_path):
     (tmp_path / "sub" / "c.txt").write_text("world")
     docs = load_documents(tmp_path)
     assert [f for f, _ in docs] == ["a.md", "sub/c.txt"]
+
+
+def test_gelu_flavor_recorded_in_index_metadata(tiny_tokenizer):
+    """Advisor r2: the encoder's GELU variant is stamped into index metadata
+    so old-index/new-query math mismatches are detectable at engine load."""
+    from tensortruth_tpu.index.chunker import chunk_document
+    from tensortruth_tpu.index.store import VectorIndex
+
+    nodes = chunk_document(
+        "alpha beta gamma. " * 30, tiny_tokenizer, doc_id="d",
+        chunk_sizes=[64, 16], chunk_overlap=4,
+    )
+    idx = VectorIndex.build(
+        nodes,
+        lambda texts: np.ones((len(texts), 8), np.float32),
+        embedding_model="BAAI/bge-m3",
+        gelu_flavor="exact",
+    )
+    assert idx.metadata["gelu"] == "exact"
+
+
+def test_embedder_exposes_gelu_flavor():
+    from tensortruth_tpu.models.embedder import Embedder
+    from tensortruth_tpu.models.xlmr import XLMRConfig
+
+    class _Tok:
+        pass
+
+    tiny = XLMRConfig(
+        vocab_size=64, hidden_size=16, num_layers=1, num_heads=2,
+        intermediate_size=32, max_position=40,
+    )
+    emb = Embedder.random_init(tiny, _Tok())
+    assert emb.gelu_flavor in ("tanh", "exact")
+    # CPU test backend → exact by default (TPU flips to tanh)
+    assert emb.gelu_flavor == "exact"

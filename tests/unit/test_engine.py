@@ -223,3 +223,36 @@ def test_int8_ivf_tier_keeps_query_float(tiny_tokenizer, sample_text):
     assert results[0].score > 0.9
     expected = idx.node_of_row(int(rows[2]))
     assert results[0].node_id in (expected.node_id, expected.parent_id)
+
+
+def test_int8_corpus_on_mesh(tiny_tokenizer, sample_text):
+    """corpus_dtype=int8 with a mesh must run the quantized sharded flat
+    tier (half HBM per shard), not silently fall back to bf16."""
+    idx = _index(tiny_tokenizer, sample_text, "docA", "mod_a")
+    bf = MultiIndexEngine({"mod_a": idx}, similarity_top_k=5, use_fused=False)
+    q8 = MultiIndexEngine(
+        {"mod_a": idx}, similarity_top_k=5, mesh=make_mesh(),
+        use_fused=False, corpus_dtype="int8",
+    )
+    assert q8._stacked_scales is not None
+    assert q8._stacked.dtype == np.int8
+    mat, rows = idx.matrix()
+    r_bf = bf.retrieve_batch(mat[1][None, :])[0]
+    r_q8 = q8.retrieve_batch(mat[1][None, :])[0]
+    assert r_q8[0].node_id == r_bf[0].node_id
+    assert abs(r_q8[0].score - r_bf[0].score) < 0.02
+
+
+def test_int8_without_fused_single_device_warns(tiny_tokenizer, sample_text, caplog):
+    """Single-device int8 without the fused kernel falls back to bf16 — and
+    must say so instead of silently doubling HBM."""
+    import logging
+
+    idx = _index(tiny_tokenizer, sample_text, "docA", "mod_a")
+    with caplog.at_level(logging.WARNING, logger="tensortruth_tpu.retrieval.engine"):
+        eng = MultiIndexEngine(
+            {"mod_a": idx}, similarity_top_k=5, use_fused=False,
+            corpus_dtype="int8",
+        )
+    assert eng._stacked_scales is None
+    assert any("falling back to bfloat16" in r.message for r in caplog.records)

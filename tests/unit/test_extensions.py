@@ -352,3 +352,33 @@ def test_user_command_cannot_shadow_builtin():
 
     with _pytest.raises(ValueError):
         reg.register(UserAlias())
+
+
+def test_user_alias_cannot_shadow_builtin_name():
+    """Regression (advisor r2): get() resolves aliases before names, so a
+    user alias EQUAL to a built-in command's NAME hijacked that built-in."""
+    import pytest as _pytest
+
+    from tensortruth_tpu.server.commands import CommandRegistry, ToolCommand
+
+    class Builtin(ToolCommand):
+        name = "web"
+        description = "builtin"
+
+        async def execute(self, args, context):
+            yield {"type": "done"}
+
+    class UserAliasHijack(ToolCommand):
+        name = "mine"
+        aliases = ["web"]  # equals the built-in's NAME, not its alias
+        description = "user"
+        is_user_command = True
+
+        async def execute(self, args, context):
+            yield {"type": "done"}
+
+    reg = CommandRegistry()
+    reg.register(Builtin())
+    with _pytest.raises(ValueError):
+        reg.register(UserAliasHijack())
+    assert reg.get("web").name == "web"  # built-in still resolves

@@ -136,3 +136,47 @@ def test_fused_dynamic_n_valid_masks_tail(rng):
     ref_vals, ref_idx = exact_topk(jnp.asarray(q), jnp.asarray(emb[:n_valid]), k)
     np.testing.assert_allclose(np.asarray(vals), np.asarray(ref_vals), rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
+
+
+def test_sharded_int8_matches_dequantized_exact(rng):
+    """int8 flat tier on a mesh (shard_corpus_int8 + scales): results must
+    match single-device exact search over the dequantized corpus."""
+    from tensortruth_tpu.ops.topk import quantize_corpus
+    from tensortruth_tpu.parallel.sharded_topk import shard_corpus_int8
+
+    n, d, k = 999, 32, 10
+    emb = _normed(rng, n, d)
+    q = _normed(rng, 4, d)
+    mesh = make_mesh()
+
+    emb_dev, scales_dev, n_actual = shard_corpus_int8(emb, mesh)
+    assert n_actual == n
+    vals, idx = sharded_topk(
+        jnp.asarray(q), emb_dev, k=k, mesh=mesh, n_actual=n_actual,
+        scales=scales_dev,
+    )
+
+    emb_q, scales = quantize_corpus(emb)
+    deq = emb_q.astype(np.float32) * scales[:, None]
+    ref_vals, ref_idx = exact_topk(jnp.asarray(q), jnp.asarray(deq), k)
+    # int8 error vs the true corpus is ~1e-2; vs the dequantized corpus the
+    # sharded path must agree to bf16 compute noise.
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(ref_vals), atol=2e-2)
+
+
+def test_sharded_int8_padded_rows_never_returned(rng):
+    from tensortruth_tpu.parallel.sharded_topk import shard_corpus_int8
+
+    n, d, k = 13, 16, 13
+    emb = _normed(rng, n, d)
+    q = _normed(rng, 2, d)
+    mesh = make_mesh()
+    emb_dev, scales_dev, n_actual = shard_corpus_int8(emb, mesh)
+    vals, idx = sharded_topk(
+        jnp.asarray(q), emb_dev, k=k, mesh=mesh, n_actual=n_actual,
+        scales=scales_dev,
+    )
+    idx = np.asarray(idx)
+    valid = idx[np.asarray(vals) > float("-inf")]
+    assert valid.max() < n
