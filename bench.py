@@ -7,14 +7,30 @@ cross-encoder scoring of the top candidates. Weights are random-init at the
 real architecture scale (no HF cache in this environment); timing is
 identical to pretrained weights.
 
-Prints ONE JSON line:
-    {"metric": "...", "value": N, "unit": "qps", "vs_baseline": N}
+The headline number is the HONEST steady-state serving loop: each batch's
+rerank depends on its own top-k having been synced to host and its pairs
+built + tokenized there (the real serving data dependency), while the NEXT
+batch's embed→top-k dispatch overlaps the current rerank — exactly how
+services/batcher.py + Reranker.score_pairs run in production. Rerank pairs
+follow the REAL leaf-chunk length distribution measured by chunking the
+reference repo's own docs with the production hierarchical chunker
+(scripts/measure_pair_lengths.py: ~65% of (query,chunk) pairs ≈ 275 tokens,
+~30% ≈ 147, rest ≈ 250), scored through the production length-bucketed
+``Reranker.score_pairs`` — no fixed-256 truncation (the pre-r3 bench clipped
+the dominant 275-token pairs to 256).
 
-``vs_baseline`` compares against the measured reference-equivalent pipeline
-(torch CPU bge-m3-scale encoder + exact top-k + cross-encoder rerank — the
-reference's own stack runs torch on CPU/consumer GPU; this host's torch is
-CPU-only). The baseline QPS is measured once and recorded in BASELINE.md;
-see REFERENCE_BASELINE_QPS below.
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "qps", "vs_baseline": N, ...}
+
+Anchors (both emitted so the artifact is self-honest — BASELINE.md):
+* ``vs_baseline``     — measured torch-2.9 CPU reference-equivalent pipeline
+  (the reference's own stack on this host; scripts/
+  measure_reference_baseline.py), rerank stage scaled to the same realistic
+  pair-length mix (linear in tokens): 22.5 s embed + 1.4 s topk + 417.6 s
+  rerank per 32-query batch → 0.0725 QPS.
+* ``vs_baseline_gpu_est`` — 3090-class estimate (the reference's real
+  envelope, README.md:183-187): same FLOP count at ~35-40 TFLOPS bf16 and
+  ~50% MFU → ≈ 13 QPS on the realistic mix (BASELINE.md derivation).
 """
 
 from __future__ import annotations
@@ -35,12 +51,12 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 import numpy as np
 
-# Measured on this host (see BASELINE.md "Measured reference baseline"):
-# torch-2.9 CPU reference-equivalent pipeline, same shapes as below
-# (scripts/measure_reference_baseline.py, 2026-08-16; rerank stage scaled
-# linearly to RERANK_TOP=10 pairs/query → 22.5s embed + 1.4s topk + 454.0s
-# rerank per 32-query batch).
-REFERENCE_BASELINE_QPS = 0.067
+# Measured CPU anchor (BASELINE.md "Measured reference baseline"), rerank
+# stage scaled 454.0 s → 417.6 s for the realistic 235-token mean pair
+# length (vs the 256-token fixed shape it was measured at).
+REFERENCE_BASELINE_QPS_CPU = 0.0725
+# Estimated 3090-class GPU anchor on the same realistic mix (BASELINE.md).
+REFERENCE_BASELINE_QPS_GPU_EST = 13.0
 
 BATCH = 32          # queries per dispatch (server-side batching tier)
 SEQ_Q = 128         # query token length bucket
@@ -52,7 +68,12 @@ TOP_K = 100         # dense candidates (two-stage: top-100 → rerank)
 # rag_engine.py:590-593) — every retrieved candidate is scored, the top 5
 # survive.
 RERANK_TOP = 10
-SEQ_PAIR = 256      # (query, chunk) pair length bucket
+SEQ_PAIR = 256      # fixed-shape rerank stage (legacy anchor comparability)
+
+# Realistic chunk pool: word counts calibrated so SimpleTokenizer pair
+# lengths land on the measured distribution (~275 / ~147 / ~250 tokens).
+# Per 10 chunks: 6-7 long, 3 short, 1 mid — scripts/measure_pair_lengths.py.
+_CHUNK_WORDS = [242, 242, 242, 242, 242, 242, 118, 118, 118, 215]
 
 
 def _sync(out):
@@ -76,15 +97,28 @@ def main() -> None:
     on_tpu = jax.default_backend() == "tpu"
     n_chunks = N_CHUNKS if on_tpu else 20_000  # CPU fallback for smoke runs
 
+    from tensortruth_tpu.models.reranker import Reranker
     from tensortruth_tpu.models.xlmr import (
         BGE_M3_CONFIG,
         BGE_RERANKER_V2_M3_CONFIG,
+        XLMRConfig,
         cls_embed,
         init_params,
         rerank_logits,
     )
-    from tensortruth_tpu.ops.topk import exact_topk, fused_topk, pad_corpus_for_fused
+
+    global DIM
+    if os.environ.get("BENCH_TINY"):
+        # Logic-smoke mode (CI / 1-core CPU): tiny architecture, tiny corpus.
+        # Numbers are meaningless; the code path is identical.
+        tiny = dict(vocab_size=512, hidden_size=128, num_layers=2, num_heads=2,
+                    intermediate_size=256, max_position=2052)
+        BGE_M3_CONFIG = XLMRConfig(**tiny)
+        BGE_RERANKER_V2_M3_CONFIG = XLMRConfig(num_labels=1, **tiny)
+        n_chunks, DIM = 4_096, 128
+    from tensortruth_tpu.ops.topk import exact_topk, fused_topk
     from tensortruth_tpu.pipeline import embed_topk
+    from tensortruth_tpu.tokenization import load_tokenizer
 
     key = jax.random.PRNGKey(0)
     emb_params = init_params(BGE_M3_CONFIG, key, dtype=jnp.bfloat16)
@@ -127,17 +161,58 @@ def main() -> None:
     )
     t_fused, _ = _time(fused_step, emb_params, ids, mask, corpus)
 
-    total = min(t_fused, t_embed + t_topk) + t_rerank
-    qps = BATCH / total
+    # ---- honest steady-state serving loop -------------------------------
+    # Production components: host tokenization + length-bucketed pair
+    # scoring (Reranker.score_pairs). The text pool reproduces the measured
+    # pair-length mix; pair selection depends on the SYNCED top-k indices
+    # (host round-trip) exactly like the docstore text lookup in serving.
+    tok = load_tokenizer()
+    words = "retrieval engine shard merge index token kernel matmul embed chunk".split()
+    pool = [
+        " ".join(words[i % len(words)] for i in range(w)) for w in _CHUNK_WORDS
+    ]
+    queries = [f"how does component {i} interact with the sharded engine" for i in range(BATCH)]
+    reranker = Reranker(rr_params, BGE_RERANKER_V2_M3_CONFIG, tok)
 
-    # Steady-state pipelined throughput: dispatch R query batches
-    # back-to-back without per-batch syncs. TPU executions serialize in
-    # dispatch order, so host-side work and the per-dispatch tunnel RTT
-    # (~30 ms here) overlap device compute — the serving tier
-    # (services/batcher.py + async score_pairs) runs exactly this way.
-    # Syncing the last rerank output implies every prior step completed.
+    def build_pairs(idx_host: np.ndarray) -> list[tuple[str, str]]:
+        # top-RERANK_TOP candidate rows → chunk texts (pool lookup models
+        # the host docstore hydration step)
+        return [
+            (queries[i], pool[int(idx_host[i, j]) % len(pool)])
+            for i in range(BATCH)
+            for j in range(RERANK_TOP)
+        ]
+
+    # Warm every (batch, seq) bucket the mix can produce + the fused step.
+    inflight = fused_step(emb_params, ids, mask, corpus)
+    idx_host = np.asarray(inflight[1])[:, :RERANK_TOP]
+    reranker.score_pairs(build_pairs(idx_host))
+
+    # Double-buffered, exactly the serving batcher's two-phase protocol
+    # (services/batcher.py): batch B's score conversion happens only after
+    # batch B+1's rerank is dispatched, so the device never drains and the
+    # conversion RTT rides under compute.
     rounds = 4
-    for _ in range(1):  # queue warm (already compiled above)
+    t0 = time.perf_counter()
+    inflight = fused_step(emb_params, ids, mask, corpus)
+    finish_prev = None
+    for _ in range(rounds):
+        nxt = fused_step(emb_params, ids, mask, corpus)  # overlaps rerank below
+        idx_host = np.asarray(inflight[1])[:, :RERANK_TOP]  # sync top-k → host
+        finish = reranker.score_pairs_async(build_pairs(idx_host))  # tokenize+dispatch
+        if finish_prev is not None:
+            scores = finish_prev()  # previous batch: device already past it
+        finish_prev = finish
+        inflight = nxt
+    scores = finish_prev()
+    assert scores.shape == (BATCH * RERANK_TOP,)
+    _sync(inflight)
+    t_serve = (time.perf_counter() - t0) / rounds
+    qps = BATCH / t_serve
+
+    # Device-bound upper bound (no host dependency): back-to-back dispatch
+    # of fixed-shape steps. Reported as a detail, never the headline.
+    for _ in range(1):
         fused_step(emb_params, ids, mask, corpus)
         _sync(rerank_fn(rr_params, pair_ids, pair_mask))
     t0 = time.perf_counter()
@@ -147,15 +222,14 @@ def main() -> None:
         last = rerank_fn(rr_params, pair_ids, pair_mask)
     _sync(last)
     t_pipe = (time.perf_counter() - t0) / rounds
-    qps_pipe = BATCH / t_pipe
-    qps = max(qps, qps_pipe)
 
     stages = {
         "embed_ms": round(t_embed * 1e3, 2),
         "topk_ms": round(t_topk * 1e3, 2),
         "embed_topk_fused_ms": round(t_fused * 1e3, 2),
-        "rerank_ms": round(t_rerank * 1e3, 2),
-        "pipelined_ms_per_batch": round(t_pipe * 1e3, 2),
+        "rerank_fixed256_ms": round(t_rerank * 1e3, 2),
+        "serve_ms_per_batch": round(t_serve * 1e3, 2),
+        "device_bound_ms_per_batch": round(t_pipe * 1e3, 2),
         "backend": jax.default_backend(),
         "n_chunks": n_chunks,
     }
@@ -165,7 +239,11 @@ def main() -> None:
                 "metric": "query_throughput_1M_retrieve_rerank",
                 "value": round(qps, 2),
                 "unit": "qps",
-                "vs_baseline": round(qps / REFERENCE_BASELINE_QPS, 1),
+                "vs_baseline": round(qps / REFERENCE_BASELINE_QPS_CPU, 1),
+                "vs_baseline_cpu": round(qps / REFERENCE_BASELINE_QPS_CPU, 1),
+                "vs_baseline_gpu_est": round(
+                    qps / REFERENCE_BASELINE_QPS_GPU_EST, 1
+                ),
                 "detail": stages,
             }
         )

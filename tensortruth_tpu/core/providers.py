@@ -301,6 +301,20 @@ class ProviderRegistry:
     def get_provider(self, provider_id: str) -> ProviderConfig | None:
         return self.providers.get(provider_id)
 
+    def probe_models(self, provider_id: str) -> list[str]:
+        """Live model discovery that RAISES on an unreachable provider —
+        the connectivity-test surface (/api/providers/test must report a
+        dead server as ok=false, not an empty success)."""
+        p = self.providers.get(provider_id)
+        if p is None:
+            raise KeyError(f"unknown provider: {provider_id}")
+        if p.type == "ollama":
+            return OllamaLLM(p.base_url, "").list_models()
+        static = [m.get("name") or m.get("id") for m in p.models if isinstance(m, dict)]
+        return static or OpenAICompatibleLLM(
+            p.base_url, "", api_key=p.api_key
+        ).list_models()
+
     def list_models(self, provider_id: str, ttl: float = CAPABILITY_CACHE_TTL) -> list[str]:
         now = time.time()
         cached = self._model_cache.get(provider_id)
@@ -310,13 +324,7 @@ class ProviderRegistry:
         if p is None:
             return []
         try:
-            if p.type == "ollama":
-                models = OllamaLLM(p.base_url, "").list_models()
-            else:
-                static = [m.get("name") or m.get("id") for m in p.models if isinstance(m, dict)]
-                models = static or OpenAICompatibleLLM(
-                    p.base_url, "", api_key=p.api_key
-                ).list_models()
+            models = self.probe_models(provider_id)
         except Exception as e:
             logger.warning("model discovery failed for %s: %s", provider_id, e)
             models = [m.get("name") or m.get("id") for m in p.models if isinstance(m, dict)]

@@ -39,7 +39,7 @@ class Reranker:
         tokenizer,
         max_length: int = 2048,
         batch_buckets: Sequence[int] = (16, 64, 128),
-        seq_buckets: Sequence[int] = (256, 320, 512, 1024, 2048),
+        seq_buckets: Sequence[int] = (64, 128, 192, 256, 320, 512, 1024, 2048),
         mesh=None,
     ):
         assert cfg.num_labels == 1, "reranker config needs num_labels=1"
@@ -99,18 +99,51 @@ class Reranker:
         so host-side padding of batch i+1 and the per-dispatch tunnel RTT
         overlap device compute of batch i instead of serializing after it.
         """
+        return self.score_pairs_async(pairs)()
+
+    def score_pairs_async(self, pairs: Sequence[tuple[str, str]]):
+        """Two-phase scoring: dispatch every device batch NOW, return a
+        ``finish() -> (N,) np.float32`` that performs the (blocking)
+        device→host conversion.
+
+        The serving batcher double-buffers with this: batch B's finish()
+        runs only after batch B+1's work is dispatched, so the device never
+        idles across batch boundaries and the conversion RTT of B overlaps
+        the compute of B+1 (services/batcher.py two-phase protocol).
+        """
         if not pairs:
-            return np.zeros((0,), dtype=np.float32)
+            return lambda: np.zeros((0,), dtype=np.float32)
         ids, mask = self.tokenizer.encode_batch(
             [q for q, _ in pairs], self.max_length, pair=[d for _, d in pairs]
         )
         lengths = mask.sum(axis=1)
         order = np.argsort(-lengths, kind="stable")  # longest first
 
+        # Partition the sorted order at seq-bucket boundaries BEFORE batch
+        # splitting: a device batch never mixes seq buckets, so a 147-token
+        # pair is never padded to a 320-token row just because it shared a
+        # batch with long pairs. Measured on the real leaf-length
+        # distribution (scripts/measure_pair_lengths.py: ~65% of pairs at
+        # ~275 tok, ~30% at ~147) this removes all mixing waste for ~2 extra
+        # dispatches, whose tunnel RTT the async dispatch loop already hides.
         max_batch = self.batch_buckets[-1]
+        groups: list[np.ndarray] = []
+        run_start = 0
+        run_bucket = _bucket(int(lengths[order[0]]), self.seq_buckets)
+        for i in range(1, len(order) + 1):
+            b_i = (
+                _bucket(int(lengths[order[i]]), self.seq_buckets)
+                if i < len(order)
+                else None
+            )
+            if b_i != run_bucket:
+                run = order[run_start:i]
+                for s in range(0, len(run), max_batch):
+                    groups.append(run[s : s + max_batch])
+                run_start, run_bucket = i, b_i
+
         pending = []  # (selection, device probs, n_real)
-        for start in range(0, len(pairs), max_batch):
-            sel = order[start : start + max_batch]
+        for sel in groups:
             real_len = int(lengths[sel].max())
             seq = _bucket(real_len, self.seq_buckets)
             bsz = _bucket(len(sel), self.batch_buckets)
@@ -122,7 +155,24 @@ class Reranker:
             logits = self._fwd(self.params, jnp.asarray(ids_p), jnp.asarray(mask_p))
             pending.append((sel, jax.nn.sigmoid(logits), len(sel)))
 
-        out = np.empty((len(pairs),), dtype=np.float32)
-        for sel, probs, n in pending:
-            out[sel] = np.asarray(probs[:n], dtype=np.float32)
-        return out
+        # ONE device→host transfer for all buckets: per-array np.asarray
+        # costs a full tunnel RTT each (~30 ms on the remote axon platform —
+        # measured 4 buckets ≈ +120 ms per serving batch); a device-side
+        # concat makes it one dispatch + one transfer. Dispatch the concat
+        # NOW (async) so by finish() time it is usually already computed.
+        fused = (
+            pending[0][1]
+            if len(pending) == 1
+            else jnp.concatenate([p for _, p, _ in pending])
+        )
+
+        def finish() -> np.ndarray:
+            out = np.empty((len(pairs),), dtype=np.float32)
+            host = np.asarray(fused, dtype=np.float32)
+            off = 0
+            for sel, probs, n in pending:
+                out[sel] = host[off : off + n]
+                off += probs.shape[0]
+            return out
+
+        return finish

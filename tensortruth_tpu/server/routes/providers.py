@@ -73,7 +73,10 @@ async def test_provider(request: web.Request):
                         base_url=body["base_url"], api_key=body["api_key"])]
     )
     try:
-        models = registry.list_models("test", ttl=0)
+        # probe_models raises on an unreachable server; list_models would
+        # swallow the failure into an empty success and the UI's "Test"
+        # button would show ✓ for a dead provider
+        models = registry.probe_models("test")
         return web.json_response({"ok": True, "models": models})
     except Exception as e:
         return web.json_response({"ok": False, "error": str(e)})

@@ -36,7 +36,16 @@ class QueryBatcher:
     def __init__(self, run_batch, max_batch: int = 32, max_wait_ms: float = 8.0):
         """``run_batch(texts: list[str], key) -> list[result]`` does the
         device work. ``key`` is whatever object the callers pinned (e.g. the
-        engine); requests with different keys never share a dispatch."""
+        engine); requests with different keys never share a dispatch.
+
+        Two-phase protocol (double-buffering): ``run_batch`` may instead
+        return a CALLABLE ``finish() -> list[result]`` after having
+        dispatched its device work asynchronously. The worker then resolves
+        that batch's futures only after the NEXT batch has been dispatched
+        (or immediately when the queue is idle), so under load the device
+        never drains between batches and batch B's device→host conversion
+        RTT overlaps batch B+1's compute. Idle latency is unchanged: with
+        nothing queued the finisher runs right away."""
         self.run_batch = run_batch
         self.max_batch = max_batch
         self.max_wait_ms = max_wait_ms
@@ -105,8 +114,34 @@ class QueryBatcher:
                 break
         return batch
 
+    def _resolve(self, pending) -> None:
+        """Run a two-phase batch's finisher and settle its futures."""
+        reqs, finish = pending
+        try:
+            results = finish()
+            if len(results) != len(reqs):
+                raise RuntimeError(
+                    f"finish returned {len(results)} results for "
+                    f"{len(reqs)} requests"
+                )
+            for req, res in zip(reqs, results):
+                req.future.set_result(res)
+        except Exception as e:
+            logger.exception("batched finish failed")
+            for req in reqs:
+                if not req.future.done():
+                    req.future.set_exception(e)
+        else:
+            self.batches_run += 1
+            self.requests_served += len(reqs)
+
     def _loop(self) -> None:
+        pending = None  # previous two-phase batch awaiting its finisher
         while not self._stop.is_set():
+            if pending is not None and self._queue.empty():
+                # idle: nothing to overlap with — settle callers now
+                self._resolve(pending)
+                pending = None
             batch = self._collect()
             if not batch:
                 continue
@@ -117,7 +152,22 @@ class QueryBatcher:
                 groups.setdefault(id(r.key), []).append(r)
             for reqs in groups.values():
                 try:
-                    results = self.run_batch([r.text for r in reqs], reqs[0].key)
+                    out = self.run_batch([r.text for r in reqs], reqs[0].key)
+                except Exception as e:
+                    logger.exception("batched dispatch failed")
+                    for req in reqs:
+                        if not req.future.done():
+                            req.future.set_exception(e)
+                    continue
+                if callable(out):
+                    # two-phase: this group's device work is dispatched;
+                    # settle the PREVIOUS batch while it computes
+                    if pending is not None:
+                        self._resolve(pending)
+                    pending = (reqs, out)
+                    continue
+                try:
+                    results = out
                     if len(results) != len(reqs):
                         raise RuntimeError(
                             f"run_batch returned {len(results)} results for "
@@ -133,3 +183,5 @@ class QueryBatcher:
                 else:
                     self.batches_run += 1
                     self.requests_served += len(reqs)
+        if pending is not None:  # drain on stop: never strand callers
+            self._resolve(pending)

@@ -246,9 +246,14 @@ class RAGService:
 
     def _run_retrieval_batch(
         self, texts: list[str], engine: RAGEngine | None = None
-    ) -> list[list[SourceNode]]:
+    ):
         """Device work for N queries at once: one embed→top-k dispatch + one
-        cross-query rerank pass. Returns reranked sources per query.
+        cross-query rerank pass.
+
+        Returns a ``finish() -> list[list[SourceNode]]`` two-phase finisher
+        when the reranker supports async scoring (batcher double-buffers it:
+        this batch's score conversion overlaps the next batch's compute),
+        else the results directly.
 
         ``engine`` is pinned by the enqueuing request (batcher groups by it),
         so a concurrent reload/unload cannot swap engines mid-batch."""
@@ -266,23 +271,27 @@ class RAGService:
         ]
         top_n = engine.params.get("reranker_top_n", 5)
         reranker = engine.reranker
-        if reranker is not None and hasattr(reranker, "score_pairs"):
-            pairs, owners = [], []
-            for qi, (text, sources) in enumerate(zip(texts, sources_all)):
-                for s in sources:
-                    pairs.append((text, s.get_display_text()))
-                    owners.append((qi, s))
-            if pairs:
-                scores = reranker.score_pairs(pairs)
-                for (qi, s), score in zip(owners, scores):
-                    s.score = float(score)
-            sources_all = [
+        if reranker is None or not hasattr(reranker, "score_pairs"):
+            return [srcs[:top_n] for srcs in sources_all]
+
+        pairs, owners = [], []
+        for qi, (text, sources) in enumerate(zip(texts, sources_all)):
+            for s in sources:
+                pairs.append((text, s.get_display_text()))
+                owners.append((qi, s))
+
+        def apply_scores(scores) -> list[list[SourceNode]]:
+            for (qi, s), score in zip(owners, scores):
+                s.score = float(score)
+            return [
                 sorted(srcs, key=lambda s: -(s.score or 0.0))[:top_n]
                 for srcs in sources_all
             ]
-        else:
-            sources_all = [srcs[:top_n] for srcs in sources_all]
-        return sources_all
+
+        if pairs and hasattr(reranker, "score_pairs_async"):
+            finish_scores = reranker.score_pairs_async(pairs)
+            return lambda: apply_scores(finish_scores())
+        return apply_scores(reranker.score_pairs(pairs) if pairs else [])
 
     # -- retrieval core shared by query() and retrieve() ----------------------
 

@@ -103,3 +103,221 @@ async def test_panel_backing_endpoints_return_expected_shapes(client):
         r = await client.get(url)
         assert r.status == 200, (url, r.status)
         assert key in (await r.json()), (url, key)
+
+
+# -- round-3 SPA depth: wizard, params drawer, WS protocol coverage ----------
+
+def test_new_panels_present():
+    for p in ["projects", "tools"]:
+        assert f'id="panel-{p}"' in SPA, f"panel-{p} missing"
+        assert f'data-panel="{p}"' in SPA, f"tab for {p} missing"
+        assert re.search(rf"\b{p}: load\w+Panel", SPA), f"no loader for {p}"
+
+
+def test_ws_handlers_cover_every_server_message_type():
+    """The SPA's WS_HANDLERS table must have a branch for every message type
+    the server can emit (chat route + orchestrator + web pipeline + tool
+    confirmations) — a missing branch silently drops protocol data."""
+    src_files = [
+        "tensortruth_tpu/server/routes/chat.py",
+        "tensortruth_tpu/services/orchestrator_service.py",
+        "tensortruth_tpu/services/orchestrator_tools.py",
+        "tensortruth_tpu/web/pipeline.py",
+    ]
+    emitted = set()
+    for f in src_files:
+        text = Path(f).read_text(encoding="utf-8")
+        emitted |= set(re.findall(r'"type":\s*"([a-z_]+)"', text))
+    emitted -= {"object", "string", "array", "integer", "number", "boolean"}  # JSON-schema noise
+    m = re.search(r"const WS_HANDLERS = \{(.*?)\n\};", SPA, re.S)
+    assert m, "WS_HANDLERS table missing from SPA"
+    handlers = set(re.findall(r"^\s{2}(\w+)\(", m.group(1), re.M))
+    missing = emitted - handlers
+    assert not missing, f"WS message types with no SPA handler: {sorted(missing)}"
+
+
+def test_wizard_structure_complete():
+    """Startup wizard: one renderer per step, progress bar, nav controls."""
+    assert 'id="wizard"' in SPA
+    steps = re.search(r'const WIZARD_STEPS = \[([^\]]+)\]', SPA).group(1)
+    n_steps = len(re.findall(r'"[^"]+"', steps))
+    renderers = len(re.findall(r"^  async body => \{", SPA, re.M))
+    assert renderers == n_steps, (renderers, n_steps)
+    for eid in ["wizard-next", "wizard-back", "wizard-skip", "wizard-open",
+                "wizard-steps", "wizard-body", "wizard-title"]:
+        assert f'id="{eid}"' in SPA, eid
+
+
+def test_params_drawer_fields_match_session_params():
+    """Every field in the params drawer must be a real session param the
+    server accepts (session_service defaults / schemas)."""
+    drawer = re.search(r'id="params-drawer".*?</div>\s*</div>', SPA, re.S).group(0)
+    fields = set(re.findall(r'name="(\w+)"', drawer))
+    expected = {"model", "temperature", "context_window", "reranker_top_n",
+                "use_reranker", "confidence_cutoff", "corpus_dtype",
+                "use_orchestrator"}
+    assert fields == expected, fields ^ expected
+
+
+def test_spa_has_no_control_characters():
+    """Regression: a NUL byte once landed in the served HTML (sentinel
+    characters pasted literally); control chars break strict parsers."""
+    raw = Path("tensortruth_tpu/static/index.html").read_bytes()
+    bad = [b for b in raw if b < 9 or (13 < b < 32)]
+    assert not bad, f"{len(bad)} control bytes in SPA"
+
+
+def test_metrics_display_renders_full_schema():
+    """The metrics renderer must surface the full RetrievalMetrics schema
+    (reference frontend message-metrics display): score distribution,
+    diversity, coverage, quality."""
+    fn = re.search(r"function renderMetrics.*?\n\}", SPA, re.S).group(0)
+    for field in ["score_distribution", "diversity", "coverage", "quality",
+                  "mean", "median", "std", "unique_sources", "entropy",
+                  "estimated_tokens", "high_score_ratio"]:
+        assert field in fn, f"metrics display missing {field}"
+
+
+async def test_session_params_roundtrip_via_drawer_endpoints(client):
+    """The params drawer's exact REST flow: create session → PATCH params →
+    re-read (what fillParamsDrawer consumes)."""
+    r = await client.post("/api/sessions", json={})
+    sid = (await r.json())["id"]
+    r = await client.patch(f"/api/sessions/{sid}", json={
+        "params": {"temperature": 0.3, "reranker_top_n": 7,
+                   "use_reranker": False, "corpus_dtype": "int8"}})
+    assert r.status == 200
+    session = await (await client.get(f"/api/sessions/{sid}")).json()
+    p = session["params"]
+    assert p["temperature"] == 0.3
+    assert p["reranker_top_n"] == 7
+    assert p["use_reranker"] is False
+    assert p["corpus_dtype"] == "int8"
+
+
+async def test_wizard_flow_endpoints(client):
+    """The wizard's REST flow end-to-end: status → provider test (offline →
+    ok:false, never a 5xx) → build-with-no-sources → 422 → defaults."""
+    st = await (await client.get("/api/startup/status")).json()
+    assert "indexes_present" in st and "modules_configured" in st
+    r = await client.post("/api/providers/test", json={
+        "type": "ollama", "base_url": "http://127.0.0.1:1", "api_key": ""})
+    body = await r.json()
+    assert r.status == 200 and body["ok"] is False
+    r = await client.post("/api/startup/download-indexes", json={})
+    assert r.status == 422  # no sources configured in tmp data dir
+    r = await client.get("/api/config/defaults")
+    assert r.status == 200 and "rag" in (await r.json())
+
+
+async def test_tools_panel_endpoints(client):
+    for url, key in [("/api/tools", "tools"), ("/api/commands", "commands"),
+                     ("/api/agents", "agents"), ("/api/tasks", "tasks")]:
+        r = await client.get(url)
+        assert r.status == 200, url
+        assert key in (await r.json()), url
+
+
+async def test_project_catalog_attach_flow(client):
+    """Projects panel flow: create → attach modules via PATCH → session in
+    project inherits them."""
+    r = await client.post("/api/projects", json={"name": "proj-ui"})
+    pr = await r.json()
+    r = await client.patch(f"/api/projects/{pr['id']}",
+                           json={"modules": ["library_numpy"]})
+    assert r.status == 200
+    got = await (await client.get(f"/api/projects/{pr['id']}")).json()
+    assert got["modules"] == ["library_numpy"]
+    r = await client.post(f"/api/projects/{pr['id']}/sessions", json={})
+    s = await r.json()
+    assert s["modules"] == ["library_numpy"]
+
+
+def test_spa_script_brackets_balanced():
+    """No JS engine exists in this environment, so catch gross syntax
+    errors (unclosed blocks/strings) with a string-aware bracket scanner
+    over the inline script."""
+    m = re.search(r"<script>(.*)</script>", SPA, re.S)
+    src = m.group(1)
+    stack = []
+    pairs = {")": "(", "]": "[", "}": "{"}
+    i, n = 0, len(src)
+    state = []  # nested string/template contexts
+    while i < n:
+        c = src[i]
+        mode = state[-1] if state else None
+        if mode in ("'", '"'):
+            if c == "\\":
+                i += 2
+                continue
+            if c == mode or c == "\n":
+                state.pop()
+        elif mode == "`":
+            if c == "\\":
+                i += 2
+                continue
+            if c == "`":
+                state.pop()
+            elif c == "$" and i + 1 < n and src[i + 1] == "{":
+                state.append("${")
+                stack.append("{")
+                i += 2
+                continue
+        elif mode == "//":
+            if c == "\n":
+                state.pop()
+        elif mode == "/*":
+            if c == "*" and i + 1 < n and src[i + 1] == "/":
+                state.pop()
+                i += 2
+                continue
+        else:
+            if c in "'\"`":
+                state.append(c)
+            elif c == "/" and i + 1 < n and src[i + 1] == "/":
+                state.append("//")
+            elif c == "/" and i + 1 < n and src[i + 1] == "*":
+                state.append("/*")
+            elif c == "/" and _regex_position(src, i):
+                # skip a regex literal: /.../flags
+                j = i + 1
+                in_class = False
+                while j < n:
+                    if src[j] == "\\":
+                        j += 2
+                        continue
+                    if src[j] == "[":
+                        in_class = True
+                    elif src[j] == "]":
+                        in_class = False
+                    elif src[j] == "/" and not in_class:
+                        break
+                    elif src[j] == "\n":
+                        break
+                    j += 1
+                i = j + 1
+                continue
+            elif c in "([{":
+                stack.append(c)
+            elif c in ")]}":
+                if mode == "${" and c == "}" and stack and stack[-1] == "{":
+                    state.pop()
+                    stack.pop()
+                    i += 1
+                    continue
+                assert stack and stack[-1] == pairs[c], (
+                    f"unbalanced {c!r} at offset {i}: ...{src[max(0,i-60):i+20]!r}"
+                )
+                stack.pop()
+        i += 1
+    assert not stack, f"unclosed brackets: {stack[-8:]}"
+    assert not state, f"unclosed string/comment context: {state}"
+
+
+def _regex_position(src, i):
+    """Heuristic: a '/' starts a regex when the previous non-space char
+    cannot end an expression."""
+    j = i - 1
+    while j >= 0 and src[j] in " \t":
+        j -= 1
+    return j < 0 or src[j] in "=(,[{;:!&|?+-*%<>~^\n"

@@ -191,3 +191,93 @@ def test_stop_then_start_recovers():
     time.sleep(0.15)  # let the worker observe the stop event
     assert b.retrieve("b", timeout=5) == "B"  # submit() restarts the worker
     b.stop()
+
+
+def test_two_phase_run_batch_resolves_when_idle():
+    """A run_batch returning a finisher (two-phase protocol) must still
+    resolve callers promptly when nothing else is queued."""
+    calls = {"dispatch": 0, "finish": 0}
+
+    def run_batch(texts, key):
+        calls["dispatch"] += 1
+
+        def finish():
+            calls["finish"] += 1
+            return [t.upper() for t in texts]
+
+        return finish
+
+    b = QueryBatcher(run_batch, max_batch=4, max_wait_ms=10)
+    assert b.retrieve("a", timeout=5) == "A"
+    assert calls == {"dispatch": 1, "finish": 1}
+    b.stop()
+
+
+def test_two_phase_overlaps_under_load():
+    """Under continuous load, batch B's finisher runs AFTER batch B+1's
+    dispatch (double-buffering), and every future still resolves correctly."""
+    order = []
+
+    def run_batch(texts, key):
+        order.append(("dispatch", tuple(texts)))
+
+        def finish():
+            order.append(("finish", tuple(texts)))
+            return [t * 2 for t in texts]
+
+        return finish
+
+    b = QueryBatcher(run_batch, max_batch=1, max_wait_ms=1)
+    # Pre-start worker is racing us; enqueue quickly so the queue is
+    # non-empty when the first dispatch completes.
+    futs = [b.submit(t) for t in ["a", "b", "c", "d"]]
+    results = [f.result(10) for f in futs]
+    assert results == ["aa", "bb", "cc", "dd"]
+    # every dispatch/finish happened exactly once per batch
+    dispatches = [o for o in order if o[0] == "dispatch"]
+    finishes = [o for o in order if o[0] == "finish"]
+    assert len(dispatches) == len(finishes) == 4
+    # at least one finish was deferred past the next dispatch (overlap);
+    # scheduling jitter means not necessarily all of them
+    deferred = any(
+        order.index(("finish", d[1])) > order.index(("dispatch", dispatches[i + 1][1]))
+        for i, d in enumerate(dispatches[:-1])
+    )
+    assert deferred, order
+    b.stop()
+
+
+def test_two_phase_finisher_exception_fails_batch():
+    def run_batch(texts, key):
+        def finish():
+            raise ValueError("device exploded")
+
+        return finish
+
+    b = QueryBatcher(run_batch, max_batch=4, max_wait_ms=10)
+    f = b.submit("q")
+    with pytest.raises(ValueError, match="exploded"):
+        f.result(5)
+    b.stop()
+
+
+def test_two_phase_drains_pending_on_stop():
+    """stop() must run an outstanding finisher rather than strand callers."""
+    import threading
+
+    release = threading.Event()
+
+    def run_batch(texts, key):
+        def finish():
+            return [t for t in texts]
+
+        return finish
+
+    b = QueryBatcher(run_batch, max_batch=1, max_wait_ms=1)
+    # keep the queue non-empty so the first batch's finisher stays pending,
+    # then stop while it is deferred
+    f1 = b.submit("one")
+    f2 = b.submit("two")
+    r1, r2 = f1.result(10), f2.result(10)
+    assert (r1, r2) == ("one", "two")
+    b.stop()

@@ -202,3 +202,64 @@ def test_sharded_safetensors_checkpoint(tmp_path):
         merged.update(cv.load_safetensors(str(d / shard)))
     assert set(merged) == {"a.weight", "b.weight"}
     assert np.asarray(merged["b.weight"]).tolist() == [1.0, 1.0]
+
+
+def test_score_pairs_groups_never_mix_seq_buckets(tok, monkeypatch):
+    """Pair-length bucketing (VERDICT r2 #3): a device batch must never mix
+    seq buckets, so short pairs are not padded to the longest group's bucket,
+    and scores still come back correct in input order."""
+    import jax.numpy as jnp
+
+    rr = Reranker.random_init(
+        TINY_R, tok, dtype=jnp.float32, max_length=64,
+        batch_buckets=(4, 8), seq_buckets=(16, 32, 64),
+    )
+    dispatched = []
+    orig = rr._fwd
+
+    def spy(params, ids, mask):
+        dispatched.append((ids.shape, int(np.asarray(mask).sum(axis=1).max())))
+        return orig(params, ids, mask)
+
+    monkeypatch.setattr(rr, "_fwd", spy)
+    # 6 short pairs (bucket 16) + 5 long pairs (bucket 64), interleaved
+    short = [("q", "a b")] * 6
+    long = [("q", "word " * 40)] * 5
+    pairs = [p for pair2 in zip(long + [None], short + [None]) for p in pair2 if p]
+    scores = rr.score_pairs([p for p in pairs if p])
+    assert scores.shape == (11,)
+    # every dispatch's seq dim is the bucket of ITS OWN longest pair
+    for (bsz, seq), real_max in dispatched:
+        assert seq == _bucket(real_max, rr.seq_buckets), (seq, real_max)
+    seqs = sorted({shape[1] for shape, _ in dispatched})
+    assert len(seqs) >= 2  # short and long pairs ran in different buckets
+    # scores in input order: identical pairs get identical scores
+    s_short = scores[[i for i, p in enumerate(pairs) if p and p[1] == "a b"]]
+    np.testing.assert_allclose(s_short, s_short[0], rtol=1e-5)
+
+
+def test_score_pairs_never_truncates_below_max_length(tok, monkeypatch):
+    """VERDICT r2 weak #6: real pairs are leaf-chunk(≈256) + query + seps ≈
+    275 tokens; the serving ladder must score the FULL pair (bucket 320),
+    never clip to 256."""
+    import jax.numpy as jnp
+
+    rr = Reranker.random_init(
+        TINY_R, tok, dtype=jnp.float32, max_length=128,
+        batch_buckets=(4,), seq_buckets=(32, 64, 96, 128),
+    )
+    seen = []
+    orig = rr._fwd
+
+    def spy(params, ids, mask):
+        seen.append(np.asarray(mask).sum(axis=1))
+        return orig(params, ids, mask)
+
+    monkeypatch.setattr(rr, "_fwd", spy)
+    doc = "word " * 70  # pair ≈ 70 + query + seps tokens, > the 64 bucket
+    rr.score_pairs([("a query about things", doc)])
+    real = int(
+        rr.tokenizer.encode_batch(["a query about things"], rr.max_length, pair=[doc])[1].sum()
+    )
+    assert real > 64  # sanity: pair really exceeds the mid bucket
+    assert int(max(x.max() for x in seen)) == real  # no tokens dropped
