@@ -8,10 +8,14 @@ asserts it), so this measures the delta that a 256 cap WOULD introduce —
 i.e. what the pre-r3 fixed-256 bench was silently doing.
 
 Caveat: no pretrained BGE weights exist in this environment, so the model
-is random-init at full architecture scale. Random weights measure the
-architecture's raw sensitivity to dropping the final ~19 tokens, not the
-trained model's semantic robustness — re-run with real weights where
-available. Prints one JSON line with per-query Kendall tau and top-5
+is random-init at full architecture scale. Random weights produce weakly
+discriminative scores (the sigmoid head sees near-identical CLS vectors),
+so ordering stability here measures architecture-level score perturbation,
+NOT the trained model's semantic robustness — a trained cross-encoder
+attends to clipped evidence and would shift more. Re-run with real weights
+where available; the hard guarantee is that the SERVING path never clips
+(Reranker max_length=2048, enforced by
+test_score_pairs_never_truncates_below_max_length). Prints one JSON line with per-query Kendall tau and top-5
 overlap between full-length and clipped scoring.
 
 Run (TPU, ~2 min): python scripts/measure_truncation_delta.py
@@ -71,17 +75,21 @@ def main():
     words = ("retrieval engine shard merge index token kernel matmul embed "
              "chunk gather scatter fuse stream cache").split()
     rng = np.random.default_rng(0)
-    taus, overlaps = [], []
+    taus, overlaps, deltas = [], [], []
     for qi in range(N_QUERIES):
         query = f"how does component {qi} of the engine merge sharded results"
         docs = []
         for d in range(DOCS_PER_QUERY):
-            n_words = 242 if d < 7 else 118  # measured mix (≈275/147 tokens)
+            # 280-360 words → pairs of ~300-375 tokens, so a 256 cap drops a
+            # real 15-30% tail (the first draft used ~255-token pairs, which
+            # a 256 cap never clipped — tau was trivially 1.0)
+            n_words = 280 + 8 * d
             docs.append(" ".join(rng.choice(words, n_words)))
         pairs = [(query, d) for d in docs]
         s_full = full.score_pairs(pairs)
         s_clip = clipped.score_pairs(pairs)
         taus.append(kendall_tau(s_full, s_clip))
+        deltas.append(float(np.abs(s_full - s_clip).max()))
         top5_f = set(np.argsort(-s_full)[:5].tolist())
         top5_c = set(np.argsort(-s_clip)[:5].tolist())
         overlaps.append(len(top5_f & top5_c) / 5)
@@ -90,6 +98,7 @@ def main():
         "kendall_tau_mean": round(float(np.mean(taus)), 4),
         "kendall_tau_min": round(float(np.min(taus)), 4),
         "top5_overlap_mean": round(float(np.mean(overlaps)), 4),
+        "max_abs_score_delta": round(float(np.max(deltas)), 5),
         "n_queries": N_QUERIES,
         "weights": "random-init full-architecture (no pretrained in env)",
     }))

@@ -115,7 +115,11 @@ class BaseLLM:
 
 
 class OllamaLLM(BaseLLM):
-    """Ollama /api/chat streaming client (reference core/ollama.py:24-545)."""
+    """Ollama /api/chat streaming client (reference core/ollama.py:24-545).
+
+    Multimodal: a message dict may carry ``images: [base64, ...]`` — the
+    exact shape Ollama's chat API consumes for vision models (reference
+    rag_service.py:431-443), so messages pass through verbatim."""
 
     def stream_chat(self, messages, system=None, temperature=None) -> Iterator[ChatDelta]:
         import requests
@@ -189,6 +193,25 @@ class OllamaLLM(BaseLLM):
         return msg.get("content", ""), calls
 
 
+def _openai_multimodal(messages: list[dict]) -> list[dict]:
+    """Expand ``images`` keys into OpenAI content-part format: a message
+    {"content": c, "images": [b64...]} becomes content parts
+    [{"type": "text", ...}, {"type": "image_url", ...}] (reference
+    rag_service.py:431-443 multimodal blocks). Messages without images
+    pass through untouched."""
+    out = []
+    for m in messages:
+        if not m.get("images"):
+            out.append({k: v for k, v in m.items() if k != "images"})
+            continue
+        parts = [{"type": "text", "text": m.get("content", "")}]
+        for b64 in m["images"]:
+            url = b64 if b64.startswith("data:") else f"data:image/jpeg;base64,{b64}"
+            parts.append({"type": "image_url", "image_url": {"url": url}})
+        out.append({"role": m.get("role", "user"), "content": parts})
+    return out
+
+
 class OpenAICompatibleLLM(BaseLLM):
     """OpenAI-compatible /v1/chat/completions SSE client
     (reference providers.py:533-561; also serves llama.cpp router mode)."""
@@ -196,6 +219,7 @@ class OpenAICompatibleLLM(BaseLLM):
     def stream_chat(self, messages, system=None, temperature=None) -> Iterator[ChatDelta]:
         import requests
 
+        messages = _openai_multimodal(messages)
         msgs = ([{"role": "system", "content": system}] if system else []) + messages
         payload = {
             "model": self.model,
@@ -240,6 +264,7 @@ class OpenAICompatibleLLM(BaseLLM):
     def chat_with_tools(self, messages, tools, system=None):
         import requests
 
+        messages = _openai_multimodal(messages)
         msgs = ([{"role": "system", "content": system}] if system else []) + messages
         url = self.base_url
         if not url.endswith("/v1"):

@@ -25,10 +25,12 @@ Per query batch:
    score into the final top-k — the same merge contract as
    parallel/sharded_topk, one level up.
 
-In production each group is a separate JAX process group and step 2/4 ride
-DCN RPC; here groups run in-process (optionally on the same test mesh),
-which exercises the identical routing, probing, and merge logic — the
-transport is the only stub (``SliceGroup.search`` is the RPC surface).
+Steps 2/4 ride a pluggable transport (parallel/transport.py): groups run
+in-process by default (``LocalTransport``), or in separate worker
+processes over a socket RPC (``SocketTransport`` + slice_worker.py) —
+``attach_transport`` swaps a group to the remote path and drops the local
+index so the data can only flow across the process boundary. Routing,
+probing, and merge are identical either way.
 
 Reference analog: none — the reference (rag_engine.py:368-527) fans out
 threads over per-module Chroma indexes on one host. This is the TPU-native
@@ -147,6 +149,29 @@ class MultiSliceIVF:
         self._owner = np.concatenate(
             [np.full(p.n_clusters, g, np.int32) for g, p in enumerate(parts)]
         )
+        from tensortruth_tpu.parallel.transport import LocalTransport
+
+        self.transports = [LocalTransport(g) for g in self.groups]
+
+    def attach_transport(self, group_id: int, transport) -> None:
+        """Route ``group_id`` through ``transport`` (e.g. a SocketTransport
+        to a slice-worker process) and DROP the local index copy, so the
+        group's data can only be reached across the transport boundary."""
+        self.transports[group_id] = transport
+        self.groups[group_id].index = None
+
+    def save_part(self, group_id: int, path) -> None:
+        """Persist one group's partition for a worker process."""
+        from tensortruth_tpu.parallel.transport import save_ivf_part
+
+        idx = self.groups[group_id].index
+        if isinstance(idx, ShardedIVF):
+            raise ValueError("save_part operates on unsharded group indexes")
+        save_ivf_part(idx, path)
+
+    def close(self) -> None:
+        for t in self.transports:
+            t.close()
 
     def search(
         self, q: np.ndarray, k: int, nprobe: int = 8
@@ -173,7 +198,10 @@ class MultiSliceIVF:
             touched += 1
             nprobe_g = int(hits.sum(axis=1).max())
             qsub = q[rows_mask]
-            vals, rows = grp.search(qsub, k=k, nprobe=nprobe_g)
+            # DCN boundary: local call or socket RPC to the group's worker
+            vals, rows = self.transports[grp.group_id].search(
+                qsub, k=k, nprobe=nprobe_g
+            )
             merged_v.append(np.asarray(vals, np.float32))
             merged_r.append(np.asarray(rows, np.int64))
             merged_q.append(np.flatnonzero(rows_mask))

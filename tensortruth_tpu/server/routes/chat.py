@@ -75,9 +75,12 @@ async def _ensure_engine(services, ctx: dict):
     )
 
 
-def _pump_query(rag, prompt, params, messages, engine=None):
+def _pump_query(rag, prompt, params, messages, engine=None, images=None):
     """Run the sync generator to completion; returns (events, response)."""
-    gen = rag.query(prompt, params=params, session_messages=messages, engine=engine)
+    gen = rag.query(
+        prompt, params=params, session_messages=messages, engine=engine,
+        images=images,
+    )
     events = []
     while True:
         try:
@@ -95,12 +98,14 @@ async def rest_chat(request: web.Request):
         raise web.HTTPNotFound(reason="session not found")
     body = await request.json()
     prompt = body.get("message", "")
+    images = body.get("images") or None
     ctx = _chat_context(services, session)
     engine = await _ensure_engine(services, ctx)
     messages = session.get("messages", [])
     loop = asyncio.get_running_loop()
     _, response = await loop.run_in_executor(
-        None, _pump_query, services.rag_service, prompt, ctx["params"], messages, engine
+        None, _pump_query, services.rag_service, prompt, ctx["params"],
+        messages, engine, images,
     )
     services.session_service.add_message(session_id, "user", prompt)
     services.session_service.add_message(
@@ -227,7 +232,7 @@ async def ws_chat(request: web.Request):
             rag = services.rag_service
             gen = rag.query(
                 prompt, params=ctx["params"], session_messages=messages,
-                engine=engine,
+                engine=engine, images=data.get("images") or None,
             )
             while True:
                 try:

