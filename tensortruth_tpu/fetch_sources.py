@@ -70,11 +70,17 @@ def cmd_fetch(sources: dict, args) -> int:
         elif module in sources.get("papers", {}):
             from tensortruth_tpu.scrapers.arxiv import fetch_paper_category
 
-            ok &= fetch_paper_category(module, sources["papers"][module], docs_dir)
+            ok &= fetch_paper_category(
+                module, sources["papers"][module], docs_dir,
+                converter=getattr(args, "converter", None),
+            )
         elif module in sources.get("books", {}):
             from tensortruth_tpu.scrapers.book import fetch_book
 
-            ok &= fetch_book(module, sources["books"][module], docs_dir)
+            ok &= fetch_book(
+                module, sources["books"][module], docs_dir,
+                converter=getattr(args, "converter", None),
+            )
         else:
             logger.error("unknown module: %s", module)
             ok = False
@@ -92,6 +98,15 @@ def main(argv: list[str] | None = None) -> int:
     p_add.add_argument("--config", help="JSON config for the source")
     p_fetch = sub.add_parser("fetch")
     p_fetch.add_argument("--modules", nargs="*", help="default: all configured")
+    p_fetch.add_argument(
+        "--converter",
+        choices=["auto", "marker", "pymupdf4llm", "pymupdf", "fallback"],
+        default=None,
+        help="PDF conversion quality tier for books/papers (reference "
+        "fetch_sources converter flag): marker/pymupdf4llm when installed, "
+        "pure-python fallback always available. Default: per-source config "
+        "or auto-detect.",
+    )
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO, format="%(levelname)s %(message)s")

@@ -8,7 +8,9 @@ from pathlib import Path
 logger = logging.getLogger(__name__)
 
 
-def fetch_arxiv_paper(arxiv_id: str, output_dir: str | Path) -> bool:
+def fetch_arxiv_paper(
+    arxiv_id: str, output_dir: str | Path, converter: str | None = None
+) -> bool:
     """Download a paper PDF by id and convert to markdown."""
     import requests
 
@@ -23,7 +25,7 @@ def fetch_arxiv_paper(arxiv_id: str, output_dir: str | Path) -> bool:
     except Exception as e:
         logger.error("download failed for %s: %s", arxiv_id, e)
         return False
-    text = post_process_markdown(pdf_to_text(r.content))
+    text = post_process_markdown(pdf_to_text(r.content, converter=converter or "auto"))
     if not text.strip():
         logger.error("no extractable text in %s", arxiv_id)
         return False
@@ -34,15 +36,17 @@ def fetch_arxiv_paper(arxiv_id: str, output_dir: str | Path) -> bool:
 
 
 def fetch_paper_category(
-    category: str, config: dict, output_base_dir: str | Path
+    category: str, config: dict, output_base_dir: str | Path,
+    converter: str | None = None,
 ) -> bool:
     """Fetch every paper in a sources.json category
     (reference arxiv.py:85-139)."""
     papers = config.get("papers", config)
+    converter = converter or config.get("converter")
     output_dir = Path(output_base_dir) / f"papers_{category}"
     ok = 0
     ids = list(papers.keys()) if isinstance(papers, dict) else list(papers)
     for arxiv_id in ids:
-        if fetch_arxiv_paper(str(arxiv_id), output_dir):
+        if fetch_arxiv_paper(str(arxiv_id), output_dir, converter=converter):
             ok += 1
     return ok > 0

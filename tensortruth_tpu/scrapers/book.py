@@ -21,6 +21,7 @@ def fetch_book(
     config: dict,
     output_base_dir: str | Path,
     pages_per_chunk: int = DEFAULT_PAGES_PER_CHUNK,
+    converter: str | None = None,
 ) -> bool:
     """Download a book PDF and split to markdown chapters.
 
@@ -41,7 +42,10 @@ def fetch_book(
     except Exception as e:
         logger.error("book download failed %s: %s", url, e)
         return False
-    return split_book_pdf(book_name, r.content, output_dir, config, pages_per_chunk)
+    return split_book_pdf(
+        book_name, r.content, output_dir, config, pages_per_chunk,
+        converter=converter,
+    )
 
 
 def split_book_pdf(
@@ -50,8 +54,13 @@ def split_book_pdf(
     output_dir: Path,
     config: dict | None = None,
     pages_per_chunk: int = DEFAULT_PAGES_PER_CHUNK,
+    converter: str | None = None,
 ) -> bool:
-    """Split PDF bytes into per-chapter markdown files (TOC-aware)."""
+    """Split PDF bytes into per-chapter markdown files (TOC-aware).
+
+    ``converter`` picks the PDF→markdown quality tier (utils/pdf.py
+    CONVERTERS; reference fetch_sources.py converter flag). Precedence:
+    explicit arg > per-book ``config["converter"]`` > "auto"."""
     from tensortruth_tpu.utils.pdf import (
         extract_pdf_pages,
         extract_pdf_toc,
@@ -61,9 +70,10 @@ def split_book_pdf(
     )
 
     config = config or {}
+    converter = converter or config.get("converter") or "auto"
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
-    pages = extract_pdf_pages(data)
+    pages = extract_pdf_pages(data, converter=converter)
     if not pages:
         logger.error("no extractable text in book %s", book_name)
         return False
@@ -90,9 +100,11 @@ def split_book_pdf(
     return True
 
 
-def fetch_book_category(books: dict, output_base_dir: str | Path) -> bool:
+def fetch_book_category(
+    books: dict, output_base_dir: str | Path, converter: str | None = None
+) -> bool:
     ok = 0
     for name, config in books.items():
-        if fetch_book(name, config, output_base_dir):
+        if fetch_book(name, config, output_base_dir, converter=converter):
             ok += 1
     return ok > 0

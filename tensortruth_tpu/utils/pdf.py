@@ -209,9 +209,86 @@ def _extract_fallback(data: bytes) -> list[str]:
     return pages
 
 
-def extract_pdf_pages(data: bytes) -> list[str]:
-    """Per-page text; empty list when nothing extractable."""
-    pages = _extract_with_pymupdf(data)
+# Converter quality tiers (reference utils/pdf.py:356-467 + fetch_sources
+# converter flag): "marker" (layout-model markdown, heaviest, whole-doc
+# only), "pymupdf4llm" (structured markdown, per-page capable), "pymupdf"
+# (plain text per page), "fallback" (pure-python COS parser, always
+# available). "auto" = best per-page-capable converter present.
+CONVERTERS = ("auto", "marker", "pymupdf4llm", "pymupdf", "fallback")
+
+
+def _extract_with_pymupdf4llm(data: bytes) -> list[str] | None:
+    """Per-page markdown via pymupdf4llm; None when unavailable/failed."""
+    try:
+        import pymupdf  # type: ignore
+        import pymupdf4llm  # type: ignore
+
+        with pymupdf.open(stream=data, filetype="pdf") as doc:
+            chunks = pymupdf4llm.to_markdown(doc, page_chunks=True)
+        return [c.get("text", "") for c in chunks]
+    except ImportError:
+        return None
+    except Exception as e:
+        logger.debug("pymupdf4llm extraction failed: %s", e)
+        return None
+
+
+def _convert_with_marker(data: bytes) -> str:
+    """Whole-document markdown via marker-pdf (layout/OCR models).
+    Raises ImportError when marker is not installed."""
+    import tempfile
+
+    from marker.converters.pdf import PdfConverter  # type: ignore
+    from marker.models import create_model_dict  # type: ignore
+    from marker.output import text_from_rendered  # type: ignore
+
+    with tempfile.NamedTemporaryFile(suffix=".pdf") as f:
+        f.write(data)
+        f.flush()
+        converter = PdfConverter(artifact_dict=create_model_dict())
+        rendered = converter(f.name)
+        text, _, _ = text_from_rendered(rendered)
+        return text
+
+
+def extract_pdf_pages(data: bytes, converter: str = "auto") -> list[str]:
+    """Per-page text; empty list when nothing extractable.
+
+    ``converter`` picks the quality tier (CONVERTERS). An EXPLICIT choice
+    whose dependency is missing raises ImportError — a silent downgrade
+    would quietly degrade a whole book build; ``auto`` ladders
+    pymupdf4llm → pymupdf → pure-python fallback. "marker" has no page
+    mapping (whole-doc model) — use it via ``pdf_to_text``/arxiv paths;
+    here it downgrades to pymupdf with a warning.
+    """
+    if converter not in CONVERTERS:
+        raise ValueError(f"unknown converter {converter!r}; pick from {CONVERTERS}")
+    if converter == "fallback":
+        return _extract_fallback(data)
+    if converter == "marker":
+        logger.warning(
+            "marker has no per-page mapping; using pymupdf for page split"
+        )
+        converter = "pymupdf"
+    if converter == "pymupdf4llm":
+        pages = _extract_with_pymupdf4llm(data)
+        if pages is None:
+            raise ImportError(
+                "converter 'pymupdf4llm' requested but pymupdf4llm/pymupdf "
+                "are not importable (pip install pymupdf4llm)"
+            )
+        return pages
+    if converter == "pymupdf":
+        pages = _extract_with_pymupdf(data)
+        if pages is None:
+            raise ImportError(
+                "converter 'pymupdf' requested but pymupdf is not importable"
+            )
+        return pages
+    # auto: best per-page converter available, degrading silently
+    pages = _extract_with_pymupdf4llm(data)
+    if pages is None:
+        pages = _extract_with_pymupdf(data)
     if pages is None:
         pages = _extract_fallback(data)
     return pages
@@ -315,8 +392,13 @@ def split_pages_by_toc(
     return out
 
 
-def pdf_to_text(data: bytes) -> str:
-    return "\n\n".join(extract_pdf_pages(data))
+def pdf_to_text(data: bytes, converter: str = "auto") -> str:
+    """Whole-document text/markdown with converter choice (CONVERTERS).
+    "marker" converts the whole document through the layout model; others
+    join the per-page extraction."""
+    if converter == "marker":
+        return _convert_with_marker(data)
+    return "\n\n".join(extract_pdf_pages(data, converter=converter))
 
 
 def has_extractable_text(data: bytes, min_chars: int = 100) -> bool:
