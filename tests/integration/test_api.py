@@ -690,3 +690,26 @@ async def test_parallel_ws_sessions_upload_and_query(client):
 
     done = await aio.gather(*(one_session(i) for i in range(N)))
     assert sorted(done) == list(range(N))
+
+
+async def test_system_profiler_roundtrip(client):
+    r = await client.post("/api/system/profile/start", json={})
+    assert r.status in (200, 409, 422, 500)  # start may need trace dir
+    r = await client.post("/api/system/profile/stop")
+    assert r.status in (200, 400, 409, 500)
+
+
+async def test_system_ollama_status_unreachable_is_graceful(client):
+    """A dead Ollama must yield a structured 'unreachable' answer, not 500."""
+    r = await client.get("/api/system/ollama/status")
+    assert r.status == 200
+    body = await r.json()
+    assert body.get("reachable") in (True, False)
+
+
+async def test_engine_retrieve_empty_batch_and_unknown_session(client):
+    r = await client.post("/api/sessions/no-such-session/chat",
+                          json={"message": "hi"})
+    assert r.status == 404
+    r = await client.get("/api/sessions/no-such/messages")
+    assert r.status == 404

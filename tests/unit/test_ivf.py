@@ -359,3 +359,38 @@ def test_build_ivf_single_cluster():
     tiny = build_ivf(emb[:1], n_clusters=8, sample_size=1, kmeans_iters=1)
     v1, r1 = ivf_search(tiny, emb[:1], k=1, nprobe=1)
     assert r1[0, 0] == 0
+
+
+def test_nprobe_clamped_to_cluster_count(ivf_setup):
+    """nprobe > n_clusters must behave as probe-all, not crash or mis-slice."""
+    emb, index = ivf_setup
+    import jax.numpy as jnp
+    q = jnp.asarray(emb[:3])
+    v_all, r_all = ivf_search(index, q, k=10, nprobe=index.n_clusters)
+    v_over, r_over = ivf_search(index, q, k=10, nprobe=index.n_clusters * 5)
+    np.testing.assert_array_equal(np.asarray(r_all), np.asarray(r_over))
+
+
+def test_ivf_rejects_more_groups_than_clusters():
+    from tensortruth_tpu.parallel.multislice import partition_ivf
+
+    rng = np.random.default_rng(0)
+    emb = rng.standard_normal((200, 16)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    index = build_ivf(emb, n_clusters=4, sample_size=200, kmeans_iters=2)
+    with pytest.raises(ValueError):
+        partition_ivf(index, 5)
+
+
+def test_build_determinism_same_seed():
+    """build_ivf with the same seed must be bit-reproducible (checkpoint
+    compatibility: a rebuilt coordinator must route identically)."""
+    rng = np.random.default_rng(5)
+    emb = rng.standard_normal((500, 16)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    a = build_ivf(emb, n_clusters=8, sample_size=500, kmeans_iters=3, seed=42)
+    b = build_ivf(emb, n_clusters=8, sample_size=500, kmeans_iters=3, seed=42)
+    np.testing.assert_array_equal(a.row_map, b.row_map)
+    np.testing.assert_array_equal(
+        np.asarray(a.centroids, np.float32), np.asarray(b.centroids, np.float32)
+    )

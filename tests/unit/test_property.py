@@ -108,3 +108,106 @@ def test_batch_encode_shapes_and_mask(texts, max_length):
         assert (ids[i, :n] != TOK.pad_id).all() or n <= 2
         assert (mask[i, n:] == 0).all()
         assert ids[i, 0] == TOK.cls_id
+
+
+@given(
+    n=st.integers(2, 200),
+    d=st.sampled_from([8, 16, 32]),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=25, deadline=None)
+def test_int8_quantization_error_bound(n, d, seed):
+    """quantize_corpus: per-element reconstruction error ≤ scale/2, and
+    cosine scores against any query shift by at most d·(max_scale/2)."""
+    from tensortruth_tpu.ops.topk import quantize_corpus
+
+    rng = np.random.default_rng(seed)
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    emb /= np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-9)
+    emb_q, scales = quantize_corpus(emb)
+    recon = emb_q.astype(np.float32) * scales[:, None]
+    err = np.abs(recon - emb)
+    assert (err <= scales[:, None] / 2 + 1e-7).all()
+    q = rng.standard_normal(d).astype(np.float32)
+    q /= max(np.linalg.norm(q), 1e-9)
+    score_shift = np.abs(recon @ q - emb @ q)
+    assert (score_shift <= np.abs(q).sum() * scales / 2 + 1e-6).all()
+
+
+@given(
+    b=st.integers(1, 6),
+    n=st.integers(1, 60),
+    k=st.integers(1, 70),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=25, deadline=None)
+def test_exact_topk_matches_numpy(b, n, k, seed):
+    """exact_topk ≡ numpy argsort for any (b, n, k) incl. k > n padding."""
+    import jax.numpy as jnp
+
+    from tensortruth_tpu.ops.topk import exact_topk
+
+    rng = np.random.default_rng(seed)
+    emb = rng.standard_normal((n, 8)).astype(np.float32)
+    q = rng.standard_normal((b, 8)).astype(np.float32)
+    k_eff = min(k, n)
+    vals, idx = exact_topk(jnp.asarray(q), jnp.asarray(emb), k_eff)
+    scores = q @ emb.T
+    ref_idx = np.argsort(-scores, axis=1, kind="stable")[:, :k_eff]
+    ref_vals = np.take_along_axis(scores, ref_idx, axis=1)
+    np.testing.assert_allclose(np.asarray(vals), ref_vals, rtol=1e-5, atol=1e-5)
+    # indices may differ on exact ties; scores must match exactly
+    got_vals = np.take_along_axis(scores, np.asarray(idx), axis=1)
+    np.testing.assert_allclose(got_vals, ref_vals, rtol=1e-5, atol=1e-5)
+
+
+@given(
+    n_msgs=st.integers(0, 30),
+    max_turns=st.integers(1, 8),
+    seed=st.integers(0, 10_000),
+)
+@settings(max_examples=25, deadline=None)
+def test_chat_history_turn_invariants(n_msgs, max_turns, seed):
+    """build_history: never exceeds max_turns complete turns, preserves
+    order, and always starts at a user message (complete-turn invariant,
+    reference chat_history.py turn-based limiting)."""
+    from tensortruth_tpu.services.chat_history import ChatHistoryService
+
+    rng = np.random.default_rng(seed)
+    msgs = []
+    for i in range(n_msgs):
+        role = "user" if i % 2 == 0 else "assistant"
+        msgs.append({"role": role, "content": f"m{i}"})
+    hist = ChatHistoryService().build_history(msgs, max_turns=max_turns)
+    out = list(hist.messages)
+    assert len(out) <= 2 * max_turns
+    if out:
+        assert out[0].role == "user"
+    contents = [m.content for m in out]
+    assert contents == sorted(contents, key=lambda c: int(c[1:]))
+
+
+@given(
+    lengths=st.lists(st.integers(1, 60), min_size=1, max_size=24),
+    seed=st.integers(0, 10_000),
+)
+@settings(max_examples=15, deadline=None)
+def test_score_pairs_order_invariance(lengths, seed):
+    """Bucketed cross-query scoring must be a pure function of each pair:
+    shuffling the input order returns the same scores per pair."""
+    import jax.numpy as jnp
+
+    from tensortruth_tpu.models.reranker import Reranker
+    from tensortruth_tpu.models.xlmr import XLMRConfig
+
+    cfg = XLMRConfig(vocab_size=256, hidden_size=32, num_layers=1,
+                     num_heads=2, intermediate_size=64, max_position=130,
+                     num_labels=1)
+    rr = Reranker.random_init(cfg, TOK, dtype=jnp.float32, max_length=64,
+                              batch_buckets=(4, 8), seq_buckets=(16, 32, 64))
+    rng = np.random.default_rng(seed)
+    pairs = [("q", "w " * ln) for ln in lengths]
+    base = rr.score_pairs(pairs)
+    perm = rng.permutation(len(pairs))
+    shuffled = rr.score_pairs([pairs[i] for i in perm])
+    np.testing.assert_allclose(shuffled, base[perm], rtol=1e-4, atol=1e-5)

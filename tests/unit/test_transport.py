@@ -118,3 +118,60 @@ def test_socket_transport_error_reporting():
     assert t.ping() is False
     with pytest.raises(OSError):
         t.search(np.zeros((1, 4), np.float32), k=1, nprobe=1)
+
+
+def test_worker_error_rpc_keeps_connection_usable(tmp_path):
+    """A failed search RPC reports an error status and the SAME connection
+    serves the next request (per-request error isolation in the worker)."""
+    import threading as th
+
+    from tensortruth_tpu.parallel import slice_worker
+
+    rng = np.random.default_rng(1)
+    emb = _corpus(rng, 400, 16)
+    index = build_ivf(emb, n_clusters=4, sample_size=400, kmeans_iters=2)
+    save_ivf_part(index, tmp_path / "p.npz")
+
+    # run the worker loop in-thread on an ephemeral port
+    import socket as sk
+
+    srv_ready = th.Event()
+    port_holder = {}
+
+    def run():
+        import io
+        import sys as _sys
+
+        class PortSniffer(io.StringIO):
+            def write(self, s):
+                if s.startswith("PORT "):
+                    port_holder["port"] = int(s.split()[1])
+                    srv_ready.set()
+                return len(s)
+
+            def flush(self):
+                pass
+
+        old = _sys.stdout
+        _sys.stdout = PortSniffer()
+        try:
+            slice_worker.serve(str(tmp_path / "p.npz"), 0)
+        finally:
+            _sys.stdout = old
+
+    t = th.Thread(target=run, daemon=True)
+    t.start()
+    assert srv_ready.wait(60)
+    tr = SocketTransport("127.0.0.1", port_holder["port"])
+    # bad request: wrong dtype header handled → error, not crash
+    sock = tr._connect()
+    _send_frame(sock, {"cmd": "search", "k": 5, "nprobe": 2}, {})  # no q array
+    header, _ = _recv_frame(sock)
+    assert header["status"] == "error"
+    # same connection still works
+    q = _corpus(rng, 2, 16)
+    vals, rows = tr.search(q, k=5, nprobe=2)
+    assert vals.shape == (2, 5) and rows.shape == (2, 5)
+    tr.shutdown_worker()
+    t.join(timeout=30)
+    assert not t.is_alive()
