@@ -73,3 +73,39 @@ def test_flag_defaults_from_config(fake_fetch, monkeypatch, tmp_path, event_loop
         fetch_pages_batch_tool(["https://example.com/a"])  # discover_links=None
     )
     assert out[0]["links"] == []
+
+
+async def test_discover_links_config_ttl_cache(monkeypatch, tmp_path):
+    """Advisor r2: the discover_links default is TTL-cached — load_config
+    must NOT run on every tool call, but a changed config is picked up
+    after the TTL expires."""
+    from tensortruth_tpu.web import search as search_mod
+
+    calls = {"n": 0}
+
+    class Cfg:
+        class web_search:
+            discover_links = False
+
+    def fake_load():
+        calls["n"] += 1
+        return Cfg
+
+    import tensortruth_tpu.app.config as config_mod
+
+    monkeypatch.setattr(config_mod, "load_config", fake_load)
+    monkeypatch.setattr(search_mod, "_DISCOVER_LINKS_CACHE", None)
+
+    assert search_mod._discover_links_default() is False
+    assert search_mod._discover_links_default() is False
+    assert calls["n"] == 1  # second call served from cache
+
+    # expire the TTL → re-read
+    t0, v = search_mod._DISCOVER_LINKS_CACHE
+    monkeypatch.setattr(
+        search_mod, "_DISCOVER_LINKS_CACHE",
+        (t0 - search_mod._DISCOVER_LINKS_TTL - 1, v),
+    )
+    Cfg.web_search.discover_links = True
+    assert search_mod._discover_links_default() is True
+    assert calls["n"] == 2

@@ -172,3 +172,48 @@ class TestManifestCorruption:
             ["good", "bad"], {}, indexes_dir=tmp_path / "indexes", config=cfg
         )
         assert engine.modules == ["good"]
+
+
+def test_artifact_roundtrip_preserves_tombstones_and_retrieval(tmp_path, tiny_tokenizer):
+    """save→load fidelity: alive mask, gelu metadata, and the engine's
+    retrieval over the loaded artifact must equal the in-memory one."""
+    from tensortruth_tpu.index.chunker import chunk_document
+    from tensortruth_tpu.retrieval.engine import MultiIndexEngine
+
+    rng = np.random.default_rng(0)
+    emb_of = {}
+
+    def embed(texts):
+        out = []
+        for t in texts:
+            if t not in emb_of:
+                v = rng.standard_normal(16).astype(np.float32)
+                emb_of[t] = v / np.linalg.norm(v)
+            out.append(emb_of[t])
+        return np.stack(out)
+
+    nodes = []
+    for d in range(3):
+        nodes += chunk_document(
+            f"document {d} text. " * 40, tiny_tokenizer, doc_id=f"doc{d}",
+            chunk_sizes=[64, 16], chunk_overlap=4,
+        )
+    idx = VectorIndex.build(nodes, embed, embedding_model="tiny", gelu_flavor="exact")
+    removed = idx.remove_document("doc1")
+    assert removed > 0
+    idx.save(tmp_path / "art")
+    loaded = VectorIndex.load(tmp_path / "art")
+
+    assert loaded.metadata["gelu"] == "exact"
+    assert loaded.n_alive == idx.n_alive
+    assert loaded.n_rows == idx.n_rows
+
+    e1 = MultiIndexEngine({"m": idx}, similarity_top_k=5, use_fused=False)
+    e2 = MultiIndexEngine({"m": loaded}, similarity_top_k=5, use_fused=False)
+    mat, rows = idx.matrix()
+    for r in range(0, mat.shape[0], 7):
+        a = e1.retrieve_batch(mat[r][None, :])[0]
+        b = e2.retrieve_batch(mat[r][None, :])[0]
+        assert [x.node_id for x in a] == [x.node_id for x in b]
+        # no tombstoned doc ever comes back
+        assert all("doc1" != x.node.doc_id for x in b)
