@@ -321,3 +321,29 @@ def _regex_position(src, i):
     while j >= 0 and src[j] in " \t":
         j -= 1
     return j < 0 or src[j] in "=(,[{;:!&|?+-*%<>~^\n"
+
+
+# -- round-3b SPA polish ------------------------------------------------------
+
+def test_message_actions_and_toasts_wired():
+    for feature in ["copyText(", 'el("div", "actions")', "function toast(",
+                    'id="toasts"', "✕ delete", "messages.entries()"]:
+        assert feature in SPA, f"missing UI feature: {feature}"
+
+
+def test_markdown_pipe_tables_supported():
+    fn = re.search(r"function renderMarkdown.*?\n\}", SPA, re.S).group(0)
+    assert "<table>" in fn and "<thead>" in fn and "<td>" in fn
+
+
+def test_session_filter_and_rename_and_stats():
+    assert 'id="session-filter"' in SPA
+    assert '$("chat-title").ondblclick' in SPA
+    assert "/sessions/stats" in SPA or "api(\"/sessions/stats\")" in SPA
+    # keyboard shortcuts
+    assert '"Escape"' in SPA and 'key === "k"' in SPA
+
+
+def test_source_preview_expansion():
+    assert 'el("div", "preview"' in SPA
+    assert 'classList.toggle("open")' in SPA
