@@ -210,8 +210,10 @@ def main() -> None:
     t_serve = (time.perf_counter() - t0) / rounds
     qps = BATCH / t_serve
 
-    # Device-bound upper bound (no host dependency): back-to-back dispatch
-    # of fixed-shape steps. Reported as a detail, never the headline.
+    # Fixed-256 back-to-back loop (r2's headline shape): kept as a
+    # cross-round comparison anchor, never the headline. NOTE the serving
+    # loop can run FASTER than this: its realistic length-bucketed mix
+    # does fewer total token-rows with zero batch padding.
     for _ in range(1):
         fused_step(emb_params, ids, mask, corpus)
         _sync(rerank_fn(rr_params, pair_ids, pair_mask))
@@ -229,7 +231,7 @@ def main() -> None:
         "embed_topk_fused_ms": round(t_fused * 1e3, 2),
         "rerank_fixed256_ms": round(t_rerank * 1e3, 2),
         "serve_ms_per_batch": round(t_serve * 1e3, 2),
-        "device_bound_ms_per_batch": round(t_pipe * 1e3, 2),
+        "fixed256_pipeline_ms_per_batch": round(t_pipe * 1e3, 2),
         "backend": jax.default_backend(),
         "n_chunks": n_chunks,
     }

@@ -38,7 +38,7 @@ class Reranker:
         cfg: XLMRConfig,
         tokenizer,
         max_length: int = 2048,
-        batch_buckets: Sequence[int] = (16, 64, 128),
+        batch_buckets: Sequence[int] = (16, 32, 64, 128),
         seq_buckets: Sequence[int] = (64, 128, 192, 256, 320, 512, 1024, 2048),
         mesh=None,
     ):
@@ -126,8 +126,24 @@ class Reranker:
         # distribution (scripts/measure_pair_lengths.py: ~65% of pairs at
         # ~275 tok, ~30% at ~147) this removes all mixing waste for ~2 extra
         # dispatches, whose tunnel RTT the async dispatch loop already hides.
-        max_batch = self.batch_buckets[-1]
+        #
+        # Each run then splits GREEDILY into exact batch-bucket sizes
+        # (208 → 128+64+16) instead of fixed max-batch slices: the old
+        # scheme padded a trailing 80-pair slice to a 128-row dispatch —
+        # 37% wasted MXU rows on the dominant long-pair run. Only a tail
+        # smaller than the smallest bucket ever pads now.
         groups: list[np.ndarray] = []
+
+        def split_run(run: np.ndarray) -> None:
+            i = 0
+            while i < len(run):
+                rem = len(run) - i
+                take = next(
+                    (b for b in reversed(self.batch_buckets) if b <= rem), rem
+                )
+                groups.append(run[i : i + take])
+                i += take
+
         run_start = 0
         run_bucket = _bucket(int(lengths[order[0]]), self.seq_buckets)
         for i in range(1, len(order) + 1):
@@ -137,9 +153,7 @@ class Reranker:
                 else None
             )
             if b_i != run_bucket:
-                run = order[run_start:i]
-                for s in range(0, len(run), max_batch):
-                    groups.append(run[s : s + max_batch])
+                split_run(order[run_start:i])
                 run_start, run_bucket = i, b_i
 
         pending = []  # (selection, device probs, n_real)

@@ -263,3 +263,26 @@ def test_score_pairs_never_truncates_below_max_length(tok, monkeypatch):
     )
     assert real > 64  # sanity: pair really exceeds the mid bucket
     assert int(max(x.max() for x in seen)) == real  # no tokens dropped
+
+
+def test_score_pairs_greedy_exact_batch_decomposition(tok, monkeypatch):
+    """A 13-pair run with buckets (4, 8) splits 8+4+1(pad→4), never
+    8+5(pad→8): only a tail smaller than the smallest bucket pads."""
+    import jax.numpy as jnp
+
+    rr = Reranker.random_init(
+        TINY_R, tok, dtype=jnp.float32, max_length=32,
+        batch_buckets=(4, 8), seq_buckets=(16, 32),
+    )
+    shapes = []
+    orig = rr._fwd
+
+    def spy(params, ids, mask):
+        shapes.append(tuple(ids.shape))
+        return orig(params, ids, mask)
+
+    monkeypatch.setattr(rr, "_fwd", spy)
+    scores = rr.score_pairs([("q", "a b c")] * 13)
+    assert scores.shape == (13,)
+    assert [b for b, _ in shapes] == [8, 4, 4]  # 8 + 4 + 1-padded-to-4
+    np.testing.assert_allclose(scores, scores[0], rtol=1e-5)
