@@ -75,11 +75,12 @@ async def _ensure_engine(services, ctx: dict):
     )
 
 
-def _pump_query(rag, prompt, params, messages, engine=None, images=None):
+def _pump_query(rag, prompt, params, messages, engine=None, images=None,
+                system_prompt=None):
     """Run the sync generator to completion; returns (events, response)."""
     gen = rag.query(
         prompt, params=params, session_messages=messages, engine=engine,
-        images=images,
+        images=images, system_prompt=system_prompt,
     )
     events = []
     while True:
@@ -105,7 +106,7 @@ async def rest_chat(request: web.Request):
     loop = asyncio.get_running_loop()
     _, response = await loop.run_in_executor(
         None, _pump_query, services.rag_service, prompt, ctx["params"],
-        messages, engine, images,
+        messages, engine, images, ctx["system_prompt"] or None,
     )
     services.session_service.add_message(session_id, "user", prompt)
     services.session_service.add_message(
@@ -233,6 +234,7 @@ async def ws_chat(request: web.Request):
             gen = rag.query(
                 prompt, params=ctx["params"], session_messages=messages,
                 engine=engine, images=data.get("images") or None,
+                system_prompt=ctx["system_prompt"] or None,
             )
             while True:
                 try:
@@ -328,6 +330,7 @@ async def _run_orchestrator(
         async for event in orch.execute(
             prompt, llm, synthesis_llm=synth_llm, extra_tools=service_tools,
             modules=ctx["modules"], params=ctx["params"], engine=engine,
+            project_prompt=ctx["system_prompt"] or None,
             history=[
                 {"role": m["role"], "content": m["content"]}
                 for m in messages

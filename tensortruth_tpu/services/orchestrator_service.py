@@ -192,7 +192,10 @@ class OrchestratorService:
             fn=rag_query,
         )
 
-    def _system_prompt(self, modules: list[str], tools: dict, params=None) -> str:
+    def _system_prompt(
+        self, modules: list[str], tools: dict, params=None,
+        project_prompt: str | None = None,
+    ) -> str:
         tool_list = "\n".join(
             f"- {t.name}: {t.description}" for t in tools.values()
         )
@@ -205,11 +208,16 @@ class OrchestratorService:
             )
         else:
             module_block = "none"
-        return ORCHESTRATOR_SYSTEM_PROMPT.format(
+        base = ORCHESTRATOR_SYSTEM_PROMPT.format(
             date_context=current_date_context(),
             modules=module_block,
             tool_list=tool_list,
         )
+        if project_prompt:
+            # Project-level instructions prefix the role prompt (reference
+            # chat.py:119-215 project system prompt composition).
+            return f"{project_prompt}\n\n{base}"
+        return base
 
     async def execute(
         self,
@@ -221,6 +229,7 @@ class OrchestratorService:
         history: list[dict] | None = None,
         extra_tools: dict | None = None,
         engine=None,
+        project_prompt: str | None = None,
     ) -> AsyncIterator[dict]:
         """Yields WS events; final 'done' carries the synthesized answer.
 
@@ -246,7 +255,10 @@ class OrchestratorService:
         # caps at 2× its nominal share as a runaway guard; between nominal
         # and 2×, budget_history absorbs the overage from history's share.
         system_prompt = budget_prompt(
-            self._system_prompt(modules, all_tools, params=params),
+            self._system_prompt(
+                modules, all_tools, params=params,
+                project_prompt=project_prompt,
+            ),
             ctx_window, 2 * BUDGET_SYSTEM,
         )
         prompt = budget_prompt(prompt, ctx_window, BUDGET_USER)

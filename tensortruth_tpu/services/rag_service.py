@@ -398,11 +398,16 @@ class RAGService:
         session_messages: list[dict] | None = None,
         engine: "RAGEngine | None" = _CURRENT,
         images: list[str] | None = None,
+        system_prompt: str | None = None,
     ) -> Generator[RAGChunk, None, RAGResponse]:
         """``images``: base64-encoded images attached to THIS user turn;
         they ride the final user message to the provider as multimodal
         blocks (reference rag_service.py:431-443 — Ollama ``images`` param,
-        OpenAI-compatible ``image_url`` content parts)."""
+        OpenAI-compatible ``image_url`` content parts).
+
+        ``system_prompt``: project-level system prompt composed by the chat
+        context (reference chat.py:119-215) — becomes the provider system
+        message on the RAG path, and prefixes the LLM-only system prompt."""
         if engine is _CURRENT:
             with self._lock:
                 engine = self._engine  # capture once; survives concurrent unload
@@ -442,13 +447,17 @@ class RAGService:
                     query_str=prompt,
                 )
             messages = [{"role": "user", "content": full_prompt}]
-            system = None
+            system = system_prompt or None
         else:
             # LLM-only mode (reference rag_service.py:368-429)
             messages = history.to_chat_messages() + [
                 {"role": "user", "content": prompt}
             ]
-            system = LLM_ONLY_SYSTEM_PROMPT
+            system = (
+                f"{system_prompt}\n\n{LLM_ONLY_SYSTEM_PROMPT}"
+                if system_prompt
+                else LLM_ONLY_SYSTEM_PROMPT
+            )
 
         if images:
             # Vision-model chats: attach this turn's images to the user

@@ -713,3 +713,82 @@ async def test_engine_retrieve_empty_batch_and_unknown_session(client):
     assert r.status == 404
     r = await client.get("/api/sessions/no-such/messages")
     assert r.status == 404
+
+
+async def test_project_scope_documents_flow_with_system_prompt(client):
+    """Project lifecycle e2e: project doc upload → session inherits the
+    project index + system prompt → retrieval hits the project doc →
+    doc delete removes it from results (reference documents routes per
+    scope + project config inheritance)."""
+    from tensortruth_tpu.core.providers import ChatDelta
+
+    seen = {}
+
+    class FakeLLM:
+        def complete(self, prompt):
+            return "t"
+
+        def stream_chat(self, messages, system=None):
+            seen["system"] = system
+            seen["prompt"] = messages[-1]["content"]
+            yield ChatDelta(text="ok")
+
+    services = client.server.app["services"]
+    services.rag_service._llm_factory = lambda params: FakeLLM()
+
+    r = await client.post("/api/projects", json={
+        "name": "research", "system_prompt": "You are the PROJECT ORACLE."})
+    pid = (await r.json())["id"]
+    r = await client.post(
+        f"/api/projects/{pid}/documents",
+        json={"filename": "paper.md",
+              "text": "PROJECTFACT the splash attention kernel tiles KV. " * 120},
+    )
+    doc = await r.json()
+    assert doc["status"] == "success"
+
+    r = await client.post(f"/api/projects/{pid}/sessions", json={})
+    sid = (await r.json())["id"]
+
+    ws = await client.ws_connect(f"/ws/chat/{sid}")
+    await ws.send_json({"message": "what does the splash kernel do?"})
+    sources = None
+    while True:
+        msg = await ws.receive_json(timeout=120)
+        if msg["type"] == "sources":
+            sources = msg["sources"]
+        if msg["type"] in ("done", "error"):
+            assert msg["type"] == "done", msg
+            break
+    await ws.close()
+    assert sources and "PROJECTFACT" in sources[0]["content"]
+    # project system prompt flowed into generation
+    assert "PROJECT ORACLE" in (seen.get("system") or "") or \
+        "PROJECT ORACLE" in seen.get("prompt", "")
+
+    # delete the doc → retrieval no longer returns it
+    r = await client.delete(f"/api/projects/{pid}/documents/{doc['doc_id']}")
+    assert r.status == 200
+    ws = await client.ws_connect(f"/ws/chat/{sid}")
+    await ws.send_json({"message": "what does the splash kernel do?"})
+    sources2 = []
+    while True:
+        msg = await ws.receive_json(timeout=120)
+        if msg["type"] == "sources":
+            sources2 = msg["sources"]
+        if msg["type"] in ("done", "error"):
+            break
+    await ws.close()
+    assert not any("PROJECTFACT" in (s.get("content") or "") for s in sources2)
+
+
+async def test_config_change_then_engine_restart_applies(client):
+    """PATCH config → restart-engine → the next engine load uses the new
+    defaults (reference /api/system/restart-engine semantics)."""
+    r = await client.patch("/api/config", json={"rag": {"default_top_n": 2}})
+    assert r.status == 200
+    r = await client.post("/api/system/restart-engine")
+    assert (await r.json())["status"] == "restarted"
+    r = await client.post("/api/sessions", json={})
+    s = await r.json()
+    assert s["params"]["reranker_top_n"] == 2
