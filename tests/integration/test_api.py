@@ -792,3 +792,136 @@ async def test_config_change_then_engine_restart_applies(client):
     r = await client.post("/api/sessions", json={})
     s = await r.json()
     assert s["params"]["reranker_top_n"] == 2
+
+
+async def test_user_yaml_command_executes_over_ws(client):
+    """Installed YAML command → invoked as /cmd through the chat WS →
+    steps run (template interpolation) → transcript persisted (reference
+    extensions/yaml_command.py + WS command dispatch)."""
+    from tensortruth_tpu.services.tool_service import ToolSpec
+
+    services = client.server.app["services"]
+
+    async def shout(text: str):
+        return str(text).upper()
+
+    services.tool_service.register(
+        ToolSpec("shout_tool", "upper-case",
+                 {"type": "object", "properties": {"text": {"type": "string"}}},
+                 shout)
+    )
+    yaml_cmd = """
+name: yell
+description: Upper-case the args
+steps:
+  - tool: shout_tool
+    params: {text: "{{args}}"}
+    result_var: out
+output_template: "{{out}}"
+"""
+    r = await client.post("/api/extensions/install",
+                          json={"ext_type": "commands", "filename": "yell.yaml",
+                                "content": yaml_cmd})
+    assert r.status == 200, await r.text()
+
+    r = await client.post("/api/sessions", json={})
+    sid = (await r.json())["id"]
+    ws = await client.ws_connect(f"/ws/chat/{sid}")
+    await ws.send_json({"message": "/yell hello tpu"})
+    tokens = []
+    while True:
+        msg = await ws.receive_json(timeout=60)
+        if msg["type"] == "token":
+            tokens.append(msg["content"])
+        if msg["type"] in ("done", "error"):
+            assert msg["type"] == "done", msg
+            break
+    await ws.close()
+    assert "HELLO TPU" in "".join(tokens)
+    # command transcript persisted to the session
+    session = await (await client.get(f"/api/sessions/{sid}")).json()
+    roles = [m["role"] for m in session["messages"]]
+    assert roles == ["user", "assistant"]
+
+
+async def test_metrics_and_sources_persist_to_messages_endpoint(client):
+    """Reference test_chat_metrics_persistence analog: after a RAG chat the
+    stored assistant message carries sources + full metrics schema, served
+    by GET /messages."""
+    from tensortruth_tpu.core.providers import ChatDelta
+
+    class FakeLLM:
+        def complete(self, prompt):
+            return "standalone"
+
+        def stream_chat(self, messages, system=None):
+            yield ChatDelta(text="answer")
+
+    services = client.server.app["services"]
+    services.rag_service._llm_factory = lambda params: FakeLLM()
+
+    r = await client.post("/api/sessions", json={})
+    sid = (await r.json())["id"]
+    r = await client.post(
+        f"/api/sessions/{sid}/documents",
+        json={"filename": "m.md", "text": "metric persistence check " * 150},
+    )
+    assert (await r.json())["status"] == "success"
+    ws = await client.ws_connect(f"/ws/chat/{sid}")
+    await ws.send_json({"message": "what is persisted?"})
+    while True:
+        msg = await ws.receive_json(timeout=120)
+        if msg["type"] in ("done", "error"):
+            assert msg["type"] == "done"
+            break
+    await ws.close()
+
+    msgs = (await (await client.get(f"/api/sessions/{sid}/messages")).json())["messages"]
+    assistant = [m for m in msgs if m["role"] == "assistant"][-1]
+    assert assistant["sources"], "sources not persisted"
+    metrics = assistant["metrics"]
+    for section in ("score_distribution", "diversity", "coverage", "quality"):
+        assert section in metrics, section
+    assert "timings" in metrics
+
+
+async def test_session_corpus_dtype_param_flows_into_engine(client):
+    """The params drawer's corpus_dtype promise: PATCH int8 → the next chat
+    loads an int8-quantized engine corpus."""
+    import numpy as np
+
+    from tensortruth_tpu.core.providers import ChatDelta
+
+    class FakeLLM:
+        def complete(self, prompt):
+            return "s"
+
+        def stream_chat(self, messages, system=None):
+            yield ChatDelta(text="ok")
+
+    services = client.server.app["services"]
+    services.rag_service._llm_factory = lambda params: FakeLLM()
+
+    r = await client.post("/api/sessions", json={})
+    sid = (await r.json())["id"]
+    r = await client.post(
+        f"/api/sessions/{sid}/documents",
+        json={"filename": "q.md", "text": "int8 engine check " * 150},
+    )
+    assert (await r.json())["status"] == "success"
+    r = await client.patch(f"/api/sessions/{sid}",
+                           json={"params": {"corpus_dtype": "int8",
+                                            "use_fused_topk": True}})
+    assert r.status == 200
+
+    ws = await client.ws_connect(f"/ws/chat/{sid}")
+    await ws.send_json({"message": "check the dtype"})
+    while True:
+        msg = await ws.receive_json(timeout=120)
+        if msg["type"] in ("done", "error"):
+            assert msg["type"] == "done", msg
+            break
+    await ws.close()
+    engine = services.rag_service.engine
+    assert engine is not None
+    assert engine.retriever.corpus_dtype == "int8"

@@ -211,3 +211,65 @@ def test_score_pairs_order_invariance(lengths, seed):
     perm = rng.permutation(len(pairs))
     shuffled = rr.score_pairs([pairs[i] for i in perm])
     np.testing.assert_allclose(shuffled, base[perm], rtol=1e-4, atol=1e-5)
+
+
+@given(
+    n=st.integers(130, 900),
+    k=st.integers(1, 20),
+    b=st.integers(1, 4),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=10, deadline=None)
+def test_fused_topk_interpret_matches_exact(n, k, b, seed):
+    """Pallas fused kernel (interpret mode) ≡ exact top-k for arbitrary
+    shapes with m=1 (no bucket collisions possible at c_out >= tile)."""
+    import jax.numpy as jnp
+
+    from tensortruth_tpu.ops.topk import exact_topk, fused_topk
+
+    rng = np.random.default_rng(seed)
+    emb = rng.standard_normal((n, 16)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    q = rng.standard_normal((b, 16)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    k_eff = min(k, n)
+    vals, idx = fused_topk(
+        jnp.asarray(q), jnp.asarray(emb), k_eff, tile_n=128, interpret=True
+    )
+    ref_vals, ref_idx = exact_topk(jnp.asarray(q), jnp.asarray(emb), k_eff)
+    np.testing.assert_allclose(
+        np.asarray(vals), np.asarray(ref_vals), rtol=1e-4, atol=1e-5
+    )
+    got = np.sort(np.asarray(idx), axis=1)
+    want = np.sort(np.asarray(ref_idx), axis=1)
+    np.testing.assert_array_equal(got, want)
+
+
+@given(
+    ctx=st.integers(1024, 32768),
+    n_msgs=st.integers(0, 12),
+    msg_len=st.integers(10, 4000),
+)
+@settings(max_examples=20, deadline=None)
+def test_budget_history_never_exceeds_share(ctx, n_msgs, msg_len):
+    """The 12/18/18/50 window partition: history chars never exceed its 18%
+    share plus whatever the (small) system/user prompts released."""
+    from tensortruth_tpu.services.orchestrator_service import (
+        BUDGET_HISTORY,
+        CHARS_PER_TOKEN,
+        budget_history,
+    )
+
+    history = [
+        {"role": "user" if i % 2 == 0 else "assistant", "content": "x" * msg_len}
+        for i in range(n_msgs)
+    ]
+    out = budget_history(history, ctx, system_prompt="sys", user_prompt="u")
+    total = sum(len(m["content"]) for m in out)
+    # small system/user release almost their whole share to history; bound
+    # by history share + system share + user share (all in chars)
+    ceiling = int(ctx * CHARS_PER_TOKEN * (BUDGET_HISTORY + 0.12 + 0.18)) + msg_len
+    assert total <= ceiling
+    # order preserved, complete messages only
+    contents = [m["content"] for m in out]
+    assert all(c == "x" * msg_len for c in contents)
