@@ -50,7 +50,11 @@ def main(argv: list[str] | None = None) -> int:
     sel.add_argument("--books", action="store_true")
     sel.add_argument("--libraries", action="store_true")
     sel.add_argument("--papers", action="store_true")
-    parser.add_argument("--embedding-model", default="BAAI/bge-m3")
+    # None → the config's default_embedding_model (reference
+    # build_db.py:174-205 resolves from config when the flag is absent;
+    # hardcoding bge-m3 here built under the wrong model dir whenever the
+    # deployment configured a different default)
+    parser.add_argument("--embedding-model", default=None)
     parser.add_argument("--chunk-sizes", nargs="+", type=int, default=list(DEFAULT_CHUNK_SIZES))
     parser.add_argument("--chunk-overlap", type=int, default=DEFAULT_CHUNK_OVERLAP)
     parser.add_argument(
@@ -92,6 +96,8 @@ def main(argv: list[str] | None = None) -> int:
     from tensortruth_tpu.models.manager import ModelManager, ModelSpec
 
     cfg = load_config()
+    if args.embedding_model is None:
+        args.embedding_model = cfg.rag.default_embedding_model
     mc = cfg.rag.get_embedding_model_config(args.embedding_model)
     embedder = ModelManager.get_instance().get_embedder(
         ModelSpec(
