@@ -64,7 +64,9 @@ def read_index_metadata(index_dir: str | Path) -> dict | None:
 # -- per-doc-type metadata extraction (reference utils/metadata.py) -----------
 
 _YAML_HEADER_RE = re.compile(r"\A---\s*\n(.*?)\n---\s*\n", re.DOTALL)
-_CHAPTER_RE = re.compile(r"(?:chapter|ch)[_\-\s]*(\d+)", re.IGNORECASE)
+# "chapter_3"/"ch3" anywhere, OR the leading index our own book scraper
+# writes ("03_Linear_Algebra_book.md", scrapers/book.py split filenames)
+_CHAPTER_RE = re.compile(r"(?:^(\d+)[_\-\s])|(?:(?:chapter|ch)[_\-\s]*(\d+))", re.IGNORECASE)
 
 
 def parse_yaml_header(text: str) -> dict:
@@ -99,7 +101,7 @@ def extract_book_chapter_metadata(filename: str, module: str) -> dict:
     meta = {"doc_type": DocumentType.BOOK.value, "book": module}
     m = _CHAPTER_RE.search(stem)
     if m:
-        meta["chapter"] = int(m.group(1))
+        meta["chapter"] = int(m.group(1) or m.group(2))
     title = re.sub(r"^\d+[_\-\s]*", "", stem).replace("_", " ").replace("-", " ").strip()
     if title:
         meta["title"] = title
