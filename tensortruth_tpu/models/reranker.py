@@ -132,15 +132,23 @@ class Reranker:
         # scheme padded a trailing 80-pair slice to a 128-row dispatch —
         # 37% wasted MXU rows on the dominant long-pair run. Only a tail
         # smaller than the smallest bucket ever pads now.
+        #
+        # Long sequences additionally cap the batch at 64 rows: measured on
+        # v5e (BASELINE.md sweep), a 128×320 dispatch costs 2.00 ms/pair vs
+        # 1.86 at 64×320 (larger activation transients), while at S≤256
+        # bigger batches stay equal-or-better — A/B on the realistic mix:
+        # 420.1 → 401.5 ms/320 pairs with the cap.
         groups: list[np.ndarray] = []
 
-        def split_run(run: np.ndarray) -> None:
+        def split_run(run: np.ndarray, seq_bucket: int) -> None:
+            cap = 64 if seq_bucket >= 320 else self.batch_buckets[-1]
+            usable = [b for b in self.batch_buckets if b <= cap] or list(
+                self.batch_buckets[:1]
+            )
             i = 0
             while i < len(run):
                 rem = len(run) - i
-                take = next(
-                    (b for b in reversed(self.batch_buckets) if b <= rem), rem
-                )
+                take = next((b for b in reversed(usable) if b <= rem), rem)
                 groups.append(run[i : i + take])
                 i += take
 
@@ -153,7 +161,7 @@ class Reranker:
                 else None
             )
             if b_i != run_bucket:
-                split_run(order[run_start:i])
+                split_run(order[run_start:i], run_bucket)
                 run_start, run_bucket = i, b_i
 
         pending = []  # (selection, device probs, n_real)
