@@ -256,3 +256,41 @@ def test_int8_without_fused_single_device_warns(tiny_tokenizer, sample_text, cap
         )
     assert eng._stacked_scales is None
     assert any("falling back to bfloat16" in r.message for r in caplog.records)
+
+
+def test_float32_corpus_dtype(tiny_tokenizer, sample_text):
+    idx = _index(tiny_tokenizer, sample_text, "docA", "mod_a")
+    eng = MultiIndexEngine(
+        {"mod_a": idx}, similarity_top_k=5, use_fused=False,
+        corpus_dtype="float32",
+    )
+    assert str(eng._stacked.dtype) == "float32"
+    mat, rows = idx.matrix()
+    res = eng.retrieve_batch(mat[0][None, :])[0]
+    # top hit = the row itself or its auto-merged parent
+    expected = idx.node_of_row(int(rows[0]))
+    assert res and res[0].node_id in (expected.node_id, expected.parent_id)
+
+
+def test_refresh_resets_quantization_state(tiny_tokenizer, sample_text):
+    """Changing corpus_dtype then refresh() must not leave stale scales."""
+    idx = _index(tiny_tokenizer, sample_text, "docA", "mod_a")
+    eng = MultiIndexEngine(
+        {"mod_a": idx}, similarity_top_k=5, use_fused=True, corpus_dtype="int8"
+    )
+    assert eng._stacked_scales is not None
+    eng.corpus_dtype = "bfloat16"
+    eng.refresh()
+    assert eng._stacked_scales is None
+    assert str(eng._stacked.dtype) == "bfloat16"
+
+
+def test_cache_key_includes_query_text_only_when_given(engine):
+    rng = np.random.default_rng(9)
+    q = rng.standard_normal(DIM).astype(np.float32)
+    q /= np.linalg.norm(q)
+    r1 = engine.retrieve(q, query_text="the query")
+    r2 = engine.retrieve(q, query_text="the query")  # cache hit
+    assert [n.node_id for n in r1] == [n.node_id for n in r2]
+    engine.clear_cache()
+    assert engine.retrieve(q, query_text="the query")  # recompute ok

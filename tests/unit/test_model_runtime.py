@@ -286,3 +286,34 @@ def test_score_pairs_greedy_exact_batch_decomposition(tok, monkeypatch):
     assert scores.shape == (13,)
     assert [b for b, _ in shapes] == [8, 4, 4]  # 8 + 4 + 1-padded-to-4
     np.testing.assert_allclose(scores, scores[0], rtol=1e-5)
+
+
+def test_long_seq_batch_cap_in_decomposition(tok, monkeypatch):
+    """Seq-aware cap: runs at seq bucket >= 320 never exceed 64 rows per
+    dispatch (measured v5e penalty for 128x320 transients, BASELINE.md);
+    shorter runs still use the full bucket ladder."""
+    import jax.numpy as jnp
+
+    from tensortruth_tpu.models.xlmr import XLMRConfig
+
+    cfg = XLMRConfig(vocab_size=512, hidden_size=32, num_layers=1, num_heads=2,
+                     intermediate_size=64, max_position=520, num_labels=1)
+    rr = Reranker.random_init(
+        cfg, tok, dtype=jnp.float32, max_length=512,
+        batch_buckets=(16, 32, 64, 128), seq_buckets=(64, 320, 512),
+    )
+    shapes = []
+    orig = rr._fwd
+
+    def spy(params, ids, mask):
+        shapes.append(tuple(ids.shape))
+        return orig(params, ids, mask)
+
+    monkeypatch.setattr(rr, "_fwd", spy)
+    long_doc = "word " * 300   # pair > 64 tokens → bucket 320
+    short_doc = "word word"    # bucket 64
+    rr.score_pairs([("q", long_doc)] * 100 + [("q", short_doc)] * 150)
+    long_dispatches = [b for b, s in shapes if s >= 320]
+    short_dispatches = [b for b, s in shapes if s < 320]
+    assert long_dispatches and max(long_dispatches) <= 64  # capped
+    assert short_dispatches and max(short_dispatches) == 128  # 150 → 128+16+pad

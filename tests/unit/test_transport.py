@@ -175,3 +175,32 @@ def test_worker_error_rpc_keeps_connection_usable(tmp_path):
     tr.shutdown_worker()
     t.join(timeout=30)
     assert not t.is_alive()
+
+
+def test_local_transport_delegates_and_closes():
+    class FakeGroup:
+        def __init__(self):
+            self.calls = []
+
+        def search(self, q, k, nprobe):
+            self.calls.append((q.shape, k, nprobe))
+            return np.zeros((q.shape[0], k), np.float32), np.zeros((q.shape[0], k), np.int64)
+
+    g = FakeGroup()
+    t = LocalTransport(g)
+    v, r = t.search(np.zeros((2, 4), np.float32), k=3, nprobe=1)
+    assert v.shape == (2, 3) and g.calls == [((2, 4), 3, 1)]
+    t.close()  # no-op, must not raise
+
+
+def test_multislice_close_closes_all_transports(tmp_path):
+    rng = np.random.default_rng(2)
+    emb = _corpus(rng, 600, 16)
+    index = build_ivf(emb, n_clusters=8, sample_size=600, kmeans_iters=2)
+    ms = MultiSliceIVF(index, n_groups=2)
+    closed = []
+    for i, t in enumerate(ms.transports):
+        orig = t.close
+        t.close = (lambda i=i, orig=orig: (closed.append(i), orig())[1])
+    ms.close()
+    assert closed == [0, 1]

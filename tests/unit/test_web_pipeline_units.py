@@ -127,3 +127,26 @@ def test_source_metrics_aggregation():
     assert m["score_mean"] == pytest.approx(0.7)
     assert m["score_max"] == 0.9
     assert m["estimated_tokens"] == 100
+
+
+def test_rerank_sources_empty_and_all_filtered():
+    rr = FixedReranker([0.01, 0.02])
+    a, b = _src(0, "A" * 2000), _src(1, "B" * 2000)
+    passed, filtered = rerank_sources(rr, "q", [a, b], lambda s: s.content, 0.5)
+    assert passed == [] and len(filtered) == 2
+    passed, filtered = rerank_sources(rr, "q", [], lambda s: s.content, 0.5)
+    assert passed == [] and filtered == []
+
+
+def test_fit_sources_keeps_order_by_score_not_input():
+    out = fit_sources_to_context(
+        [_src(0, "a" * 100, score=0.1), _src(1, "b" * 100, score=0.9)],
+        context_window=1000,
+    )
+    assert [s.id for s in out] == ["s1", "s0"]
+
+
+def test_source_metrics_empty():
+    m = compute_source_metrics([])
+    assert m["total"] == 0 and m["score_mean"] is None
+    assert m["estimated_tokens"] == 0
