@@ -347,3 +347,13 @@ def test_session_filter_and_rename_and_stats():
 def test_source_preview_expansion():
     assert 'el("div", "preview"' in SPA
     assert 'classList.toggle("open")' in SPA
+
+
+def test_round3c_chat_controls_wired():
+    for feature in ['id="stop-btn"', 'id="send-btn"', 'id="export-btn"',
+                    "setStreaming(", "↻ resend", 'id="runtimes-list"',
+                    'id="profile-start"', 'id="profile-stop"']:
+        assert feature in SPA, f"missing: {feature}"
+    # stop closes + reconnects; export builds a markdown blob
+    assert "connectWS()" in SPA.split('$("stop-btn").onclick')[1][:400]
+    assert "text/markdown" in SPA
