@@ -18,6 +18,7 @@ import asyncio
 import json
 import logging
 import re
+import threading
 
 from aiohttp import WSMsgType, web
 
@@ -138,7 +139,12 @@ async def ws_chat(request: web.Request):
     ws = web.WebSocketResponse(heartbeat=300)
     await ws.prepare(request)
 
-    async for msg in ws:
+    pending_msg = None  # inbound frame that raced a stream's completion
+    while True:
+        if pending_msg is not None:
+            msg, pending_msg = pending_msg, None
+        else:
+            msg = await ws.receive()
         if msg.type != WSMsgType.TEXT:
             break
         try:
@@ -146,6 +152,8 @@ async def ws_chat(request: web.Request):
         except json.JSONDecodeError:
             await ws.send_json({"type": "error", "error": "invalid JSON"})
             continue
+        if data.get("type") == "stop":
+            continue  # nothing streaming — stale stop, ignore
         prompt = data.get("message", "")
         session = services.session_service.get_session(session_id)
         if session is None:
@@ -228,6 +236,7 @@ async def ws_chat(request: web.Request):
         loop = asyncio.get_running_loop()
         queue: asyncio.Queue = asyncio.Queue()
         DONE = object()
+        cancel = threading.Event()
 
         def pump():
             rag = services.rag_service
@@ -237,6 +246,14 @@ async def ws_chat(request: web.Request):
                 system_prompt=ctx["system_prompt"] or None,
             )
             while True:
+                # Client gone (Stop button / dropped peer): close the
+                # generator so GeneratorExit aborts the provider stream at
+                # its current yield — without this the pump keeps pulling
+                # LLM tokens into a queue nobody drains.
+                if cancel.is_set():
+                    gen.close()
+                    loop.call_soon_threadsafe(queue.put_nowait, (DONE, None))
+                    return
                 try:
                     chunk = next(gen)
                     loop.call_soon_threadsafe(queue.put_nowait, chunk)
@@ -248,19 +265,102 @@ async def ws_chat(request: web.Request):
                     return
 
         task = loop.run_in_executor(None, pump)
-        response = None
-        while True:
-            item = await queue.get()
-            if isinstance(item, tuple) and item[0] is DONE:
-                response = item[1]
-                break
-            if item.status:
-                await ws.send_json({"type": "status", "status": item.status})
-            if item.thinking:
-                await ws.send_json({"type": "thinking", "content": item.thinking})
-            if item.text:
-                await ws.send_json({"type": "token", "content": item.text})
+
+        async def drain_and_send():
+            """Forward pump chunks to the socket; returns the RAGResponse."""
+            while True:
+                item = await queue.get()
+                if isinstance(item, tuple) and item[0] is DONE:
+                    return item[1]
+                if item.status:
+                    await ws.send_json({"type": "status", "status": item.status})
+                if item.thinking:
+                    await ws.send_json({"type": "thinking", "content": item.thinking})
+                if item.text:
+                    await ws.send_json({"type": "token", "content": item.text})
+
+        # Stream AND read concurrently: without the read, a client close
+        # frame (Stop button / dropped peer) sits unread while the server
+        # keeps generating — the reference's FastAPI handler has the same
+        # listen-while-streaming obligation. A {"type": "stop"} text frame
+        # cancels generation but keeps the socket; close/error cancels and
+        # ends the handler.
+        send_task = asyncio.ensure_future(drain_and_send())
+        recv_task = asyncio.ensure_future(ws.receive())
+        response, client_gone, stopped = None, False, False
+        try:
+            while True:
+                done_set, _ = await asyncio.wait(
+                    {send_task, recv_task}, return_when=asyncio.FIRST_COMPLETED
+                )
+                logger.debug(
+                    "ws stream wait: send done=%s recv done=%s",
+                    send_task.done(), recv_task.done(),
+                )
+                if send_task in done_set:
+                    response = send_task.result()
+                    break
+                inbound = recv_task.result()
+                if inbound.type == WSMsgType.TEXT:
+                    try:
+                        req = json.loads(inbound.data)
+                    except json.JSONDecodeError:
+                        req = {}
+                    if req.get("type") == "stop":
+                        stopped = True
+                        cancel.set()
+                        break
+                    # any other message mid-stream: reject, keep streaming
+                    await ws.send_json(
+                        {"type": "error",
+                         "error": "busy streaming — send {\"type\": \"stop\"} first"}
+                    )
+                    recv_task = asyncio.ensure_future(ws.receive())
+                else:  # CLOSE/CLOSING/ERROR: peer is gone
+                    client_gone = True
+                    cancel.set()
+                    break
+        except asyncio.CancelledError:
+            # aiohttp cancels the handler task when the peer's transport
+            # drops — the executor pump is NOT cancelled with it, so flag it
+            # (it closes the generator within one chunk) and let aiohttp
+            # finish tearing the request down.
+            logger.debug("ws handler cancelled by transport close")
+            cancel.set()
+            raise
+        except (ConnectionResetError, RuntimeError) as e:
+            logger.debug("ws stream peer lost: %r", e)
+            client_gone = True
+            cancel.set()
+        if cancel.is_set():
+            logger.debug("ws stream cancelling: gone=%s stopped=%s", client_gone, stopped)
+            send_task.cancel()
+            try:
+                await send_task
+            except (asyncio.CancelledError, ConnectionResetError, RuntimeError):
+                pass
         await task
+        logger.debug("ws stream pump joined (gone=%s stopped=%s)", client_gone, stopped)
+        if client_gone:
+            return ws
+        if not stopped:
+            if recv_task.done():
+                # a frame raced the stream's completion — process it as the
+                # next inbound message instead of dropping it
+                raced = recv_task.result()
+                if raced.type == WSMsgType.TEXT:
+                    pending_msg = raced
+                else:
+                    return ws
+            else:
+                recv_task.cancel()  # normal completion: stop listening
+                try:
+                    await recv_task
+                except asyncio.CancelledError:
+                    pass
+        if stopped:
+            await ws.send_json({"type": "done", "content": "", "cancelled": True})
+            continue
         if isinstance(response, Exception):
             await ws.send_json({"type": "error", "error": str(response)})
             continue

@@ -1,6 +1,7 @@
 """API integration tests over the real aiohttp app with a temp data dir
 (reference tests/integration/test_api_*.py analogs, TestClient style)."""
 
+import asyncio
 import json
 
 import numpy as np
@@ -1057,3 +1058,112 @@ async def test_wizard_build_task_end_to_end(client, tmp_path, monkeypatch):
 
     mods = (await (await client.get("/api/modules")).json())["modules"]
     assert any(m["module"] == "tinylib" for m in mods), mods
+
+
+async def test_ws_disconnect_cancels_generation(client):
+    """Stop button contract: an abrupt client close mid-stream must abort
+    the server-side generator (GeneratorExit through rag_service.query →
+    provider stream), not keep pulling LLM tokens into a dead queue."""
+    import threading
+    import time as _time
+
+    from tensortruth_tpu.core.providers import ChatDelta
+
+    started = threading.Event()
+    closed = threading.Event()
+
+    class EndlessLLM:
+        def complete(self, prompt):
+            return "s"
+
+        def stream_chat(self, messages, system=None):
+            try:
+                for i in range(100_000):
+                    started.set()
+                    yield ChatDelta(text=f"t{i} ")
+                    _time.sleep(0.005)
+            finally:
+                closed.set()
+
+    services = client.server.app["services"]
+    services.rag_service._llm_factory = lambda params: EndlessLLM()
+
+    r = await client.post("/api/sessions", json={})
+    sid = (await r.json())["id"]
+    ws = await client.ws_connect(f"/ws/chat/{sid}")
+    await ws.send_json({"message": "stream forever"})
+    # read a few tokens to confirm streaming is live, then hard-close
+    for _ in range(3):
+        msg = await ws.receive_json(timeout=60)
+        if msg["type"] == "token":
+            break
+    assert started.wait(30)
+    await ws.close()
+    # the provider generator must be closed shortly after the disconnect
+    deadline = _time.monotonic() + 20
+    while not closed.is_set() and _time.monotonic() < deadline:
+        await asyncio.sleep(0.2)
+    assert closed.is_set(), "generator kept running after client disconnect"
+
+
+async def test_ws_stop_message_cancels_and_keeps_socket(client):
+    """Protocol stop: {"type":"stop"} mid-stream cancels generation, the
+    server answers done{cancelled:true}, and the SAME socket serves the
+    next message."""
+    import threading
+    import time as _time
+
+    from tensortruth_tpu.core.providers import ChatDelta
+
+    closed = threading.Event()
+    mode = {"endless": True}
+
+    class LLM:
+        def complete(self, prompt):
+            return "s"
+
+        def stream_chat(self, messages, system=None):
+            if not mode["endless"]:
+                yield ChatDelta(text="quick answer")
+                return
+            try:
+                for i in range(100_000):
+                    yield ChatDelta(text=f"t{i} ")
+                    _time.sleep(0.005)
+            finally:
+                closed.set()
+
+    services = client.server.app["services"]
+    services.rag_service._llm_factory = lambda params: LLM()
+
+    r = await client.post("/api/sessions", json={})
+    sid = (await r.json())["id"]
+    ws = await client.ws_connect(f"/ws/chat/{sid}")
+    await ws.send_json({"message": "stream forever"})
+    while True:
+        msg = await ws.receive_json(timeout=60)
+        if msg["type"] == "token":
+            break
+    await ws.send_json({"type": "stop"})
+    while True:
+        msg = await ws.receive_json(timeout=60)
+        if msg["type"] == "done":
+            assert msg.get("cancelled") is True
+            break
+        assert msg["type"] in ("token", "thinking", "status", "title")
+    assert closed.wait(20), "generator not closed after stop"
+
+    # same socket still works for a fresh message
+    mode["endless"] = False
+    await ws.send_json({"message": "now answer quickly"})
+    got_token = False
+    while True:
+        msg = await ws.receive_json(timeout=60)
+        if msg["type"] == "token":
+            got_token = True
+        if msg["type"] == "done" and not msg.get("cancelled"):
+            break
+        if msg["type"] == "title":
+            continue
+    assert got_token
+    await ws.close()

@@ -129,6 +129,7 @@ def test_ws_handlers_cover_every_server_message_type():
         text = Path(f).read_text(encoding="utf-8")
         emitted |= set(re.findall(r'"type":\s*"([a-z_]+)"', text))
     emitted -= {"object", "string", "array", "integer", "number", "boolean"}  # JSON-schema noise
+    emitted -= {"stop"}  # client→server control message, not an emission
     m = re.search(r"const WS_HANDLERS = \{(.*?)\n\};", SPA, re.S)
     assert m, "WS_HANDLERS table missing from SPA"
     handlers = set(re.findall(r"^\s{2}(\w+)\(", m.group(1), re.M))
@@ -354,6 +355,9 @@ def test_round3c_chat_controls_wired():
                     "setStreaming(", "↻ resend", 'id="runtimes-list"',
                     'id="profile-start"', 'id="profile-stop"']:
         assert feature in SPA, f"missing: {feature}"
-    # stop closes + reconnects; export builds a markdown blob
-    assert "connectWS()" in SPA.split('$("stop-btn").onclick')[1][:400]
+    # stop sends the protocol stop message with close+reconnect fallback;
+    # export builds a markdown blob
+    stop_src = SPA.split('$("stop-btn").onclick')[1][:700]
+    assert '{type: "stop"}' in stop_src
+    assert "connectWS()" in stop_src
     assert "text/markdown" in SPA
