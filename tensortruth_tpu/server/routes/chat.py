@@ -223,11 +223,63 @@ async def ws_chat(request: web.Request):
 
         # -- orchestrator path (reference chat.py:245-537): enabled param +
         # tool-capable model; any failure falls back to the direct pipeline.
+        # Same read-while-streaming contract as the direct path: the
+        # orchestrator runs as a task while we keep receiving, so a
+        # {"type": "stop"} cancels the whole agent loop (CancelledError
+        # aborts the in-flight LLM/tool awaits) without losing the socket.
         if _orchestrator_enabled(services, ctx["params"]):
-            ok = await _run_orchestrator(
+            orch_task = asyncio.ensure_future(_run_orchestrator(
                 services, ws, session_id, session, prompt, ctx, messages,
                 engine=engine,
-            )
+            ))
+            recv_task = asyncio.ensure_future(ws.receive())
+            ok, stopped, client_gone = False, False, False
+            while True:
+                done_set, _ = await asyncio.wait(
+                    {orch_task, recv_task}, return_when=asyncio.FIRST_COMPLETED
+                )
+                if orch_task in done_set:
+                    ok = orch_task.result()
+                    break
+                inbound = recv_task.result()
+                if inbound.type == WSMsgType.TEXT:
+                    try:
+                        req = json.loads(inbound.data)
+                    except json.JSONDecodeError:
+                        req = {}
+                    if req.get("type") == "stop":
+                        stopped = True
+                        break
+                    await ws.send_json(
+                        {"type": "error",
+                         "error": "busy streaming — send {\"type\": \"stop\"} first"}
+                    )
+                    recv_task = asyncio.ensure_future(ws.receive())
+                else:
+                    client_gone = True
+                    break
+            if stopped or client_gone:
+                orch_task.cancel()
+                try:
+                    await orch_task
+                except (asyncio.CancelledError, ConnectionResetError, RuntimeError):
+                    pass
+                if client_gone:
+                    return ws
+                await ws.send_json({"type": "done", "content": "", "cancelled": True})
+                continue
+            if recv_task.done():
+                raced = recv_task.result()
+                if raced.type == WSMsgType.TEXT:
+                    pending_msg = raced
+                else:
+                    return ws
+            else:
+                recv_task.cancel()
+                try:
+                    await recv_task
+                except asyncio.CancelledError:
+                    pass
             if ok:
                 continue
 

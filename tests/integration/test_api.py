@@ -1167,3 +1167,71 @@ async def test_ws_stop_message_cancels_and_keeps_socket(client):
             continue
     assert got_token
     await ws.close()
+
+
+async def test_ws_stop_cancels_orchestrator_loop(client):
+    """Protocol stop during an orchestrator run cancels the agent loop
+    (in-flight tool/LLM awaits) and keeps the socket."""
+    import asyncio as aio
+
+    from tensortruth_tpu.core.providers import ChatDelta
+
+    cancelled = {"seen": False}
+
+    class SlowToolLLM:
+        def complete(self, prompt):
+            return "s"
+
+        def chat_with_tools(self, messages, tools, system=None):
+            return "", [{"name": "slow_tool", "arguments": {}}]
+
+        def stream_chat(self, messages, system=None):
+            yield ChatDelta(text="never reached")
+
+    services = client.server.app["services"]
+    services.rag_service._llm_factory = lambda params: SlowToolLLM()
+
+    from tensortruth_tpu.services.tool_service import ToolSpec
+
+    async def slow_tool():
+        try:
+            await aio.sleep(300)
+        except aio.CancelledError:
+            cancelled["seen"] = True
+            raise
+        return "done"
+
+    services.tool_service.register(
+        ToolSpec("slow_tool", "sleeps forever", {"type": "object", "properties": {}},
+                 slow_tool)
+    )
+
+    # orchestrator needs a tool-capable model (same setup as
+    # test_ws_orchestrator_path)
+    from tensortruth_tpu.core.providers import ProviderRegistry
+
+    services.config.providers[0].default_capabilities = ["tools"]
+    services.config.providers[0].models = [{"name": "fake-model"}]
+    ProviderRegistry.reset_instance()
+
+    r = await client.post("/api/sessions", json={
+        "params": {"orchestrator_enabled": True, "model": "fake-model"}})
+    sid = (await r.json())["id"]
+    ws = await client.ws_connect(f"/ws/chat/{sid}")
+    await ws.send_json({"message": "use the slow tool"})
+    # wait until the slow tool is actually dispatched, then stop
+    for _ in range(40):
+        msg = await ws.receive_json(timeout=60)
+        if msg["type"] == "tool_phase" and "slow_tool" in (msg.get("tools") or []):
+            break
+    await aio.sleep(0.3)  # let the gather reach the tool await
+    await ws.send_json({"type": "stop"})
+    while True:
+        msg = await ws.receive_json(timeout=60)
+        if msg["type"] == "done":
+            assert msg.get("cancelled") is True
+            break
+        assert msg["type"] != "error" or "busy" in msg.get("error", ""), msg
+    await aio.sleep(0.2)
+    assert cancelled["seen"], "orchestrator tool await was not cancelled"
+    await ws.close()
