@@ -145,7 +145,11 @@ class MultiIndexEngine:
         from tensortruth_tpu.parallel.mesh import SHARD_AXIS
 
         n_shards = self.mesh.shape[SHARD_AXIS] if self.mesh is not None else 1
-        if self._n_actual >= self.ivf_threshold * n_shards:
+        # int8 halves bytes/chunk, so the flat full-recall scan holds to 2×
+        # the row count before the beyond-HBM IVF tier kicks in (measured:
+        # 10M int8 rows fit one v5e chip at 22.8 ms/batch, BASELINE.md).
+        dtype_factor = 2 if self.corpus_dtype == "int8" else 1
+        if self._n_actual >= self.ivf_threshold * n_shards * dtype_factor:
             from tensortruth_tpu.ops.ivf import build_ivf, shard_ivf
 
             ivf = build_ivf(

@@ -294,3 +294,22 @@ def test_cache_key_includes_query_text_only_when_given(engine):
     assert [n.node_id for n in r1] == [n.node_id for n in r2]
     engine.clear_cache()
     assert engine.retrieve(q, query_text="the query")  # recompute ok
+
+
+def test_int8_doubles_ivf_threshold(tiny_tokenizer, sample_text):
+    """int8 halves bytes/chunk, so the flat tier holds to 2x the rows
+    before IVF (measured: 10M int8 rows on one chip, BASELINE.md)."""
+    idx = _index(tiny_tokenizer, sample_text, "docA", "mod_a")
+    n = idx.n_alive
+    # threshold such that bf16 tips into IVF but int8 stays flat
+    bf = MultiIndexEngine(
+        {"mod_a": idx}, similarity_top_k=5, use_fused=False,
+        ivf_threshold=n, ivf_clusters=4, ivf_nprobe=4,
+    )
+    assert bf._ivf is not None  # bf16: at threshold → IVF
+    q8 = MultiIndexEngine(
+        {"mod_a": idx}, similarity_top_k=5, use_fused=True,
+        corpus_dtype="int8", ivf_threshold=n, ivf_clusters=4, ivf_nprobe=4,
+    )
+    assert q8._ivf is None  # int8: threshold doubled → flat quantized scan
+    assert q8._stacked_scales is not None
