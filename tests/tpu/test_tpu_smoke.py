@@ -73,6 +73,35 @@ def test_ivf_probe_kernel_on_device(tpu):
     assert (rows[:, 0] == np.arange(8)).mean() >= 0.9
 
 
+def test_fused_topk_int8_dynamic_valid_on_device(tpu):
+    """int8 quantized kernel WITH a traced n_valid (the mesh-shard path,
+    r3): Mosaic-compiled on hardware, must match exact over the valid
+    prefix."""
+    import jax.numpy as jnp
+
+    from tensortruth_tpu.ops.topk import exact_topk, fused_topk_int8, quantize_corpus
+
+    rng = np.random.default_rng(1)
+    n, n_valid, d, k = 50_000, 37_123, 256, 10
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    emb_q, scales = quantize_corpus(emb)
+    q = emb[:8]
+
+    fv, fi = fused_topk_int8(
+        jnp.asarray(q, jnp.bfloat16), jnp.asarray(emb_q), jnp.asarray(scales),
+        k, n_valid=jnp.int32(n_valid),
+    )
+    ev, ei = exact_topk(
+        jnp.asarray(q, jnp.bfloat16), jnp.asarray(emb[:n_valid], jnp.bfloat16), k
+    )
+    fi, ei = np.asarray(fi), np.asarray(ei)
+    assert fi.max() < n_valid  # masked tail never leaks
+    overlap = np.mean([len(set(fi[i]) & set(ei[i])) / k for i in range(8)])
+    assert overlap >= 0.9  # int8 + bucketed accumulator tolerance
+    assert (fi[:, 0] == np.arange(8)).all()
+
+
 if __name__ == "__main__":
     import os
     import sys
@@ -87,6 +116,7 @@ if __name__ == "__main__":
         test_fused_topk_on_device,
         test_blocked_attention_on_device,
         test_ivf_probe_kernel_on_device,
+        test_fused_topk_int8_dynamic_valid_on_device,
     ):
         fn(jax)
         print(f"{fn.__name__}: OK", flush=True)
