@@ -361,3 +361,12 @@ def test_round3c_chat_controls_wired():
     assert '{type: "stop"}' in stop_src
     assert "connectWS()" in stop_src
     assert "text/markdown" in SPA
+
+
+def test_image_attach_ui_wired():
+    """Vision UI: attach button, base64 pipeline into the WS payload,
+    persisted-image rendering in history."""
+    for feature in ['id="attach-btn"', 'id="image-input"', 'id="attach-row"',
+                    "readAsDataURL", "payload.images = pendingImages",
+                    "/images/${imgId}"]:
+        assert feature in SPA, f"missing: {feature}"
