@@ -1235,3 +1235,48 @@ async def test_ws_stop_cancels_orchestrator_loop(client):
     await aio.sleep(0.2)
     assert cancelled["seen"], "orchestrator tool await was not cancelled"
     await ws.close()
+
+
+async def test_use_reranker_false_serves_dense_order(client):
+    """params.use_reranker=False: the engine loads without a reranker and
+    retrieval serves dense-similarity order (reference use_reranker param)."""
+    from tensortruth_tpu.core.providers import ChatDelta
+
+    class FakeLLM:
+        def complete(self, prompt):
+            return "s"
+
+        def stream_chat(self, messages, system=None):
+            yield ChatDelta(text="ok")
+
+    services = client.server.app["services"]
+    services.rag_service._llm_factory = lambda params: FakeLLM()
+
+    r = await client.post("/api/sessions", json={})
+    sid = (await r.json())["id"]
+    r = await client.post(
+        f"/api/sessions/{sid}/documents",
+        json={"filename": "d.md", "text": "dense order check " * 150},
+    )
+    assert (await r.json())["status"] == "success"
+    r = await client.patch(f"/api/sessions/{sid}",
+                           json={"params": {"use_reranker": False}})
+    assert r.status == 200
+
+    ws = await client.ws_connect(f"/ws/chat/{sid}")
+    await ws.send_json({"message": "what about dense order?"})
+    sources = None
+    while True:
+        msg = await ws.receive_json(timeout=120)
+        if msg["type"] == "sources":
+            sources = msg["sources"]
+        if msg["type"] in ("done", "error"):
+            assert msg["type"] == "done", msg
+            break
+    await ws.close()
+    assert sources
+    engine = services.rag_service.engine
+    assert engine is not None and engine.reranker is None
+    # dense cosine scores, descending
+    scores = [s["score"] for s in sources if s.get("score") is not None]
+    assert scores == sorted(scores, reverse=True)
