@@ -1280,3 +1280,32 @@ async def test_use_reranker_false_serves_dense_order(client):
     # dense cosine scores, descending
     scores = [s["score"] for s in sources if s.get("score") is not None]
     assert scores == sorted(scores, reverse=True)
+
+
+async def test_file_url_info_probe(client):
+    """URL pre-ingestion probe: handler suggestion per domain, 422 without
+    a url (reference documents.py:402)."""
+    r = await client.get("/api/file-url-info")
+    assert r.status == 422
+    r = await client.get("/api/file-url-info",
+                         params={"url": "https://arxiv.org/abs/1706.03762"})
+    assert r.status == 200
+    body = await r.json()
+    assert "Arxiv" in (body.get("handler") or "")
+    r = await client.get("/api/file-url-info",
+                         params={"url": "https://example.com/page"})
+    body = await r.json()
+    assert r.status == 200  # generic URLs are still ingestable
+
+
+async def test_per_session_stats(client):
+    r = await client.post("/api/sessions", json={})
+    sid = (await r.json())["id"]
+    await client.post(f"/api/sessions/{sid}/messages",
+                      json={"role": "user", "content": "hello"})
+    r = await client.get(f"/api/sessions/{sid}/stats")
+    assert r.status == 200
+    body = await r.json()
+    assert body["history_messages"] == 1
+    assert body["history_chars"] == len("hello")
+    assert "compiled_history_messages" in body and "context_length" in body
