@@ -370,3 +370,17 @@ def test_image_attach_ui_wired():
                     "readAsDataURL", "payload.images = pendingImages",
                     "/images/${imgId}"]:
         assert feature in SPA, f"missing: {feature}"
+
+
+def test_config_forms_panel_wired():
+    """Structured config editing: scalar fields render per section, and every
+    edit writes through to the raw JSON textarea that Save PATCHes — one save
+    path, so forms and advanced JSON cannot diverge."""
+    for feature in ['id="config-forms"', "renderConfigForms(", "setConfigPath(",
+                    'type = "checkbox"', "Raw JSON (advanced"]:
+        assert feature in SPA, f"missing: {feature}"
+    fn = SPA.split("function setConfigPath")[1][:900]
+    assert '$("config-json").value = JSON.stringify(cfg' in fn
+    # loader renders forms from the fetched config
+    loader = SPA.split("async function loadConfigPanel")[1][:300]
+    assert "renderConfigForms(cfg)" in loader
