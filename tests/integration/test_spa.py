@@ -384,3 +384,28 @@ def test_config_forms_panel_wired():
     # loader renders forms from the fetched config
     loader = SPA.split("async function loadConfigPanel")[1][:300]
     assert "renderConfigForms(cfg)" in loader
+
+
+def test_command_autocomplete_wired():
+    """Slash-command autocomplete (reference CommandAutocomplete.tsx):
+    menu element, /api/commands catalog fetch, keyboard navigation, and
+    Enter-accepts-before-submit ordering inside the keydown handler."""
+    for feature in ['id="cmd-menu"', "commandCatalog", 'api("/commands")',
+                    "acceptCmd(", '"ArrowDown"', '"ArrowUp"', '"Tab"']:
+        assert feature in SPA, f"missing: {feature}"
+    kd = SPA.split('$("input").addEventListener("keydown"')[1]
+    kd = kd[:kd.index("});") + 3]
+    # menu navigation must be handled before the plain Enter-submit branch
+    assert kd.index('"ArrowDown"') < kd.index("requestSubmit")
+    # extension reload invalidates the cached catalog
+    rl = SPA.split('$("extensions-reload").onclick')[1][:300]
+    assert "cmdList = null" in rl
+
+
+def test_theme_toggle_wired():
+    """Light/dark theme (reference ThemeToggle.tsx): CSS override block,
+    header button, localStorage persistence applied on load."""
+    for feature in ["body.light {", 'id="theme-btn"', "applyTheme(",
+                    'localStorage.setItem("tt-theme"',
+                    'localStorage.getItem("tt-theme")']:
+        assert feature in SPA, f"missing: {feature}"
