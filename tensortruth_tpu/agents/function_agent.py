@@ -70,7 +70,13 @@ class FunctionAgent(Agent):
             for t in tools.values()
         ]
         messages: list[dict] = list(context.get("history", []))
-        messages.append({"role": "user", "content": task})
+        user_msg: dict = {"role": "user", "content": task}
+        # Attached images ride the task's user turn — both provider
+        # chat_with_tools paths consume the `images` key (Ollama verbatim,
+        # OpenAI-compat via _openai_multimodal).
+        if context.get("images"):
+            user_msg["images"] = list(context["images"])
+        messages.append(user_msg)
 
         final_text = ""
         for iteration in range(self.max_iterations):

@@ -193,6 +193,25 @@ class OllamaLLM(BaseLLM):
         return msg.get("content", ""), calls
 
 
+#: base64 prefixes of the magic bytes for the image formats browsers emit;
+#: clients send raw base64 with the data: prefix stripped, so the mime must
+#: be recovered from the payload itself — a wrong one (e.g. jpeg for a PNG)
+#: is rejected by strict OpenAI-compatible servers.
+_B64_MAGIC_MIME = (
+    ("/9j/", "image/jpeg"),
+    ("iVBORw", "image/png"),
+    ("R0lGOD", "image/gif"),
+    ("UklGR", "image/webp"),
+)
+
+
+def _sniff_image_mime(b64: str) -> str:
+    for prefix, mime in _B64_MAGIC_MIME:
+        if b64.startswith(prefix):
+            return mime
+    return "image/jpeg"
+
+
 def _openai_multimodal(messages: list[dict]) -> list[dict]:
     """Expand ``images`` keys into OpenAI content-part format: a message
     {"content": c, "images": [b64...]} becomes content parts
@@ -206,7 +225,8 @@ def _openai_multimodal(messages: list[dict]) -> list[dict]:
             continue
         parts = [{"type": "text", "text": m.get("content", "")}]
         for b64 in m["images"]:
-            url = b64 if b64.startswith("data:") else f"data:image/jpeg;base64,{b64}"
+            url = (b64 if b64.startswith("data:")
+                   else f"data:{_sniff_image_mime(b64)};base64,{b64}")
             parts.append({"type": "image_url", "image_url": {"url": url}})
         out.append({"role": m.get("role", "user"), "content": parts})
     return out

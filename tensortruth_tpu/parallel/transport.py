@@ -229,20 +229,42 @@ def spawn_slice_worker(
         env=env,
         text=True,
     )
+    # A blocking readline() would ignore the deadline when the worker hangs
+    # without producing output (e.g. stuck backend init) — read from a
+    # daemon thread so the timeout is enforced no matter what the child does.
+    import queue as queue_mod
+    import threading
+
+    lines: queue_mod.Queue = queue_mod.Queue()
+
+    def _reader():
+        for line in proc.stdout:
+            lines.put(line)
+        lines.put(None)  # EOF
+
+    threading.Thread(target=_reader, daemon=True).start()
     deadline = time.monotonic() + startup_timeout
     bound = None
-    while time.monotonic() < deadline:
-        line = proc.stdout.readline()
-        if not line:
+    while bound is None:
+        remaining = deadline - time.monotonic()
+        if remaining <= 0:
+            break
+        try:
+            line = lines.get(timeout=min(0.25, remaining))
+        except queue_mod.Empty:
             if proc.poll() is not None:
                 raise RuntimeError(
                     f"slice worker died on startup (rc={proc.returncode})"
                 )
-            time.sleep(0.05)
             continue
+        if line is None:  # stdout closed
+            if proc.poll() is not None:
+                raise RuntimeError(
+                    f"slice worker died on startup (rc={proc.returncode})"
+                )
+            break
         if line.startswith("PORT "):
             bound = int(line.split()[1])
-            break
     if bound is None:
         proc.kill()
         raise TimeoutError("slice worker did not report its port in time")

@@ -91,6 +91,64 @@ def _pump_query(rag, prompt, params, messages, engine=None, images=None,
             return events, stop.value
 
 
+async def _stream_with_receive(ws, work_task):
+    """The listen-while-streaming obligation, shared by the orchestrator and
+    direct paths: await ``work_task`` while still reading the socket so a
+    {"type": "stop"} frame or a peer drop is seen mid-stream (reference
+    chat.py:849-994 has the same contract).
+
+    Returns ``(outcome, result, raced)``:
+
+    * outcome ``"done"`` — work finished; ``result`` is its value, ``raced``
+      is a TEXT frame that raced the completion (caller must process it as
+      the next inbound message) or None;
+    * outcome ``"stopped"`` — client sent a stop frame;
+    * outcome ``"client_gone"`` — socket closed/errored (possibly racing a
+      completed work task — either way nothing more can be sent).
+
+    The work task is NOT cancelled here: teardown differs per caller
+    (thread-pump flag vs task cancel). CancelledError (aiohttp tearing the
+    handler down on transport drop) propagates for the caller's teardown.
+    Any other non-TEXT-stop frame gets the busy-error reply and streaming
+    continues."""
+    recv_task = asyncio.ensure_future(ws.receive())
+    try:
+        while True:
+            done_set, _ = await asyncio.wait(
+                {work_task, recv_task}, return_when=asyncio.FIRST_COMPLETED
+            )
+            if work_task in done_set:
+                result = work_task.result()
+                if recv_task.done():
+                    raced = recv_task.result()
+                    if raced.type != WSMsgType.TEXT:
+                        return "client_gone", None, None
+                    return "done", result, raced
+                recv_task.cancel()
+                try:
+                    await recv_task
+                except asyncio.CancelledError:
+                    pass
+                return "done", result, None
+            inbound = recv_task.result()
+            if inbound.type != WSMsgType.TEXT:
+                return "client_gone", None, None
+            try:
+                req = json.loads(inbound.data)
+            except json.JSONDecodeError:
+                req = {}
+            if req.get("type") == "stop":
+                return "stopped", None, None
+            await ws.send_json(
+                {"type": "error",
+                 "error": "busy streaming — send {\"type\": \"stop\"} first"}
+            )
+            recv_task = asyncio.ensure_future(ws.receive())
+    except (ConnectionResetError, RuntimeError) as e:
+        logger.debug("ws stream peer lost: %r", e)
+        return "client_gone", None, None
+
+
 async def rest_chat(request: web.Request):
     """Non-streaming REST chat (reference chat.py:540-593)."""
     services = request.app["services"]
@@ -101,6 +159,19 @@ async def rest_chat(request: web.Request):
     body = await request.json()
     prompt = body.get("message", "")
     images = body.get("images") or None
+    # Persist attachments like the WS path does — without the stored ids a
+    # session reload shows a user turn with no images even though the model
+    # answered about them.
+    image_ids: list[str] = []
+    if images:
+        from tensortruth_tpu.services.image_service import ImageService
+
+        img_svc = ImageService()
+        for b64 in images:
+            try:
+                image_ids.append(img_svc.save_base64(session_id, b64))
+            except Exception as e:
+                logger.warning("image save failed: %s", e)
     ctx = _chat_context(services, session)
     engine = await _ensure_engine(services, ctx)
     messages = session.get("messages", [])
@@ -109,7 +180,10 @@ async def rest_chat(request: web.Request):
         None, _pump_query, services.rag_service, prompt, ctx["params"],
         messages, engine, images, ctx["system_prompt"] or None,
     )
-    services.session_service.add_message(session_id, "user", prompt)
+    services.session_service.add_message(
+        session_id, "user", prompt,
+        **({"images": image_ids} if image_ids else {}),
+    )
     services.session_service.add_message(
         session_id,
         "assistant",
@@ -230,56 +304,25 @@ async def ws_chat(request: web.Request):
         if _orchestrator_enabled(services, ctx["params"]):
             orch_task = asyncio.ensure_future(_run_orchestrator(
                 services, ws, session_id, session, prompt, ctx, messages,
-                engine=engine,
+                engine=engine, images=data.get("images") or None,
             ))
-            recv_task = asyncio.ensure_future(ws.receive())
-            ok, stopped, client_gone = False, False, False
-            while True:
-                done_set, _ = await asyncio.wait(
-                    {orch_task, recv_task}, return_when=asyncio.FIRST_COMPLETED
-                )
-                if orch_task in done_set:
-                    ok = orch_task.result()
-                    break
-                inbound = recv_task.result()
-                if inbound.type == WSMsgType.TEXT:
-                    try:
-                        req = json.loads(inbound.data)
-                    except json.JSONDecodeError:
-                        req = {}
-                    if req.get("type") == "stop":
-                        stopped = True
-                        break
-                    await ws.send_json(
-                        {"type": "error",
-                         "error": "busy streaming — send {\"type\": \"stop\"} first"}
-                    )
-                    recv_task = asyncio.ensure_future(ws.receive())
-                else:
-                    client_gone = True
-                    break
-            if stopped or client_gone:
+            try:
+                outcome, ok, raced = await _stream_with_receive(ws, orch_task)
+            except asyncio.CancelledError:
+                orch_task.cancel()  # don't leave the agent loop running
+                raise
+            if outcome != "done":
                 orch_task.cancel()
                 try:
                     await orch_task
                 except (asyncio.CancelledError, ConnectionResetError, RuntimeError):
                     pass
-                if client_gone:
+                if outcome == "client_gone":
                     return ws
                 await ws.send_json({"type": "done", "content": "", "cancelled": True})
                 continue
-            if recv_task.done():
-                raced = recv_task.result()
-                if raced.type == WSMsgType.TEXT:
-                    pending_msg = raced
-                else:
-                    return ws
-            else:
-                recv_task.cancel()
-                try:
-                    await recv_task
-                except asyncio.CancelledError:
-                    pass
+            if raced is not None:
+                pending_msg = raced
             if ok:
                 continue
 
@@ -331,60 +374,21 @@ async def ws_chat(request: web.Request):
                 if item.text:
                     await ws.send_json({"type": "token", "content": item.text})
 
-        # Stream AND read concurrently: without the read, a client close
-        # frame (Stop button / dropped peer) sits unread while the server
-        # keeps generating — the reference's FastAPI handler has the same
-        # listen-while-streaming obligation. A {"type": "stop"} text frame
-        # cancels generation but keeps the socket; close/error cancels and
-        # ends the handler.
+        # Stream AND read concurrently (_stream_with_receive): a close frame
+        # or stop must be seen while the server generates. On cancellation
+        # or peer loss the executor pump is NOT cancelled with the task —
+        # flag it (it closes the generator within one chunk) and join.
         send_task = asyncio.ensure_future(drain_and_send())
-        recv_task = asyncio.ensure_future(ws.receive())
-        response, client_gone, stopped = None, False, False
         try:
-            while True:
-                done_set, _ = await asyncio.wait(
-                    {send_task, recv_task}, return_when=asyncio.FIRST_COMPLETED
-                )
-                logger.debug(
-                    "ws stream wait: send done=%s recv done=%s",
-                    send_task.done(), recv_task.done(),
-                )
-                if send_task in done_set:
-                    response = send_task.result()
-                    break
-                inbound = recv_task.result()
-                if inbound.type == WSMsgType.TEXT:
-                    try:
-                        req = json.loads(inbound.data)
-                    except json.JSONDecodeError:
-                        req = {}
-                    if req.get("type") == "stop":
-                        stopped = True
-                        cancel.set()
-                        break
-                    # any other message mid-stream: reject, keep streaming
-                    await ws.send_json(
-                        {"type": "error",
-                         "error": "busy streaming — send {\"type\": \"stop\"} first"}
-                    )
-                    recv_task = asyncio.ensure_future(ws.receive())
-                else:  # CLOSE/CLOSING/ERROR: peer is gone
-                    client_gone = True
-                    cancel.set()
-                    break
+            outcome, response, raced = await _stream_with_receive(ws, send_task)
         except asyncio.CancelledError:
-            # aiohttp cancels the handler task when the peer's transport
-            # drops — the executor pump is NOT cancelled with it, so flag it
-            # (it closes the generator within one chunk) and let aiohttp
-            # finish tearing the request down.
             logger.debug("ws handler cancelled by transport close")
             cancel.set()
             raise
-        except (ConnectionResetError, RuntimeError) as e:
-            logger.debug("ws stream peer lost: %r", e)
-            client_gone = True
+        stopped = outcome == "stopped"
+        client_gone = outcome == "client_gone"
+        if outcome != "done":
             cancel.set()
-        if cancel.is_set():
             logger.debug("ws stream cancelling: gone=%s stopped=%s", client_gone, stopped)
             send_task.cancel()
             try:
@@ -395,21 +399,10 @@ async def ws_chat(request: web.Request):
         logger.debug("ws stream pump joined (gone=%s stopped=%s)", client_gone, stopped)
         if client_gone:
             return ws
-        if not stopped:
-            if recv_task.done():
-                # a frame raced the stream's completion — process it as the
-                # next inbound message instead of dropping it
-                raced = recv_task.result()
-                if raced.type == WSMsgType.TEXT:
-                    pending_msg = raced
-                else:
-                    return ws
-            else:
-                recv_task.cancel()  # normal completion: stop listening
-                try:
-                    await recv_task
-                except asyncio.CancelledError:
-                    pass
+        if raced is not None:
+            # a frame raced the stream's completion — process it as the
+            # next inbound message instead of dropping it
+            pending_msg = raced
         if stopped:
             await ws.send_json({"type": "done", "content": "", "cancelled": True})
             continue
@@ -454,7 +447,8 @@ def _orchestrator_enabled(services, params: dict) -> bool:
 
 
 async def _run_orchestrator(
-    services, ws, session_id, session, prompt, ctx, messages, engine=None
+    services, ws, session_id, session, prompt, ctx, messages, engine=None,
+    images=None,
 ) -> bool:
     """Returns True when the orchestrator produced an answer; False → direct
     fallback (reference chat.py:839-847)."""
@@ -482,7 +476,7 @@ async def _run_orchestrator(
         async for event in orch.execute(
             prompt, llm, synthesis_llm=synth_llm, extra_tools=service_tools,
             modules=ctx["modules"], params=ctx["params"], engine=engine,
-            project_prompt=ctx["system_prompt"] or None,
+            project_prompt=ctx["system_prompt"] or None, images=images,
             history=[
                 {"role": m["role"], "content": m["content"]}
                 for m in messages

@@ -158,12 +158,22 @@ class QueryBatcher:
                     for req in reqs:
                         if not req.future.done():
                             req.future.set_exception(e)
+                    out = None
+                # Settle the previous two-phase batch after ANY dispatch,
+                # not only a two-phase one: a synchronous (non-callable)
+                # run_batch completes its device work inline, so the pending
+                # batch's compute is long done — without this, sustained
+                # direct traffic (e.g. a rerankerless engine sharing the
+                # batcher) starves the pending callers until a queue gap or
+                # their future timeout.
+                if pending is not None:
+                    self._resolve(pending)
+                    pending = None
+                if out is None:
                     continue
                 if callable(out):
                     # two-phase: this group's device work is dispatched;
-                    # settle the PREVIOUS batch while it computes
-                    if pending is not None:
-                        self._resolve(pending)
+                    # its futures settle once the next dispatch lands
                     pending = (reqs, out)
                     continue
                 try:

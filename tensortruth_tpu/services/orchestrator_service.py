@@ -230,6 +230,7 @@ class OrchestratorService:
         extra_tools: dict | None = None,
         engine=None,
         project_prompt: str | None = None,
+        images: list[str] | None = None,
     ) -> AsyncIterator[dict]:
         """Yields WS events; final 'done' carries the synthesized answer.
 
@@ -277,6 +278,7 @@ class OrchestratorService:
                 "show_reasoning": bool(
                     self.config and self.config.agent.show_orchestrator_reasoning
                 ),
+                "images": images or [],
             },
             max_iterations=params.get("max_iterations", MAX_ITERATIONS),
         )

@@ -24,6 +24,20 @@ logger = logging.getLogger(__name__)
 # -- backend ladder ------------------------------------------------------------
 
 
+def _require_importable(*modules: str, hint: str) -> None:
+    """Raise ImportError only when a module is truly missing — an explicit
+    converter choice must distinguish 'dependency absent' from 'dependency
+    present but the PDF failed to extract', or the operator chases a
+    nonexistent install problem."""
+    import importlib.util
+
+    for mod in modules:
+        if importlib.util.find_spec(mod) is None:
+            raise ImportError(
+                f"explicit converter dependency {mod!r} is not importable ({hint})"
+            )
+
+
 def _extract_with_pymupdf(data: bytes) -> list[str] | None:
     """None on ANY failure (not just missing pymupdf): pymupdf is stricter
     than the pure-python fallback, and a malformed/encrypted PDF it rejects
@@ -273,16 +287,20 @@ def extract_pdf_pages(data: bytes, converter: str = "auto") -> list[str]:
     if converter == "pymupdf4llm":
         pages = _extract_with_pymupdf4llm(data)
         if pages is None:
-            raise ImportError(
-                "converter 'pymupdf4llm' requested but pymupdf4llm/pymupdf "
-                "are not importable (pip install pymupdf4llm)"
+            _require_importable("pymupdf4llm", "pymupdf",
+                                hint="pip install pymupdf4llm")
+            raise ValueError(
+                "converter 'pymupdf4llm' is installed but failed to extract "
+                "this PDF (corrupt or encrypted input?)"
             )
         return pages
     if converter == "pymupdf":
         pages = _extract_with_pymupdf(data)
         if pages is None:
-            raise ImportError(
-                "converter 'pymupdf' requested but pymupdf is not importable"
+            _require_importable("pymupdf", hint="pip install pymupdf")
+            raise ValueError(
+                "converter 'pymupdf' is installed but failed to extract "
+                "this PDF (corrupt or encrypted input?)"
             )
         return pages
     # auto: best per-page converter available, degrading silently

@@ -281,3 +281,43 @@ def test_two_phase_drains_pending_on_stop():
     r1, r2 = f1.result(10), f2.result(10)
     assert (r1, r2) == ("one", "two")
     b.stop()
+
+
+def test_two_phase_pending_not_starved_by_direct_batches():
+    """A two-phase batch's finisher must settle after ANY later dispatch —
+    sustained direct (non-callable) traffic from a second engine (e.g.
+    rerankerless, returning plain lists) previously kept the queue busy and
+    deferred the two-phase callers until a gap or their future timeout."""
+    import threading
+
+    KEY_TWO_PHASE, KEY_DIRECT = object(), object()
+    resolved = threading.Event()
+
+    def run_batch(texts, key):
+        if key is KEY_TWO_PHASE:
+            def finish():
+                resolved.set()
+                return list(texts)
+            return finish
+        return list(texts)  # direct: device work completes inline
+
+    b = QueryBatcher(run_batch, max_batch=1, max_wait_ms=1)
+    f_tp = b.submit("slow", key=KEY_TWO_PHASE)
+    # a steady stream of direct requests keeps the queue non-empty
+    stop_feed = threading.Event()
+
+    def feeder():
+        while not stop_feed.is_set():
+            b.submit("d", key=KEY_DIRECT)
+            time.sleep(0.002)
+
+    t = threading.Thread(target=feeder, daemon=True)
+    t.start()
+    try:
+        # the two-phase future must settle promptly, NOT wait for a gap
+        assert f_tp.result(timeout=2.0) == "slow"
+        assert resolved.is_set()
+    finally:
+        stop_feed.set()
+        t.join(timeout=2)
+        b.stop()
