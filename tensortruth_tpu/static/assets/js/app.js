@@ -1,0 +1,89 @@
+// App bootstrap (reference frontend/src/App.tsx + main.tsx): wire every
+// self-contained view module, apply the persisted theme, register global
+// keybindings, then run the initial data load — and open the startup
+// wizard on a genuinely fresh install.
+
+import {sessionStats} from "./api/sessions.js";
+import {startupStatus} from "./api/startup.js";
+import {systemDevices} from "./api/system.js";
+import {wireComposer} from "./chat/composer.js";
+import {wireParamsDrawer} from "./chat/params.js";
+import {stopStreaming} from "./chat/ws.js";
+import {$, toast} from "./lib/dom.js";
+import {wireConfigPanel} from "./panels/config.js";
+import {wireDocumentsPanel} from "./panels/documents.js";
+import {wireExtensionsPanel} from "./panels/extensions.js";
+import {wireMcpPanel} from "./panels/mcp.js";
+import {wireProjectsPanel} from "./panels/projects.js";
+import {wireProvidersPanel} from "./panels/providers.js";
+import {wireSystemPanel} from "./panels/system.js";
+import {sessionStore} from "./stores/session.js";
+import {showManage, wireManage} from "./views/manage.js";
+import {loadModules, loadProjects, loadSessions, wireSidebar} from "./views/sidebar.js";
+import {wireWizard, wizardShow} from "./wizard/wizard.js";
+
+// Light/dark theme toggle (reference frontend ThemeToggle.tsx), persisted.
+function applyTheme(t) {
+  document.body.classList.toggle("light", t === "light");
+  try { localStorage.setItem("tt-theme", t); } catch (e) {}
+}
+
+function wireChrome() {
+  $("theme-btn").onclick = () =>
+    applyTheme(document.body.classList.contains("light") ? "dark" : "light");
+  try { applyTheme(localStorage.getItem("tt-theme") || "dark"); } catch (e) {}
+
+  $("stop-btn").onclick = () => stopStreaming();
+
+  $("status-bar").onclick = async () => {
+    try {
+      const stats = await sessionStats();
+      toast(`${stats.total_sessions ?? "?"} sessions · ` +
+            `${stats.total_messages ?? "?"} messages`);
+    } catch (e) { toast(String(e), true); }
+  };
+
+  document.addEventListener("keydown", ev => {
+    if ((ev.ctrlKey || ev.metaKey) && ev.key === "k") {
+      ev.preventDefault();
+      $("session-filter").focus();
+    } else if (ev.key === "Escape") {
+      if ($("params-drawer").style.display === "block")
+        $("params-drawer").style.display = "none";
+      else if ($("manage").style.display === "flex") showManage(false);
+    }
+  });
+}
+
+async function init() {
+  let status = null;
+  try {
+    const [st, devices] = await Promise.all([startupStatus(), systemDevices()]);
+    status = st;
+    $("status-bar").textContent =
+      `${devices.backend} · ${st.index_count} indexes · ` +
+      `${st.modules_configured.length} modules`;
+  } catch (e) { $("status-bar").textContent = "API unreachable"; }
+  await Promise.all([loadSessions(), loadModules(), loadProjects()]);
+  // first run (no indexes, no sessions, wizard never completed) → wizard
+  const fresh = status && !status.indexes_present &&
+    !sessionStore.get().sessions.length && !localStorage.getItem("tt_wizard_done");
+  if (fresh) { wizardShow(true); return; }
+  const existing = document.querySelector(".session");
+  if (existing) existing.click(); else $("new-session").click();
+}
+
+wireSidebar();
+wireManage();
+wireComposer();
+wireParamsDrawer();
+wireWizard();
+wireChrome();
+wireProvidersPanel();
+wireDocumentsPanel();
+wireProjectsPanel();
+wireConfigPanel();
+wireSystemPanel();
+wireExtensionsPanel();
+wireMcpPanel();
+init();

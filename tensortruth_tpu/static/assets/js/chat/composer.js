@@ -1,0 +1,112 @@
+// Chat composer: message submit, image attachments for vision models,
+// slash-command autocomplete (reference frontend CommandAutocomplete.tsx
+// + ChatInput.tsx). Pending base64 images ride the WS message exactly like
+// the reference's multimodal chat request (rag_service.py:431-443).
+
+import {listCommands} from "../api/tools.js";
+import {$, el} from "../lib/dom.js";
+import {currentSessionId} from "../stores/session.js";
+import {sendUserMessage} from "./send.js";
+
+let pendingImages = [];
+
+function renderAttachRow() {
+  const row = $("attach-row");
+  row.style.display = pendingImages.length ? "block" : "none";
+  row.textContent = pendingImages.length
+    ? `🖼 ${pendingImages.length} image(s) attached — sent with the next message (click to clear)`
+    : "";
+}
+
+// Slash-command autocomplete: typing "/" with no space yet filters
+// /api/commands by prefix; ArrowUp/Down navigate, Tab/Enter accept,
+// Escape dismisses. Enter submits normally when the menu is closed.
+let cmdList = null, cmdSel = 0, cmdShown = [];
+
+export function invalidateCommandCatalog() { cmdList = null; }
+
+async function commandCatalog() {
+  if (cmdList === null) {
+    try { cmdList = (await listCommands()).commands || []; }
+    catch (e) { cmdList = []; }
+  }
+  return cmdList;
+}
+
+function hideCmdMenu() { $("cmd-menu").style.display = "none"; cmdShown = []; }
+
+function acceptCmd(i) {
+  const c = cmdShown[i];
+  if (!c) return;
+  $("input").value = "/" + c.name + " ";
+  hideCmdMenu();
+  $("input").focus();
+}
+
+function renderCmdMenu() {
+  const m = $("cmd-menu"); m.innerHTML = "";
+  cmdShown.forEach((c, i) => {
+    const row = el("div", "cmd-item" + (i === cmdSel ? " sel" : ""), "");
+    row.appendChild(el("span", "cname", "/" + c.name +
+      (c.aliases && c.aliases.length ? " (" + c.aliases.map(a => "/" + a).join(", ") + ")" : "")));
+    row.appendChild(el("span", "cdesc", c.description || ""));
+    row.onmousedown = ev => { ev.preventDefault(); acceptCmd(i); };
+    m.appendChild(row);
+  });
+  m.style.display = cmdShown.length ? "block" : "none";
+}
+
+async function updateCmdMenu() {
+  const v = $("input").value;
+  if (!v.startsWith("/") || v.includes(" ") || v.includes("\n")) { hideCmdMenu(); return; }
+  const prefix = v.slice(1).toLowerCase();
+  const all = await commandCatalog();
+  cmdShown = all.filter(c =>
+    c.name.toLowerCase().startsWith(prefix) ||
+    (c.aliases || []).some(a => a.toLowerCase().startsWith(prefix)));
+  cmdSel = Math.min(cmdSel, Math.max(0, cmdShown.length - 1));
+  renderCmdMenu();
+}
+
+export function wireComposer() {
+  $("attach-row").onclick = () => { pendingImages = []; renderAttachRow(); };
+  $("attach-btn").onclick = () => $("image-input").click();
+  $("image-input").onchange = ev => {
+    const file = ev.target.files[0];
+    ev.target.value = "";
+    if (!file) return;
+    const reader = new FileReader();
+    reader.onload = () => {
+      pendingImages.push(String(reader.result).split(",", 2)[1]);  // strip data: prefix
+      renderAttachRow();
+    };
+    reader.readAsDataURL(file);
+  };
+
+  $("composer").onsubmit = ev => {
+    ev.preventDefault();
+    const text = $("input").value.trim();
+    // The Enter key bypasses the hidden send button, so sendUserMessage
+    // guards mid-stream submits: the server would reject with a busy error
+    // that corrupts the live stream display, and the typed message would be
+    // dropped.
+    if (!currentSessionId()) return;
+    if (!sendUserMessage(text, pendingImages)) return;
+    pendingImages = [];
+    renderAttachRow();
+    $("input").value = "";
+  };
+
+  $("input").addEventListener("input", updateCmdMenu);
+  $("input").addEventListener("blur", () => setTimeout(hideCmdMenu, 150));
+  $("input").addEventListener("keydown", ev => {
+    const open = cmdShown.length && $("cmd-menu").style.display !== "none";
+    if (open) {
+      if (ev.key === "ArrowDown") { ev.preventDefault(); cmdSel = (cmdSel + 1) % cmdShown.length; renderCmdMenu(); return; }
+      if (ev.key === "ArrowUp") { ev.preventDefault(); cmdSel = (cmdSel - 1 + cmdShown.length) % cmdShown.length; renderCmdMenu(); return; }
+      if (ev.key === "Tab" || ev.key === "Enter") { ev.preventDefault(); acceptCmd(cmdSel); return; }
+      if (ev.key === "Escape") { ev.preventDefault(); hideCmdMenu(); return; }
+    }
+    if (ev.key === "Enter" && !ev.shiftKey) { ev.preventDefault(); $("composer").requestSubmit(); }
+  });
+}

@@ -1,0 +1,145 @@
+// Message rendering: bubbles, per-message actions, sources, retrieval
+// metrics, tool-step timeline, thinking blocks (reference
+// frontend/src/components/chat/*). Pure render helpers — streaming state
+// lives in stream.js, the socket in ws.js.
+
+import {deleteMessage} from "../api/sessions.js";
+import {$, el, toast} from "../lib/dom.js";
+import {safeUrl} from "../lib/markdown.js";
+import {currentSessionId} from "../stores/session.js";
+import {resendMessage} from "./send.js";
+
+export function copyText(text) {
+  if (navigator.clipboard && navigator.clipboard.writeText)
+    return navigator.clipboard.writeText(text).then(() => toast("copied"));
+  const ta = document.createElement("textarea");
+  ta.value = text;
+  document.body.appendChild(ta);
+  ta.select();
+  document.execCommand("copy");
+  ta.remove();
+  toast("copied");
+}
+
+export function addMessage(role, text, opts) {
+  opts = opts || {};
+  const wrap = el("div", "msg " + role);
+  const roleRow = el("div", "role", role);
+  if (opts.timestamp) {
+    const d = new Date(opts.timestamp);
+    if (!isNaN(d)) roleRow.appendChild(el("span", "ts", d.toLocaleString()));
+  }
+  wrap.appendChild(roleRow);
+  const body = el("div", "body", text || "");
+  wrap.appendChild(body);
+  const actions = el("div", "actions");
+  const copyBtn = el("button", "", "⧉ copy");
+  copyBtn.onclick = () => copyText(body.textContent);
+  actions.appendChild(copyBtn);
+  if (opts.index !== undefined) {
+    const delBtn = el("button", "", "✕ delete");
+    delBtn.onclick = async () => {
+      await deleteMessage(currentSessionId(), opts.index);
+      opts.onDelete && opts.onDelete();
+    };
+    actions.appendChild(delBtn);
+  }
+  if (role === "user") {
+    const reBtn = el("button", "", "↻ resend");
+    reBtn.onclick = () => resendMessage(body.textContent);
+    actions.appendChild(reBtn);
+  }
+  wrap.appendChild(actions);
+  $("messages").appendChild(wrap);
+  $("messages").scrollTop = 1e9;
+  return wrap;
+}
+
+export function renderSources(container, sources) {
+  if (!sources || !sources.length) return;
+  const det = el("details", "sources");
+  det.appendChild(el("summary", "", `${sources.length} sources`));
+  for (const s of sources) {
+    const item = el("div", "source-item");
+    const score = el("span", "score", s.score != null ? s.score.toFixed(2) : "—");
+    item.appendChild(score);
+    item.appendChild(document.createTextNode(
+      (s.title || s.metadata?.filename || s.id || "source") +
+      (s.metadata?.module ? ` · ${s.metadata.module}` : "")));
+    const srcUrl = s.url && safeUrl(s.url);
+    if (srcUrl) {
+      const a = el("a", "", " ↗"); a.href = srcUrl; a.target = "_blank"; item.appendChild(a);
+    }
+    if (s.content) {
+      const preview = el("div", "preview", String(s.content).slice(0, 1500));
+      item.appendChild(preview);
+      item.onclick = ev => {
+        if (ev.target.tagName === "A") return;
+        item.classList.toggle("open");
+      };
+    }
+    det.appendChild(item);
+  }
+  container.appendChild(det);
+}
+
+// Full retrieval-metrics display (retrieval/metrics.py schema ≡ reference
+// services/retrieval_metrics.py): score distribution, diversity, coverage,
+// quality ratios — expandable per message, summary line always visible.
+export function renderMetrics(container, metrics, confidence) {
+  if (!metrics || !metrics.coverage) return;
+  const det = el("details", "metrics");
+  const sd = metrics.score_distribution || {};
+  const dv = metrics.diversity || {};
+  const cv = metrics.coverage || {};
+  const ql = metrics.quality || {};
+  const sum = el("summary", "",
+    `chunks ${cv.total_chunks} · ~${cv.estimated_tokens} tok · best ${(sd.max ?? 0).toFixed?.(2) ?? "—"}`);
+  if (confidence) {
+    const cls = confidence === "normal" ? "normal" : confidence === "low" ? "low" : "none";
+    sum.appendChild(el("span", "conf-badge " + cls, confidence));
+  }
+  det.appendChild(sum);
+  const grid = el("div", "mgrid");
+  const put = (k, v) => {
+    const d = el("div", "", k + " ");
+    const b = el("b", "", v == null ? "—" : String(v));
+    d.appendChild(b);
+    grid.appendChild(d);
+  };
+  const f2 = x => x == null ? null : (+x).toFixed(2);
+  put("score mean", f2(sd.mean)); put("median", f2(sd.median));
+  put("min", f2(sd.min)); put("max", f2(sd.max)); put("std", f2(sd.std));
+  put("unique sources", dv.unique_sources); put("doc types", dv.unique_doc_types);
+  put("entropy", f2(dv.source_entropy));
+  put("chunks", cv.total_chunks); put("chars", cv.total_chars);
+  put("est tokens", cv.estimated_tokens);
+  put("high-score ratio", f2(ql.high_score_ratio));
+  put("low-score ratio", f2(ql.low_score_ratio));
+  det.appendChild(grid);
+  container.appendChild(det);
+}
+
+// Per-message tool-call timeline: accumulated from tool_progress events
+// during streaming (reference MessageToolSteps display).
+export function renderToolSteps(container, steps) {
+  if (!steps || !steps.length) return;
+  const det = el("details", "toolsteps");
+  det.appendChild(el("summary", "", `${steps.length} tool steps`));
+  for (const s of steps) {
+    const d = el("div", "toolstep");
+    d.appendChild(el("span", "tname", s.tool || "tool"));
+    d.appendChild(document.createTextNode(" — " + (s.message || s.phase || "")));
+    det.appendChild(d);
+  }
+  container.appendChild(det);
+}
+
+export function renderThinking(container, text) {
+  if (!text) return null;
+  const det = el("details", "thinking");
+  det.appendChild(el("summary", "", "thinking"));
+  det.appendChild(el("div", "tbody", text));
+  container.appendChild(det);
+  return det;
+}

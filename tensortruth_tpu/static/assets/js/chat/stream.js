@@ -1,0 +1,39 @@
+// Live streaming state for the open WS chat (reference keeps the
+// equivalent inside hooks/useChat.ts). One assistant message streams at a
+// time; handlers in ws.js close over this state, the composer consults
+// isStreaming() to block mid-stream submits.
+
+import {$} from "../lib/dom.js";
+import {addMessage} from "./messages.js";
+
+export const stream = {
+  assistant: null, body: null, thinkingText: "", thinkingBox: null, toolSteps: [],
+};
+
+let streaming = false;
+
+export function isStreaming() { return streaming; }
+
+export function setStreaming(on) {
+  streaming = on;
+  $("stop-btn").style.display = on ? "" : "none";
+  $("send-btn").style.display = on ? "none" : "";
+}
+
+export function ensureAssistant() {
+  if (!stream.assistant) {
+    stream.assistant = addMessage("assistant", "");
+    stream.body = stream.assistant.querySelector(".body");
+    stream.thinkingText = "";
+    stream.thinkingBox = null;
+    stream.toolSteps = [];
+    setStreaming(true);
+  }
+}
+
+export function resetStream() {
+  stream.assistant = stream.body = stream.thinkingBox = null;
+  stream.thinkingText = "";
+  stream.toolSteps = [];
+  setStreaming(false);
+}

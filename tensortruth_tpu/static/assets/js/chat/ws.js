@@ -1,0 +1,126 @@
+// WS chat protocol (reference hooks/useWebSocket.ts + useChat.ts).
+// One handler per server message type (server/routes/chat.py + orchestrator
+// emit: token, thinking, status, tool_phase, tool_progress, sources, done,
+// error, title, confirmation_request). Handlers close over the live
+// streaming state held in stream.js.
+
+import {approveConfirmation, rejectConfirmation} from "../api/confirmations.js";
+import {$, el, toast} from "../lib/dom.js";
+import {renderMarkdown} from "../lib/markdown.js";
+import {currentSessionId} from "../stores/session.js";
+import {loadSessions} from "../views/sidebar.js";
+import {renderMetrics, renderSources, renderToolSteps} from "./messages.js";
+import {ensureAssistant, resetStream, stream} from "./stream.js";
+
+let ws = null;
+
+export function getWS() { return ws; }
+
+const WS_HANDLERS = {
+  status(msg) { $("statusline").textContent = (msg.status || "") + "…"; },
+  tool_phase(msg) {
+    $("statusline").textContent = "tools: " + (msg.tools || []).join(", ");
+  },
+  tool_progress(msg) {
+    $("statusline").textContent = msg.message || msg.tool || "";
+    ensureAssistant();
+    stream.toolSteps.push({tool: msg.tool, message: msg.message, phase: msg.phase});
+  },
+  thinking(msg) {
+    ensureAssistant();
+    if (!stream.thinkingBox) {
+      const det = el("details", "thinking");
+      det.appendChild(el("summary", "", "thinking"));
+      det.appendChild(el("div", "tbody", ""));
+      det.open = true;
+      stream.assistant.insertBefore(det, stream.body);
+      stream.thinkingBox = det;
+    }
+    stream.thinkingText += msg.content;
+    stream.thinkingBox.querySelector(".tbody").textContent = stream.thinkingText;
+  },
+  token(msg) {
+    ensureAssistant();
+    stream.body.textContent += msg.content;
+    $("messages").scrollTop = 1e9;
+  },
+  sources(msg) {
+    ensureAssistant();
+    renderSources(stream.assistant, msg.sources);
+  },
+  done(msg) {
+    ensureAssistant();
+    $("statusline").textContent = "";
+    stream.body.style.whiteSpace = "normal";
+    stream.body.innerHTML = renderMarkdown(msg.content || stream.body.textContent);
+    if (stream.thinkingBox) stream.thinkingBox.open = false;
+    renderToolSteps(stream.assistant, stream.toolSteps);
+    renderMetrics(stream.assistant, msg.metrics, msg.confidence);
+    resetStream();
+  },
+  error(msg) {
+    ensureAssistant();
+    $("statusline").textContent = "";
+    stream.body.textContent += "⚠ " + msg.error;
+    toast(msg.error, true);
+    resetStream();
+  },
+  title() { loadSessions(); },
+  confirmation_request(msg) {
+    // Inline approval card (reference ToolConfirmation UI): approve/reject
+    // posts to the confirmation routes; the orchestrator blocks meanwhile.
+    const card = el("div", "confirm-card");
+    card.appendChild(el("div", "q",
+      `⚠ ${msg.tool || "A tool"} requests confirmation: ${msg.message || msg.description || ""}`));
+    const yes = el("button", "hbtn", "Approve");
+    const no = el("button", "hbtn", "Reject");
+    no.style.marginLeft = "8px";
+    yes.onclick = async () => {
+      await approveConfirmation(msg.confirmation_id);
+      card.remove();
+    };
+    no.onclick = async () => {
+      await rejectConfirmation(msg.confirmation_id);
+      card.remove();
+    };
+    card.appendChild(yes); card.appendChild(no);
+    $("messages").appendChild(card);
+    $("messages").scrollTop = 1e9;
+  },
+};
+
+export function connectWS() {
+  const proto = location.protocol === "https:" ? "wss" : "ws";
+  ws = new WebSocket(`${proto}://${location.host}/ws/chat/${currentSessionId()}`);
+  resetStream();
+  ws.onmessage = ev => {
+    const msg = JSON.parse(ev.data);
+    (WS_HANDLERS[msg.type] || (() => {}))(msg);
+  };
+  ws.onclose = () => {
+    // auto-reconnect for the still-open session (heartbeat drops, restarts)
+    if (currentSessionId()) setTimeout(() => {
+      if (ws && ws.readyState === 3 && currentSessionId()) connectWS();
+    }, 2000);
+  };
+}
+
+export function closeWS() {
+  if (ws) { ws.onclose = null; ws.close(); ws = null; }
+}
+
+// Stop streaming: a protocol-level {"type":"stop"} keeps the socket alive
+// (the server cancels its generator and answers with a cancelled done);
+// fall back to close+reconnect if the socket is wedged. Richer than the
+// reference's cancelStreaming (hooks/useWebSocket.ts:272), which only
+// closes the socket.
+export function stopStreaming() {
+  $("statusline").textContent = "stopping…";
+  if (ws && ws.readyState === 1) {
+    ws.send(JSON.stringify({type: "stop"}));
+  } else {
+    closeWS();
+    resetStream();
+    if (currentSessionId()) connectWS();
+  }
+}

@@ -1,10 +1,14 @@
-"""Bundled SPA consistency: the single-file UI has no build step or JS test
-runner in this environment, so these tests statically verify the contracts
-that would break the page at runtime — every element id the script wires
-must exist in the markup, every REST path it calls must resolve to a
-registered route, and the page must ship all management panels
-(reference frontend/src feature areas: providers, documents, modules,
-config, system, extensions, MCP, startup)."""
+"""Bundled SPA consistency: the UI is a no-build ES-module app (markup
+shell `index.html` + `assets/js/**` modules + `assets/css/app.css`,
+mirroring the reference frontend's architecture: typed API clients per
+route group, stores, chat components, panels, wizard — reference
+frontend/src/{api,hooks,stores,components}). There is no JS engine or
+browser in this environment, so these tests statically verify the
+contracts that would break the page at runtime: every element id the
+script wires must exist in the markup (or be created by a script
+template), every REST path the clients call must resolve to a registered
+route, every server WS message type must have a handler, the ES-module
+import graph must resolve, and brackets must balance per module."""
 
 import re
 from pathlib import Path
@@ -17,7 +21,16 @@ from tensortruth_tpu.models.manager import ModelManager
 
 pytestmark = pytest.mark.integration
 
-SPA = Path("tensortruth_tpu/static/index.html").read_text(encoding="utf-8")
+STATIC = Path("tensortruth_tpu/static")
+HTML = (STATIC / "index.html").read_text(encoding="utf-8")
+JS_FILES = sorted((STATIC / "assets" / "js").rglob("*.js"))
+JS = {p.relative_to(STATIC / "assets" / "js").as_posix(): p.read_text(encoding="utf-8")
+      for p in JS_FILES}
+JS_ALL = "\n".join(JS.values())
+CSS = (STATIC / "assets" / "css" / "app.css").read_text(encoding="utf-8")
+# Concatenated view for feature-presence checks (markup first, so markup
+# regexes anchor in the HTML portion).
+SPA = HTML + "\n" + JS_ALL + "\n" + CSS
 
 PANELS = [
     "providers", "documents", "modules", "config",
@@ -43,20 +56,146 @@ def client(tmp_path, monkeypatch, event_loop):
     event_loop.run_until_complete(client.close())
 
 
+# -- ES-module architecture ---------------------------------------------------
+
+def test_module_layout_mirrors_reference_frontend():
+    """Reference frontend/src has api/ (17 typed clients), stores/, hooks
+    (WS protocol), components/; the no-build equivalent must keep that
+    shape: one client per route group, stores, chat modules, one module
+    per management panel, the wizard, and the bootstrap."""
+    expected = [
+        "app.js",
+        "lib/dom.js", "lib/markdown.js",
+        "stores/store.js", "stores/session.js", "stores/ui.js",
+        "api/client.js", "api/sessions.js", "api/projects.js",
+        "api/documents.js", "api/providers.js", "api/modules.js",
+        "api/config.js", "api/system.js", "api/startup.js", "api/tasks.js",
+        "api/tools.js", "api/extensions.js", "api/mcp.js",
+        "api/confirmations.js", "api/arxiv.js",
+        "chat/stream.js", "chat/messages.js", "chat/send.js", "chat/ws.js",
+        "chat/composer.js", "chat/params.js",
+        "views/sidebar.js", "views/manage.js",
+        "panels/providers.js", "panels/documents.js", "panels/modules.js",
+        "panels/projects.js", "panels/config.js", "panels/system.js",
+        "panels/extensions.js", "panels/mcp.js", "panels/tools.js",
+        "panels/startup.js",
+        "wizard/wizard.js",
+    ]
+    missing = [m for m in expected if m not in JS]
+    assert not missing, f"missing SPA modules: {missing}"
+
+
+_IMPORT_RE = re.compile(
+    r'^import\s*(?:\{([^}]*)\}\s*from\s*)?["\']([^"\']+)["\'];?', re.M
+)
+_EXPORT_RE = re.compile(
+    r"^export\s+(?:async\s+)?(?:function|const|let|class)\s+([\w$]+)", re.M
+)
+
+
+def _norm(path: str) -> str:
+    parts = []
+    for seg in path.split("/"):
+        if seg in ("", "."):
+            continue
+        if seg == "..":
+            parts.pop()
+        else:
+            parts.append(seg)
+    return "/".join(parts)
+
+
+def test_import_graph_resolves():
+    """Every import specifier must point at an existing module, and every
+    imported name must be exported there — a typo here is a blank page."""
+    exports = {mod: set(_EXPORT_RE.findall(src)) for mod, src in JS.items()}
+    problems = []
+    for mod, src in JS.items():
+        for names, spec in _IMPORT_RE.findall(src):
+            target = _norm(str(Path(mod).parent / spec))
+            if target not in JS:
+                problems.append(f"{mod}: import from missing module {spec!r}")
+                continue
+            for name in filter(None, (n.split(" as ")[0].strip()
+                                      for n in names.split(","))):
+                if name not in exports[target]:
+                    problems.append(f"{mod}: {name!r} not exported by {target}")
+    assert not problems, "\n".join(problems)
+
+
+def test_api_clients_only_build_on_shared_client():
+    """Typed clients must route through api/client.js primitives — no stray
+    fetch() elsewhere in api/ (keeps error handling in one place). The two
+    exceptions live in client.js itself and the XHR upload / app-level
+    reload endpoints, which are explicit."""
+    for mod, src in JS.items():
+        if not mod.startswith("api/") or mod == "api/client.js":
+            continue
+        direct = [ln for ln in src.splitlines()
+                  if "fetch(" in ln and "reload-extensions" not in ln
+                  and not ln.lstrip().startswith("//")]
+        assert not direct, f"{mod} bypasses client.js: {direct}"
+
+
+def test_panel_loaders_are_function_declarations():
+    """views/manage.js builds PANEL_LOADERS at module-eval time while the
+    panel modules circularly import rowItem back from it. That is only safe
+    because function *declarations* are hoisted across circular ES-module
+    imports — a `const` arrow would be a TDZ crash at load. Pin the
+    convention."""
+    for mod, src in JS.items():
+        if not mod.startswith("panels/"):
+            continue
+        m = re.search(r"export\s+async\s+function\s+(load\w+Panel)", src)
+        assert m, f"{mod}: panel loader must be an exported async function declaration"
+
+
+def test_index_html_is_a_markup_shell():
+    assert '<script type="module" src="/assets/js/app.js">' in HTML
+    assert '<link rel="stylesheet" href="/assets/css/app.css">' in HTML
+    assert "<style>" not in HTML and "function " not in HTML
+
+
+async def test_assets_served(client):
+    for url, marker in [
+        ("/assets/js/app.js", "wireSidebar"),
+        ("/assets/js/api/client.js", "export const api"),
+        ("/assets/css/app.css", ":root"),
+        ("/assets/js/chat/ws.js", "WS_HANDLERS"),
+    ]:
+        r = await client.get(url)
+        assert r.status == 200, url
+        assert marker in (await r.text()), url
+
+
+# -- id wiring / panels -------------------------------------------------------
+
 def test_every_wired_element_id_exists():
-    wired = set(re.findall(r'\$\("([^"]+)"\)', SPA))
+    wired = set(re.findall(r'\$\("([^"]+)"\)', JS_ALL))
+    # ids exist in the markup, or are created by a script template
+    # (wizard provider form) / property assignment (inp.id = "wiz-model")
     defined = set(re.findall(r'id="([^"]+)"', SPA))
+    defined |= set(re.findall(r'\.id = "([^"]+)"', JS_ALL))
     missing = wired - defined
     assert not missing, f"JS wires ids missing from markup: {sorted(missing)}"
 
 
 def test_all_management_panels_present():
     for p in PANELS:
-        assert f'id="panel-{p}"' in SPA, f"panel-{p} missing"
-        assert f'data-panel="{p}"' in SPA, f"tab for {p} missing"
+        assert f'id="panel-{p}"' in HTML, f"panel-{p} missing"
+        assert f'data-panel="{p}"' in HTML, f"tab for {p} missing"
     # each panel has a loader registered
     for p in PANELS:
-        assert re.search(rf"\b{p}: load\w+Panel", SPA), f"no loader for {p}"
+        assert re.search(rf"\b{p}: load\w+Panel", JS["views/manage.js"]), \
+            f"no loader for {p}"
+
+
+def test_new_panels_present():
+    for p in ["projects", "tools"]:
+        assert f'id="panel-{p}"' in HTML, f"panel-{p} missing"
+        assert f'data-panel="{p}"' in HTML, f"tab for {p} missing"
+        assert re.search(rf"\b{p}: load\w+Panel", JS["views/manage.js"]), \
+            f"no loader for {p}"
 
 
 async def test_root_serves_spa_with_panels(client):
@@ -68,10 +207,14 @@ async def test_root_serves_spa_with_panels(client):
 
 
 async def test_every_js_api_path_resolves(client):
-    """Each api("...") literal (with template params substituted) must hit a
-    registered route — not the SPA catch-all (which would return HTML)."""
-    calls = set(re.findall(r'api\(\s*[`"]([^`"]+)[`"]', SPA))
-    calls |= set(re.findall(r'fetch\("/api([^"]+)"', SPA))
+    """Each REST path literal in the typed clients (with template params
+    substituted) must hit a registered route — not the SPA catch-all
+    (which would return HTML)."""
+    calls = set(re.findall(r'\b(?:api|apiFetch|post|patch|del)\(\s*[`"]([^`"]+)[`"]',
+                           JS_ALL))
+    calls |= set(re.findall(r'fetch\("/api([^"]+)"', JS_ALL))
+    calls = {c for c in calls if c.startswith("/")}
+    assert len(calls) >= 40, f"typed clients shrank suspiciously: {len(calls)}"
     for path in sorted(calls):
         concrete = re.sub(r"\$\{[^}]+\}", "x", path)
         url = "/api" + concrete
@@ -105,14 +248,7 @@ async def test_panel_backing_endpoints_return_expected_shapes(client):
         assert key in (await r.json()), (url, key)
 
 
-# -- round-3 SPA depth: wizard, params drawer, WS protocol coverage ----------
-
-def test_new_panels_present():
-    for p in ["projects", "tools"]:
-        assert f'id="panel-{p}"' in SPA, f"panel-{p} missing"
-        assert f'data-panel="{p}"' in SPA, f"tab for {p} missing"
-        assert re.search(rf"\b{p}: load\w+Panel", SPA), f"no loader for {p}"
-
+# -- WS protocol / wizard / params --------------------------------------------
 
 def test_ws_handlers_cover_every_server_message_type():
     """The SPA's WS_HANDLERS table must have a branch for every message type
@@ -130,8 +266,8 @@ def test_ws_handlers_cover_every_server_message_type():
         emitted |= set(re.findall(r'"type":\s*"([a-z_]+)"', text))
     emitted -= {"object", "string", "array", "integer", "number", "boolean"}  # JSON-schema noise
     emitted -= {"stop"}  # client→server control message, not an emission
-    m = re.search(r"const WS_HANDLERS = \{(.*?)\n\};", SPA, re.S)
-    assert m, "WS_HANDLERS table missing from SPA"
+    m = re.search(r"const WS_HANDLERS = \{(.*?)\n\};", JS["chat/ws.js"], re.S)
+    assert m, "WS_HANDLERS table missing from chat/ws.js"
     handlers = set(re.findall(r"^\s{2}(\w+)\(", m.group(1), re.M))
     missing = emitted - handlers
     assert not missing, f"WS message types with no SPA handler: {sorted(missing)}"
@@ -139,20 +275,21 @@ def test_ws_handlers_cover_every_server_message_type():
 
 def test_wizard_structure_complete():
     """Startup wizard: one renderer per step, progress bar, nav controls."""
-    assert 'id="wizard"' in SPA
-    steps = re.search(r'const WIZARD_STEPS = \[([^\]]+)\]', SPA).group(1)
+    assert 'id="wizard"' in HTML
+    wiz = JS["wizard/wizard.js"]
+    steps = re.search(r'const WIZARD_STEPS = \[([^\]]+)\]', wiz).group(1)
     n_steps = len(re.findall(r'"[^"]+"', steps))
-    renderers = len(re.findall(r"^  async body => \{", SPA, re.M))
+    renderers = len(re.findall(r"^  async body => \{", wiz, re.M))
     assert renderers == n_steps, (renderers, n_steps)
     for eid in ["wizard-next", "wizard-back", "wizard-skip", "wizard-open",
                 "wizard-steps", "wizard-body", "wizard-title"]:
-        assert f'id="{eid}"' in SPA, eid
+        assert f'id="{eid}"' in HTML, eid
 
 
 def test_params_drawer_fields_match_session_params():
     """Every field in the params drawer must be a real session param the
     server accepts (session_service defaults / schemas)."""
-    drawer = re.search(r'id="params-drawer".*?</div>\s*</div>', SPA, re.S).group(0)
+    drawer = re.search(r'id="params-drawer".*?</div>\s*</div>', HTML, re.S).group(0)
     fields = set(re.findall(r'name="(\w+)"', drawer))
     expected = {"model", "temperature", "context_window", "reranker_top_n",
                 "use_reranker", "confidence_cutoff", "corpus_dtype",
@@ -163,16 +300,19 @@ def test_params_drawer_fields_match_session_params():
 def test_spa_has_no_control_characters():
     """Regression: a NUL byte once landed in the served HTML (sentinel
     characters pasted literally); control chars break strict parsers."""
-    raw = Path("tensortruth_tpu/static/index.html").read_bytes()
-    bad = [b for b in raw if b < 9 or (13 < b < 32)]
-    assert not bad, f"{len(bad)} control bytes in SPA"
+    for path in [STATIC / "index.html", STATIC / "assets" / "css" / "app.css",
+                 *JS_FILES]:
+        raw = path.read_bytes()
+        bad = [b for b in raw if b < 9 or (13 < b < 32)]
+        assert not bad, f"{len(bad)} control bytes in {path}"
 
 
 def test_metrics_display_renders_full_schema():
     """The metrics renderer must surface the full RetrievalMetrics schema
     (reference frontend message-metrics display): score distribution,
     diversity, coverage, quality."""
-    fn = re.search(r"function renderMetrics.*?\n\}", SPA, re.S).group(0)
+    fn = re.search(r"function renderMetrics.*?\n\}", JS["chat/messages.js"],
+                   re.S).group(0)
     for field in ["score_distribution", "diversity", "coverage", "quality",
                   "mean", "median", "std", "unique_sources", "entropy",
                   "estimated_tokens", "high_score_ratio"]:
@@ -234,12 +374,14 @@ async def test_project_catalog_attach_flow(client):
     assert s["modules"] == ["library_numpy"]
 
 
-def test_spa_script_brackets_balanced():
+# -- per-module syntax sanity -------------------------------------------------
+
+@pytest.mark.parametrize("mod", sorted(JS), ids=sorted(JS))
+def test_spa_script_brackets_balanced(mod):
     """No JS engine exists in this environment, so catch gross syntax
     errors (unclosed blocks/strings) with a string-aware bracket scanner
-    over the inline script."""
-    m = re.search(r"<script>(.*)</script>", SPA, re.S)
-    src = m.group(1)
+    over each module."""
+    src = JS[mod]
     stack = []
     pairs = {")": "(", "]": "[", "}": "{"}
     i, n = 0, len(src)
@@ -307,12 +449,13 @@ def test_spa_script_brackets_balanced():
                     i += 1
                     continue
                 assert stack and stack[-1] == pairs[c], (
-                    f"unbalanced {c!r} at offset {i}: ...{src[max(0,i-60):i+20]!r}"
+                    f"{mod}: unbalanced {c!r} at offset {i}: "
+                    f"...{src[max(0, i - 60):i + 20]!r}"
                 )
                 stack.pop()
         i += 1
-    assert not stack, f"unclosed brackets: {stack[-8:]}"
-    assert not state, f"unclosed string/comment context: {state}"
+    assert not stack, f"{mod}: unclosed brackets: {stack[-8:]}"
+    assert not state, f"{mod}: unclosed string/comment context: {state}"
 
 
 def _regex_position(src, i):
@@ -324,65 +467,73 @@ def _regex_position(src, i):
     return j < 0 or src[j] in "=(,[{;:!&|?+-*%<>~^\n"
 
 
-# -- round-3b SPA polish ------------------------------------------------------
+# -- feature presence ---------------------------------------------------------
 
 def test_message_actions_and_toasts_wired():
     for feature in ["copyText(", 'el("div", "actions")', "function toast(",
-                    'id="toasts"', "✕ delete", "messages.entries()"]:
-        assert feature in SPA, f"missing UI feature: {feature}"
+                    "✕ delete", "messages.entries()"]:
+        assert feature in JS_ALL, f"missing UI feature: {feature}"
+    assert 'id="toasts"' in HTML
 
 
 def test_markdown_pipe_tables_supported():
-    fn = re.search(r"function renderMarkdown.*?\n\}", SPA, re.S).group(0)
+    fn = re.search(r"function renderMarkdown.*?\n\}", JS["lib/markdown.js"],
+                   re.S).group(0)
     assert "<table>" in fn and "<thead>" in fn and "<td>" in fn
 
 
 def test_session_filter_and_rename_and_stats():
-    assert 'id="session-filter"' in SPA
-    assert '$("chat-title").ondblclick' in SPA
-    assert "/sessions/stats" in SPA or "api(\"/sessions/stats\")" in SPA
+    assert 'id="session-filter"' in HTML
+    assert '$("chat-title").ondblclick' in JS["views/sidebar.js"]
+    assert 'api("/sessions/stats")' in JS["api/sessions.js"]
     # keyboard shortcuts
-    assert '"Escape"' in SPA and 'key === "k"' in SPA
+    assert '"Escape"' in JS["app.js"] and 'key === "k"' in JS["app.js"]
 
 
 def test_source_preview_expansion():
-    assert 'el("div", "preview"' in SPA
-    assert 'classList.toggle("open")' in SPA
+    assert 'el("div", "preview"' in JS["chat/messages.js"]
+    assert 'classList.toggle("open")' in JS["chat/messages.js"]
 
 
-def test_round3c_chat_controls_wired():
+def test_chat_controls_wired():
     for feature in ['id="stop-btn"', 'id="send-btn"', 'id="export-btn"',
-                    "setStreaming(", "↻ resend", 'id="runtimes-list"',
-                    'id="profile-start"', 'id="profile-stop"']:
-        assert feature in SPA, f"missing: {feature}"
+                    'id="profile-start"', 'id="profile-stop"',
+                    'id="runtimes-list"']:
+        assert feature in HTML, f"missing: {feature}"
+    assert "setStreaming(" in JS["chat/stream.js"]
+    assert "↻ resend" in JS["chat/messages.js"]
     # stop sends the protocol stop message with close+reconnect fallback;
     # export builds a markdown blob
-    stop_src = SPA.split('$("stop-btn").onclick')[1][:700]
+    stop_src = JS["chat/ws.js"].split("function stopStreaming")[1]
     assert '{type: "stop"}' in stop_src
     assert "connectWS()" in stop_src
-    assert "text/markdown" in SPA
+    assert "text/markdown" in JS["views/sidebar.js"]
 
 
 def test_image_attach_ui_wired():
     """Vision UI: attach button, base64 pipeline into the WS payload,
     persisted-image rendering in history."""
-    for feature in ['id="attach-btn"', 'id="image-input"', 'id="attach-row"',
-                    "readAsDataURL", "payload.images = pendingImages",
-                    "/images/${imgId}"]:
-        assert feature in SPA, f"missing: {feature}"
+    for feature in ['id="attach-btn"', 'id="image-input"', 'id="attach-row"']:
+        assert feature in HTML, f"missing: {feature}"
+    assert "readAsDataURL" in JS["chat/composer.js"]
+    assert "payload.images = images" in JS["chat/send.js"]
+    assert "/images/${imageId}" in JS["api/sessions.js"]
+    assert "imageUrl(id, imgId)" in JS["views/sidebar.js"]
 
 
 def test_config_forms_panel_wired():
     """Structured config editing: scalar fields render per section, and every
     edit writes through to the raw JSON textarea that Save PATCHes — one save
     path, so forms and advanced JSON cannot diverge."""
-    for feature in ['id="config-forms"', "renderConfigForms(", "setConfigPath(",
-                    'type = "checkbox"', "Raw JSON (advanced"]:
-        assert feature in SPA, f"missing: {feature}"
-    fn = SPA.split("function setConfigPath")[1][:900]
+    cfg = JS["panels/config.js"]
+    for feature in ["renderConfigForms(", "setConfigPath(",
+                    'type = "checkbox"']:
+        assert feature in cfg, f"missing: {feature}"
+    assert 'id="config-forms"' in HTML and "Raw JSON (advanced" in HTML
+    fn = cfg.split("function setConfigPath")[1][:900]
     assert '$("config-json").value = JSON.stringify(cfg' in fn
     # loader renders forms from the fetched config
-    loader = SPA.split("async function loadConfigPanel")[1][:300]
+    loader = cfg.split("async function loadConfigPanel")[1][:300]
     assert "renderConfigForms(cfg)" in loader
 
 
@@ -390,22 +541,35 @@ def test_command_autocomplete_wired():
     """Slash-command autocomplete (reference CommandAutocomplete.tsx):
     menu element, /api/commands catalog fetch, keyboard navigation, and
     Enter-accepts-before-submit ordering inside the keydown handler."""
-    for feature in ['id="cmd-menu"', "commandCatalog", 'api("/commands")',
-                    "acceptCmd(", '"ArrowDown"', '"ArrowUp"', '"Tab"']:
-        assert feature in SPA, f"missing: {feature}"
-    kd = SPA.split('$("input").addEventListener("keydown"')[1]
-    kd = kd[:kd.index("});") + 3]
+    comp = JS["chat/composer.js"]
+    for feature in ["commandCatalog", "acceptCmd(", '"ArrowDown"',
+                    '"ArrowUp"', '"Tab"']:
+        assert feature in comp, f"missing: {feature}"
+    assert 'id="cmd-menu"' in HTML
+    assert 'api("/commands")' in JS["api/tools.js"]
+    kd = comp.split('$("input").addEventListener("keydown"')[1]
     # menu navigation must be handled before the plain Enter-submit branch
     assert kd.index('"ArrowDown"') < kd.index("requestSubmit")
     # extension reload invalidates the cached catalog
-    rl = SPA.split('$("extensions-reload").onclick')[1][:300]
-    assert "cmdList = null" in rl
+    rl = JS["panels/extensions.js"]
+    assert "invalidateCommandCatalog()" in rl.split('$("extensions-reload").onclick')[1]
+    assert "cmdList = null" in comp
 
 
 def test_theme_toggle_wired():
     """Light/dark theme (reference ThemeToggle.tsx): CSS override block,
     header button, localStorage persistence applied on load."""
-    for feature in ["body.light {", 'id="theme-btn"', "applyTheme(",
-                    'localStorage.setItem("tt-theme"',
+    assert "body.light {" in CSS
+    assert 'id="theme-btn"' in HTML
+    for feature in ["applyTheme(", 'localStorage.setItem("tt-theme"',
                     'localStorage.getItem("tt-theme")']:
-        assert feature in SPA, f"missing: {feature}"
+        assert feature in JS["app.js"], f"missing: {feature}"
+
+
+def test_arxiv_ingestion_form_wired():
+    """Documents panel can ingest an arXiv paper by id: lookup via the
+    typed arxiv client, then index the markdown as a text document."""
+    assert 'id="doc-arxiv-form"' in HTML
+    docs = JS["panels/documents.js"]
+    assert "arxivLookup(" in docs
+    assert "addTextDocument(" in docs
