@@ -74,6 +74,12 @@ SEQ_PAIR = 256      # fixed-shape rerank stage (legacy anchor comparability)
 # lengths land on the measured distribution (~275 / ~147 / ~250 tokens).
 # Per 10 chunks: 6-7 long, 3 short, 1 mid — scripts/measure_pair_lengths.py.
 _CHUNK_WORDS = [242, 242, 242, 242, 242, 242, 118, 118, 118, 215]
+# Every retrieved candidate hydrates a DISTINCT chunk text from the
+# docstore in real serving, so the pool must be large enough that the
+# host-side pair tokenization cannot memoize across candidates (a 10-text
+# pool made tokenize cost ~42 unique strings/batch instead of ~330 — the
+# pre-r3c bench understated host work). 4096 uniques ≫ B*RERANK_TOP.
+_POOL_SIZE = 4096
 
 
 def _sync(out):
@@ -168,8 +174,13 @@ def main() -> None:
     # (host round-trip) exactly like the docstore text lookup in serving.
     tok = load_tokenizer()
     words = "retrieval engine shard merge index token kernel matmul embed chunk".split()
+    # unique texts (word `c{j}` varies per chunk) at the measured length mix
     pool = [
-        " ".join(words[i % len(words)] for i in range(w)) for w in _CHUNK_WORDS
+        " ".join(
+            f"c{j}" if i == 0 else words[(i + j) % len(words)]
+            for i in range(_CHUNK_WORDS[j % len(_CHUNK_WORDS)])
+        )
+        for j in range(_POOL_SIZE)
     ]
     queries = [f"how does component {i} interact with the sharded engine" for i in range(BATCH)]
     reranker = Reranker(rr_params, BGE_RERANKER_V2_M3_CONFIG, tok)

@@ -1,0 +1,148 @@
+"""ctypes binding for the C++ host tokenizer (hostkit.cpp).
+
+Build model: compile-on-first-use with the system ``g++`` into a per-user
+cache directory keyed by a source hash, so editing hostkit.cpp invalidates
+the cached .so automatically and installs never ship binaries. pybind11 is
+deliberately not used (not in this environment); the ABI is a flat C
+surface over caller-allocated numpy buffers, so ctypes adds no per-batch
+overhead beyond the two array pointer casts.
+
+Thread-safety: the returned :class:`HostKit` is stateless across calls
+(the token cache in C++ is per-call), so one process-wide instance is
+shared freely — matching how ``Reranker.score_pairs`` is called from the
+batcher's worker thread.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import logging
+import os
+import subprocess
+import threading
+from pathlib import Path
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+_SRC = Path(__file__).with_name("hostkit.cpp")
+_LOCK = threading.Lock()
+_HOSTKIT = None
+_TRIED = False
+
+
+class HostKit:
+    """Thin typed wrapper over the hostkit C ABI."""
+
+    def __init__(self, lib: ctypes.CDLL):
+        self._lib = lib
+        lib.tt_token_id.restype = ctypes.c_int64
+        lib.tt_token_id.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32,
+        ]
+        lib.tt_encode_batch.restype = ctypes.c_int
+        lib.tt_encode_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ]
+
+    def token_id(self, token: str, vocab_size: int, n_special: int) -> int:
+        return int(self._lib.tt_token_id(
+            token.encode("utf-8"), vocab_size, n_special
+        ))
+
+    def encode_batch(
+        self,
+        texts,
+        max_length: int,
+        *,
+        pair=None,
+        vocab_size: int,
+        pad_id: int,
+        cls_id: int,
+        sep_id: int,
+        n_special: int,
+    ):
+        """Returns (ids, mask) int32 arrays, or None when any input is
+        non-ASCII (the caller's cue to use the Python tokenizer)."""
+        n = len(texts)
+        ids = np.full((n, max_length), pad_id, dtype=np.int32)
+        mask = np.zeros((n, max_length), dtype=np.int32)
+        CArr = ctypes.c_char_p * n
+        try:
+            c_texts = CArr(*[t.encode("ascii") for t in texts])
+            c_pairs = (
+                CArr(*[t.encode("ascii") for t in pair])
+                if pair is not None else None
+            )
+        except UnicodeEncodeError:
+            return None
+        rc = self._lib.tt_encode_batch(
+            c_texts, c_pairs, n, max_length, vocab_size,
+            pad_id, cls_id, sep_id, n_special,
+            ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            mask.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        if rc != 0:
+            return None
+        return ids, mask
+
+
+def _build() -> Path | None:
+    src = _SRC.read_bytes()
+    tag = hashlib.sha256(src).hexdigest()[:16]
+    cache = Path(
+        os.environ.get("TENSOR_TRUTH_TPU_NATIVE_CACHE")
+        or Path.home() / ".cache" / "tensortruth_tpu_native"
+    )
+    so = cache / f"hostkit-{tag}.so"
+    if so.exists():
+        return so
+    cache.mkdir(parents=True, exist_ok=True)
+    tmp = so.with_suffix(f".build{os.getpid()}.so")
+    cmd = [
+        "g++", "-O2", "-std=c++17", "-shared", "-fPIC",
+        str(_SRC), "-o", str(tmp),
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+    except (OSError, subprocess.SubprocessError) as e:
+        detail = getattr(e, "stderr", b"") or b""
+        logger.warning(
+            "hostkit build failed (%s) — using the Python tokenizer: %s",
+            e, detail.decode(errors="replace")[:500],
+        )
+        return None
+    os.replace(tmp, so)  # atomic: concurrent builders converge on one file
+    return so
+
+
+def get_hostkit() -> HostKit | None:
+    """Compile (once) and load the native hostkit; None when unavailable.
+
+    Failure is remembered for the process so a missing toolchain costs one
+    warning, not one subprocess per batch.
+    """
+    global _HOSTKIT, _TRIED
+    if _HOSTKIT is not None or _TRIED:
+        return _HOSTKIT
+    with _LOCK:
+        if _HOSTKIT is not None or _TRIED:
+            return _HOSTKIT
+        _TRIED = True
+        if os.environ.get("TENSOR_TRUTH_TPU_NO_NATIVE"):
+            return None
+        so = _build()
+        if so is None:
+            return None
+        try:
+            _HOSTKIT = HostKit(ctypes.CDLL(str(so)))
+        except OSError as e:
+            logger.warning("hostkit load failed: %s", e)
+            return None
+        logger.info("native hostkit loaded: %s", so.name)
+    return _HOSTKIT

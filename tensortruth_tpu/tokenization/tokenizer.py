@@ -90,6 +90,25 @@ class SimpleTokenizer:
     def encode_batch(
         self, texts: Sequence[str], max_length: int, pair: Sequence[str] | None = None
     ) -> tuple[np.ndarray, np.ndarray]:
+        # Native fast path (native/hostkit.cpp): identical output for ASCII
+        # inputs, ~an order of magnitude faster on the single host core this
+        # environment provides — and host tokenization sits on the serving
+        # critical path (Reranker.score_pairs tokenizes B*top_k pairs per
+        # batch before the rerank dispatch). Returns None for non-ASCII
+        # input or when no C++ toolchain exists; then the pure-Python loop
+        # below owns the call (it is also the parity reference under test).
+        from tensortruth_tpu.native import get_hostkit
+
+        kit = get_hostkit()
+        if kit is not None:
+            out = kit.encode_batch(
+                texts, max_length, pair=pair,
+                vocab_size=self.vocab_size, pad_id=self.pad_id,
+                cls_id=self.cls_id, sep_id=self.sep_id,
+                n_special=self.n_special,
+            )
+            if out is not None:
+                return out
         return _batch_encode(self, texts, max_length, pair)
 
 

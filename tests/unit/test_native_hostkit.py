@@ -1,0 +1,148 @@
+"""Native hostkit (C++ tokenizer/pair-shaper) parity and fallback.
+
+The contract: for ASCII inputs, native/hostkit.cpp produces byte-identical
+(ids, mask) arrays to the pure-Python ``_batch_encode`` over
+``SimpleTokenizer`` — including the BLAKE2b(digest_size=8) stable hash ids
+(hostkit.cpp implements RFC 7693 from scratch) and the cross-encoder pair
+budget split. Non-ASCII input and missing-toolchain environments must fall
+back to the Python path transparently.
+"""
+
+import hashlib
+import random
+import string
+
+import numpy as np
+import pytest
+
+from tensortruth_tpu.native import get_hostkit
+from tensortruth_tpu.tokenization.tokenizer import SimpleTokenizer, _batch_encode
+
+pytestmark = pytest.mark.unit
+
+kit = get_hostkit()
+needs_kit = pytest.mark.skipif(kit is None, reason="no C++ toolchain")
+
+TOK = SimpleTokenizer()
+
+
+def _native(texts, L, pair=None):
+    return kit.encode_batch(
+        texts, L, pair=pair, vocab_size=TOK.vocab_size, pad_id=TOK.pad_id,
+        cls_id=TOK.cls_id, sep_id=TOK.sep_id, n_special=TOK.n_special,
+    )
+
+
+@needs_kit
+def test_blake2b_token_id_parity():
+    """The C++ BLAKE2b must match hashlib for the exact parameterization
+    the tokenizer uses (digest_size=8, little-endian u64)."""
+    cases = ["a", "hello", "WORLD", "_", "9mm", "x" * 127, "y" * 128,
+             "z" * 129, "q" * 513, "mixedCase_Token42"]
+    for t in cases:
+        expect = TOK._token_id(t)
+        got = kit.token_id(t, TOK.vocab_size, TOK.n_special)
+        assert got == expect, t
+        # cross-check against hashlib directly (guards both implementations)
+        h = hashlib.blake2b(t.lower().encode(), digest_size=8).digest()
+        manual = TOK.n_special + int.from_bytes(h, "little") % (
+            TOK.vocab_size - TOK.n_special
+        )
+        assert got == manual
+
+
+@needs_kit
+@pytest.mark.parametrize("max_length", [8, 16, 64, 128, 256])
+def test_batch_parity_random_ascii(max_length):
+    rng = random.Random(max_length)
+    alphabet = (string.ascii_letters + string.digits +
+                " _.,;:!?()[]{}<>#$%&*+-/=@\\^`|~'\"\t\n")
+    def rand_text(n):
+        return "".join(rng.choice(alphabet) for _ in range(n))
+
+    texts = [rand_text(rng.randrange(0, 300)) for _ in range(32)]
+    pairs = [rand_text(rng.randrange(0, 900)) for _ in range(32)]
+
+    ids_py, mask_py = _batch_encode(TOK, texts, max_length, None)
+    ids_cc, mask_cc = _native(texts, max_length)
+    assert np.array_equal(ids_py, ids_cc)
+    assert np.array_equal(mask_py, mask_cc)
+
+    ids_py, mask_py = _batch_encode(TOK, texts, max_length, pairs)
+    ids_cc, mask_cc = _native(texts, max_length, pair=pairs)
+    assert np.array_equal(ids_py, ids_cc)
+    assert np.array_equal(mask_py, mask_cc)
+
+
+@needs_kit
+def test_batch_parity_edge_inputs():
+    """Empty strings, whitespace-only, punctuation runs, single chars, and
+    the repeated-query memoization pattern of rerank batches."""
+    texts = ["", "   ", "\t\n", "...", "a", "word", "a b", "__", "-"]
+    ids_py, mask_py = _batch_encode(TOK, texts, 16, None)
+    ids_cc, mask_cc = _native(texts, 16)
+    assert np.array_equal(ids_py, ids_cc) and np.array_equal(mask_py, mask_cc)
+
+    q = "the same query repeated"
+    texts = [q] * 10
+    docs = [f"doc {i} body text" for i in range(10)]
+    ids_py, mask_py = _batch_encode(TOK, texts, 32, docs)
+    ids_cc, mask_cc = _native(texts, 32, pair=docs)
+    assert np.array_equal(ids_py, ids_cc) and np.array_equal(mask_py, mask_cc)
+
+
+@needs_kit
+def test_pair_budget_split_favors_short_query():
+    """A short query leaves its unused budget to the doc (the min() in the
+    a_budget formula) — the exact behavior the serving path depends on to
+    avoid clipping doc chunks."""
+    L = 64
+    short_q = "tiny query"
+    long_doc = " ".join(f"tok{i}" for i in range(200))
+    ids, mask = _native([short_q], L, pair=[long_doc])
+    n_q = len(TOK.encode(short_q))
+    # layout: cls + q + sep sep + doc... + sep, total exactly L
+    assert int(mask.sum()) == L
+    assert ids[0, 0] == TOK.cls_id
+    assert ids[0, 1 + n_q] == TOK.sep_id and ids[0, 2 + n_q] == TOK.sep_id
+    assert ids[0, L - 1] == TOK.sep_id
+
+
+@needs_kit
+def test_non_ascii_returns_none():
+    assert _native(["héllo"], 16) is None
+    assert _native(["ok"], 16, pair=["naïve"]) is None
+
+
+def test_simple_tokenizer_dispatch_matches_reference_python():
+    """SimpleTokenizer.encode_batch (whatever path it takes) must equal the
+    pure-Python reference — on ASCII and on non-ASCII (where the native
+    path must bow out, not mangle)."""
+    texts = ["plain ascii text", "unicode départ — em-dash"]
+    for pair in (None, ["doc one", "doc tw—o"]):
+        ids_a, mask_a = TOK.encode_batch(texts, 32, pair=pair)
+        ids_b, mask_b = _batch_encode(TOK, texts, 32, pair)
+        assert np.array_equal(ids_a, ids_b)
+        assert np.array_equal(mask_a, mask_b)
+
+
+def test_no_native_env_disables(monkeypatch):
+    """TENSOR_TRUTH_TPU_NO_NATIVE opts out; encode_batch still works."""
+    import tensortruth_tpu.native.hostkit as hk
+    monkeypatch.setenv("TENSOR_TRUTH_TPU_NO_NATIVE", "1")
+    monkeypatch.setattr(hk, "_HOSTKIT", None)
+    monkeypatch.setattr(hk, "_TRIED", False)
+    assert hk.get_hostkit() is None
+    ids, mask = TOK.encode_batch(["still works"], 8)
+    assert ids.shape == (1, 8)
+    monkeypatch.setattr(hk, "_TRIED", False)  # let other tests rebuild
+
+
+@needs_kit
+def test_long_token_over_128_bytes():
+    """Tokens longer than one BLAKE2b block exercise the multi-block
+    compress loop."""
+    t = "A" * 400  # one word token, lowercased before hashing
+    ids_py, _ = _batch_encode(TOK, [t], 8, None)
+    ids_cc, _ = _native([t], 8)
+    assert np.array_equal(ids_py, ids_cc)
