@@ -139,8 +139,10 @@ static inline bool is_word(uint8_t c) {
 }
 
 static inline bool is_space(uint8_t c) {
+  // Python re's \s over ASCII: [ \t\n\r\f\v] plus the 0x1c-0x1f separator
+  // controls (which str.isspace() — and therefore \s in str mode — accepts).
   return c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' ||
-         c == '\v';
+         c == '\v' || (c >= 0x1c && c <= 0x1f);
 }
 
 struct TokenizerParams {

@@ -14,6 +14,7 @@ import string
 
 import numpy as np
 import pytest
+from hypothesis import given, settings, strategies as st
 
 from tensortruth_tpu.native import get_hostkit
 from tensortruth_tpu.tokenization.tokenizer import SimpleTokenizer, _batch_encode
@@ -136,6 +137,36 @@ def test_no_native_env_disables(monkeypatch):
     ids, mask = TOK.encode_batch(["still works"], 8)
     assert ids.shape == (1, 8)
     monkeypatch.setattr(hk, "_TRIED", False)  # let other tests rebuild
+
+
+ASCII_TEXT = st.text(
+    alphabet=st.characters(min_codepoint=0x09, max_codepoint=0x7E),
+    max_size=600,
+)
+
+
+@needs_kit
+@given(texts=st.lists(ASCII_TEXT, min_size=1, max_size=8),
+       max_length=st.integers(6, 300))
+@settings(max_examples=120, deadline=None)
+def test_property_parity_single(texts, max_length):
+    ids_py, mask_py = _batch_encode(TOK, texts, max_length, None)
+    out = _native(texts, max_length)
+    assert out is not None
+    assert np.array_equal(ids_py, out[0]) and np.array_equal(mask_py, out[1])
+
+
+@needs_kit
+@given(data=st.data(), max_length=st.integers(8, 300))
+@settings(max_examples=120, deadline=None)
+def test_property_parity_pairs(data, max_length):
+    n = data.draw(st.integers(1, 6))
+    texts = data.draw(st.lists(ASCII_TEXT, min_size=n, max_size=n))
+    pairs = data.draw(st.lists(ASCII_TEXT, min_size=n, max_size=n))
+    ids_py, mask_py = _batch_encode(TOK, texts, max_length, pairs)
+    out = _native(texts, max_length, pair=pairs)
+    assert out is not None
+    assert np.array_equal(ids_py, out[0]) and np.array_equal(mask_py, out[1])
 
 
 @needs_kit
