@@ -253,36 +253,48 @@ int tt_encode_batch(const char** texts, const char** pairs, int32_t n,
     int32_t* mrow = out_mask + static_cast<int64_t>(i) * max_length;
     const std::vector<int32_t>& a =
         cached_encode(texts[i], P, max_length, &cache);
+    // Python builds the full seq then truncates with seq[:max_length]
+    // (tokenizer.py::_batch_encode). emit() reproduces that truncation at
+    // write time, so rows narrower than the special-token skeleton (tiny
+    // max_length) never write past the row. py_take() reproduces Python's
+    // a[:stop] for negative stop (stop+len, floored at 0).
     int pos = 0;
-    row[pos++] = cls_id;
+    auto emit = [&](int32_t v) {
+      if (pos < max_length) {
+        row[pos] = v;
+        mrow[pos] = 1;
+        ++pos;
+      }
+    };
+    auto py_take = [](int len, int stop) {
+      if (stop < 0) stop += len;
+      if (stop < 0) stop = 0;
+      return stop < len ? stop : len;
+    };
+    emit(cls_id);
     if (pairs == nullptr) {
-      int take = static_cast<int>(a.size());
-      if (take > max_length - 2) take = max_length - 2;
-      std::memcpy(row + pos, a.data(), sizeof(int32_t) * take);
-      pos += take;
-      row[pos++] = sep_id;
+      int take = py_take(static_cast<int>(a.size()), max_length - 2);
+      for (int j = 0; j < take; ++j) emit(a[j]);
+      emit(sep_id);
     } else {
       const std::vector<int32_t>& b =
           cached_encode(pairs[i], P, max_length, &cache);
+      // (max_length-4)/2: C trunc-division differs from Python floor for
+      // negative operands, but both land below 1 there and max(1, ·)
+      // clamps, so the budgets agree for every max_length.
       int half = (max_length - 4) / 2;
       if (half < 1) half = 1;
       int a_budget = static_cast<int>(a.size()) < half
                          ? static_cast<int>(a.size())
                          : half;
-      int b_budget = max_length - 4 - a_budget;
-      if (b_budget < 0) b_budget = 0;
-      int b_take = static_cast<int>(b.size()) < b_budget
-                       ? static_cast<int>(b.size())
-                       : b_budget;
-      std::memcpy(row + pos, a.data(), sizeof(int32_t) * a_budget);
-      pos += a_budget;
-      row[pos++] = sep_id;
-      row[pos++] = sep_id;
-      std::memcpy(row + pos, b.data(), sizeof(int32_t) * b_take);
-      pos += b_take;
-      if (pos < max_length) row[pos++] = sep_id;
+      int b_take = py_take(static_cast<int>(b.size()),
+                           max_length - 4 - a_budget);
+      for (int j = 0; j < a_budget; ++j) emit(a[j]);
+      emit(sep_id);
+      emit(sep_id);
+      for (int j = 0; j < b_take; ++j) emit(b[j]);
+      emit(sep_id);
     }
-    for (int j = 0; j < pos; ++j) mrow[j] = 1;
   }
   return 0;
 }

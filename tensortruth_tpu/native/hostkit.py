@@ -50,6 +50,15 @@ class HostKit:
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
         ]
 
+    @staticmethod
+    def _to_c(t: str) -> bytes:
+        if "\x00" in t:
+            raise ValueError("embedded NUL")
+        try:
+            return t.encode("ascii")
+        except UnicodeEncodeError:
+            raise ValueError("non-ascii") from None
+
     def token_id(self, token: str, vocab_size: int, n_special: int) -> int:
         return int(self._lib.tt_token_id(
             token.encode("utf-8"), vocab_size, n_special
@@ -68,18 +77,20 @@ class HostKit:
         n_special: int,
     ):
         """Returns (ids, mask) int32 arrays, or None when any input is
-        non-ASCII (the caller's cue to use the Python tokenizer)."""
+        non-ASCII or contains an embedded NUL (the caller's cue to use the
+        Python tokenizer — c_char_p would silently truncate at the NUL,
+        while the Python path tokenizes it as a punct char)."""
         n = len(texts)
         ids = np.full((n, max_length), pad_id, dtype=np.int32)
         mask = np.zeros((n, max_length), dtype=np.int32)
         CArr = ctypes.c_char_p * n
         try:
-            c_texts = CArr(*[t.encode("ascii") for t in texts])
+            c_texts = CArr(*[self._to_c(t) for t in texts])
             c_pairs = (
-                CArr(*[t.encode("ascii") for t in pair])
+                CArr(*[self._to_c(t) for t in pair])
                 if pair is not None else None
             )
-        except UnicodeEncodeError:
+        except ValueError:
             return None
         rc = self._lib.tt_encode_batch(
             c_texts, c_pairs, n, max_length, vocab_size,

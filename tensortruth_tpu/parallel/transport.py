@@ -236,10 +236,16 @@ def spawn_slice_worker(
     import threading
 
     lines: queue_mod.Queue = queue_mod.Queue()
+    port_found = threading.Event()
 
     def _reader():
+        # After the port is known the thread keeps DRAINING the pipe (so a
+        # chatty worker never blocks on a full stdout buffer) but discards
+        # the lines — queueing them for the worker's lifetime would grow
+        # memory without bound, since nobody reads the queue after startup.
         for line in proc.stdout:
-            lines.put(line)
+            if not port_found.is_set():
+                lines.put(line)
         lines.put(None)  # EOF
 
     threading.Thread(target=_reader, daemon=True).start()
@@ -265,6 +271,7 @@ def spawn_slice_worker(
             break
         if line.startswith("PORT "):
             bound = int(line.split()[1])
+            port_found.set()
     if bound is None:
         proc.kill()
         raise TimeoutError("slice worker did not report its port in time")

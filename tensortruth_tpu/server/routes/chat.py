@@ -57,6 +57,25 @@ def _chat_context(services, session: dict) -> dict:
     }
 
 
+def _persist_images(session_id: str, images) -> list[str]:
+    """Save base64 attachments under the session; shared by the REST and WS
+    chat paths (reference chat.py image handling + services/image_service.py).
+    A failed save is logged, not fatal — the model still sees the inline
+    bytes; only the reload-time display is lost."""
+    if not images:
+        return []
+    from tensortruth_tpu.services.image_service import ImageService
+
+    img_svc = ImageService()
+    image_ids: list[str] = []
+    for b64 in images:
+        try:
+            image_ids.append(img_svc.save_base64(session_id, b64))
+        except Exception as e:
+            logger.warning("image save failed: %s", e)
+    return image_ids
+
+
 async def _ensure_engine(services, ctx: dict):
     """Load (or fetch from cache) THIS session's engine and return it.
 
@@ -162,16 +181,7 @@ async def rest_chat(request: web.Request):
     # Persist attachments like the WS path does — without the stored ids a
     # session reload shows a user turn with no images even though the model
     # answered about them.
-    image_ids: list[str] = []
-    if images:
-        from tensortruth_tpu.services.image_service import ImageService
-
-        img_svc = ImageService()
-        for b64 in images:
-            try:
-                image_ids.append(img_svc.save_base64(session_id, b64))
-            except Exception as e:
-                logger.warning("image save failed: %s", e)
+    image_ids = _persist_images(session_id, images)
     ctx = _chat_context(services, session)
     engine = await _ensure_engine(services, ctx)
     messages = session.get("messages", [])
@@ -236,16 +246,7 @@ async def ws_chat(request: web.Request):
 
         # Attached base64 images persist under the session and get local
         # URLs (reference chat.py image handling + services/image_service.py).
-        image_ids: list[str] = []
-        if data.get("images"):
-            from tensortruth_tpu.services.image_service import ImageService
-
-            img_svc = ImageService()
-            for b64 in data["images"]:
-                try:
-                    image_ids.append(img_svc.save_base64(session_id, b64))
-                except Exception as e:
-                    logger.warning("image save failed: %s", e)
+        image_ids = _persist_images(session_id, data.get("images"))
 
         # -- slash command? (reference chat.py:676-789) ----------------------
         m = COMMAND_RE.match(prompt.strip())

@@ -69,7 +69,9 @@ async function init() {
   const fresh = status && !status.indexes_present &&
     !sessionStore.get().sessions.length && !localStorage.getItem("tt_wizard_done");
   if (fresh) { wizardShow(true); return; }
-  const existing = document.querySelector(".session");
+  // scope to #sessions: project rows share the .session class, and
+  // clicking one would silently mint a new project session on every load
+  const existing = document.querySelector("#sessions .session");
   if (existing) existing.click(); else $("new-session").click();
 }
 

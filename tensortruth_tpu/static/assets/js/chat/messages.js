@@ -135,11 +135,17 @@ export function renderToolSteps(container, steps) {
   container.appendChild(det);
 }
 
-export function renderThinking(container, text) {
-  if (!text) return null;
+export function renderThinking(container, text, opts) {
+  // opts.before: insert ahead of that node (live streaming places the block
+  // above the message body); opts.open: start expanded. Used by both the
+  // session-reload path and ws.js's live thinking handler — one DOM shape.
+  opts = opts || {};
+  if (!text && !opts.open) return null;
   const det = el("details", "thinking");
   det.appendChild(el("summary", "", "thinking"));
-  det.appendChild(el("div", "tbody", text));
-  container.appendChild(det);
+  det.appendChild(el("div", "tbody", text || ""));
+  if (opts.open) det.open = true;
+  if (opts.before) container.insertBefore(det, opts.before);
+  else container.appendChild(det);
   return det;
 }

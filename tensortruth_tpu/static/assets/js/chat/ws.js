@@ -9,7 +9,7 @@ import {$, el, toast} from "../lib/dom.js";
 import {renderMarkdown} from "../lib/markdown.js";
 import {currentSessionId} from "../stores/session.js";
 import {loadSessions} from "../views/sidebar.js";
-import {renderMetrics, renderSources, renderToolSteps} from "./messages.js";
+import {renderMetrics, renderSources, renderThinking, renderToolSteps} from "./messages.js";
 import {ensureAssistant, resetStream, stream} from "./stream.js";
 
 let ws = null;
@@ -28,14 +28,9 @@ const WS_HANDLERS = {
   },
   thinking(msg) {
     ensureAssistant();
-    if (!stream.thinkingBox) {
-      const det = el("details", "thinking");
-      det.appendChild(el("summary", "", "thinking"));
-      det.appendChild(el("div", "tbody", ""));
-      det.open = true;
-      stream.assistant.insertBefore(det, stream.body);
-      stream.thinkingBox = det;
-    }
+    if (!stream.thinkingBox)
+      stream.thinkingBox = renderThinking(stream.assistant, "",
+                                          {before: stream.body, open: true});
     stream.thinkingText += msg.content;
     stream.thinkingBox.querySelector(".tbody").textContent = stream.thinkingText;
   },

@@ -161,6 +161,9 @@ export function wireWizard() {
   $("wizard-skip").onclick = () => {
     wizardShow(false);
     localStorage.setItem("tt_wizard_done", "1");
+    // On a fresh install the wizard opened before any session existed —
+    // skipping must still leave a live session or the composer is dead.
+    if (!currentSessionId()) $("new-session").click();
   };
   $("wizard-open").onclick = () => { showManage(false); wizardShow(true); };
 }

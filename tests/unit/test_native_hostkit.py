@@ -115,6 +115,40 @@ def test_non_ascii_returns_none():
     assert _native(["ok"], 16, pair=["naïve"]) is None
 
 
+@needs_kit
+def test_embedded_nul_returns_none():
+    """ASCII-encodable but NUL-bearing text must take the Python path:
+    c_char_p would truncate at the NUL and silently tokenize a prefix
+    (utils/pdf.py's COS fallback can emit \\x00 via octal escapes)."""
+    assert _native(["before\x00after"], 16) is None
+    assert _native(["ok"], 16, pair=["a\x00b"]) is None
+    # dispatch end-to-end: identical to the pure-Python reference
+    texts = ["pre\x00post token"]
+    ids_a, mask_a = TOK.encode_batch(texts, 16)
+    ids_b, mask_b = _batch_encode(TOK, texts, 16, None)
+    assert np.array_equal(ids_a, ids_b) and np.array_equal(mask_a, mask_b)
+
+
+@needs_kit
+@pytest.mark.parametrize("max_length", [0, 1, 2, 3, 4, 5, 6])
+def test_tiny_max_length_parity(max_length):
+    """Rows narrower than the special-token skeleton: Python truncates the
+    built seq (including negative-stop slices like a[:max_length-2]); the
+    native path must match without writing past the row (regression: the
+    pre-fix code memcpy'd with a negative size at max_length<2 and wrote
+    4 skeleton slots into 3-wide pair rows)."""
+    texts = ["alpha beta gamma delta", "", "x"]
+    pairs = ["one two three four five six", "y", ""]
+    ids_py, mask_py = _batch_encode(TOK, texts, max_length, None)
+    out = _native(texts, max_length)
+    assert out is not None
+    assert np.array_equal(ids_py, out[0]) and np.array_equal(mask_py, out[1])
+    ids_py, mask_py = _batch_encode(TOK, texts, max_length, pairs)
+    out = _native(texts, max_length, pair=pairs)
+    assert out is not None
+    assert np.array_equal(ids_py, out[0]) and np.array_equal(mask_py, out[1])
+
+
 def test_simple_tokenizer_dispatch_matches_reference_python():
     """SimpleTokenizer.encode_batch (whatever path it takes) must equal the
     pure-Python reference — on ASCII and on non-ASCII (where the native
@@ -147,7 +181,7 @@ ASCII_TEXT = st.text(
 
 @needs_kit
 @given(texts=st.lists(ASCII_TEXT, min_size=1, max_size=8),
-       max_length=st.integers(6, 300))
+       max_length=st.integers(0, 300))
 @settings(max_examples=120, deadline=None)
 def test_property_parity_single(texts, max_length):
     ids_py, mask_py = _batch_encode(TOK, texts, max_length, None)
@@ -157,7 +191,7 @@ def test_property_parity_single(texts, max_length):
 
 
 @needs_kit
-@given(data=st.data(), max_length=st.integers(8, 300))
+@given(data=st.data(), max_length=st.integers(0, 300))
 @settings(max_examples=120, deadline=None)
 def test_property_parity_pairs(data, max_length):
     n = data.draw(st.integers(1, 6))
