@@ -149,6 +149,10 @@ class MultiSliceIVF:
         self._owner = np.concatenate(
             [np.full(p.n_clusters, g, np.int32) for g, p in enumerate(parts)]
         )
+        # per-group cluster counts, kept for logging after attach_transport
+        # drops the local index (groups[g].index becomes None)
+        self._group_sizes = [p.n_clusters for p in parts]
+        self.last_failed_groups: list[int] = []
         from tensortruth_tpu.parallel.transport import LocalTransport
 
         self.transports = [LocalTransport(g) for g in self.groups]
@@ -190,6 +194,7 @@ class MultiSliceIVF:
         merged_r: list[np.ndarray] = []
         merged_q: list[np.ndarray] = []
         touched = 0
+        failed: list[tuple[int, Exception]] = []
         for grp in self.groups:
             hits = probe_groups == grp.group_id  # (B, nprobe)
             rows_mask = hits.any(axis=1)
@@ -198,13 +203,33 @@ class MultiSliceIVF:
             touched += 1
             nprobe_g = int(hits.sum(axis=1).max())
             qsub = q[rows_mask]
-            # DCN boundary: local call or socket RPC to the group's worker
-            vals, rows = self.transports[grp.group_id].search(
-                qsub, k=k, nprobe=nprobe_g
-            )
+            # DCN boundary: local call or socket RPC to the group's worker.
+            # Per-group failure isolation (the reference isolates failing
+            # retrievers the same way, rag_engine.py:453-455): a dead group
+            # degrades recall for its clusters — loudly — instead of
+            # failing the whole batch. Only if EVERY touched group fails
+            # is the batch unanswerable.
+            try:
+                vals, rows = self.transports[grp.group_id].search(
+                    qsub, k=k, nprobe=nprobe_g
+                )
+            except Exception as e:
+                logger.error(
+                    "slice group %d failed (%s) — batch continues without "
+                    "its %d clusters",
+                    grp.group_id, e, self._group_sizes[grp.group_id],
+                )
+                failed.append((grp.group_id, e))
+                continue
             merged_v.append(np.asarray(vals, np.float32))
             merged_r.append(np.asarray(rows, np.int64))
             merged_q.append(np.flatnonzero(rows_mask))
+        self.last_failed_groups = [g for g, _ in failed]
+        if failed and not merged_v and touched:
+            raise RuntimeError(
+                f"all {touched} probed slice groups failed: "
+                + "; ".join(f"group {g}: {e}" for g, e in failed)
+            )
         logger.debug("multislice batch touched %d/%d groups", touched, len(self.groups))
 
         # Host merge, fully vectorized (no per-query Python — O(B·G·k) numpy

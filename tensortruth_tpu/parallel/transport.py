@@ -146,6 +146,101 @@ class SocketTransport:
                 self._sock = None
 
 
+class SupervisedTransport:
+    """Self-healing worker transport: spawn, detect death, respawn.
+
+    Wraps (spawn_slice_worker + SocketTransport) with elastic recovery:
+    a transport-level failure (connection refused/reset, mid-frame EOF,
+    socket timeout) kills the worker, respawns it from its persisted
+    partition, and retries the request ONCE. Application-level errors
+    (``status: error`` from a live worker) are NOT respawn triggers — the
+    worker is healthy, the request was bad.
+
+    ``max_respawns`` bounds total restarts for the transport's lifetime so
+    a crash-looping worker (corrupt partition, OOM on load) degrades to a
+    hard error instead of spinning forever. The coordinator
+    (multislice.MultiSliceIVF) additionally isolates per-group failures,
+    so one dead group degrades recall for its clusters rather than failing
+    the batch — the same ladder as the reference's per-retriever isolation
+    (reference rag_engine.py:453-455), one level up.
+    """
+
+    def __init__(
+        self,
+        part_path: str | Path,
+        cluster_lo: int = 0,
+        max_respawns: int = 3,
+        startup_timeout: float = 120.0,
+        rpc_timeout: float = 120.0,
+        env_extra: dict | None = None,
+    ):
+        self.part_path = str(part_path)
+        self.cluster_lo = cluster_lo
+        self.max_respawns = max_respawns
+        self.startup_timeout = startup_timeout
+        self.rpc_timeout = rpc_timeout
+        self.env_extra = env_extra
+        self.respawn_count = 0
+        self._proc: subprocess.Popen | None = None
+        self._inner: SocketTransport | None = None
+        self._spawn()
+
+    def _spawn(self) -> None:
+        self._proc, port = spawn_slice_worker(
+            self.part_path,
+            cluster_lo=self.cluster_lo,
+            startup_timeout=self.startup_timeout,
+            env_extra=self.env_extra,
+        )
+        self._inner = SocketTransport("127.0.0.1", port, timeout=self.rpc_timeout)
+
+    def _respawn(self, cause: BaseException) -> None:
+        if self.respawn_count >= self.max_respawns:
+            raise RuntimeError(
+                f"slice worker for {self.part_path} exceeded "
+                f"{self.max_respawns} respawns (last error: {cause})"
+            ) from cause
+        self.respawn_count += 1
+        logger.warning(
+            "slice worker died (%s) — respawn %d/%d from %s",
+            cause, self.respawn_count, self.max_respawns, self.part_path,
+        )
+        self._kill()
+        self._spawn()
+
+    def _kill(self) -> None:
+        if self._inner is not None:
+            self._inner.close()
+            self._inner = None
+        if self._proc is not None:
+            if self._proc.poll() is None:
+                self._proc.kill()
+            try:
+                self._proc.wait(timeout=10)
+            except subprocess.TimeoutExpired:
+                pass
+            self._proc = None
+
+    def search(self, q: np.ndarray, k: int, nprobe: int):
+        try:
+            return self._inner.search(q, k, nprobe)
+        except OSError as e:  # includes ConnectionError / socket.timeout
+            self._respawn(e)
+            return self._inner.search(q, k, nprobe)
+
+    def ping(self) -> bool:
+        return self._inner is not None and self._inner.ping()
+
+    @property
+    def worker_pid(self) -> int | None:
+        return self._proc.pid if self._proc is not None else None
+
+    def close(self) -> None:
+        if self._inner is not None:
+            self._inner.shutdown_worker()
+        self._kill()
+
+
 def save_ivf_part(index, path: str | Path) -> None:
     """Persist one IVF partition for a worker process (npz, no pickle).
 

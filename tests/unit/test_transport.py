@@ -13,6 +13,7 @@ from tensortruth_tpu.parallel.multislice import MultiSliceIVF
 from tensortruth_tpu.parallel.transport import (
     LocalTransport,
     SocketTransport,
+    SupervisedTransport,
     _recv_frame,
     _send_frame,
     load_ivf_part,
@@ -191,6 +192,109 @@ def test_local_transport_delegates_and_closes():
     v, r = t.search(np.zeros((2, 4), np.float32), k=3, nprobe=1)
     assert v.shape == (2, 3) and g.calls == [((2, 4), 3, 1)]
     t.close()  # no-op, must not raise
+
+
+class _RaisingTransport:
+    def search(self, q, k, nprobe):
+        raise ConnectionError("worker unreachable")
+
+    def close(self):
+        pass
+
+
+def test_group_failure_isolation_degrades_not_fails():
+    """One dead slice group must not fail the batch: surviving groups'
+    candidates are returned (recall degrades for the dead clusters only),
+    and the failure is recorded on last_failed_groups."""
+    rng = np.random.default_rng(11)
+    emb = _corpus(rng, 1_200, 16)
+    index = build_ivf(emb, n_clusters=8, sample_size=1_200, kmeans_iters=3)
+    q = _corpus(rng, 6, 16)
+    k, nprobe = 8, 8  # probe everything → both groups touched
+
+    ms = MultiSliceIVF(index, n_groups=2)
+    dead_rows = {
+        int(x) for x in np.asarray(ms.groups[1].index.row_map).ravel() if x >= 0
+    }
+    ms.transports[1] = _RaisingTransport()
+    v, r = ms.search(q, k=k, nprobe=nprobe)
+    assert ms.last_failed_groups == [1]
+    live = r[r >= 0]
+    assert live.size  # group 0 still answered
+    assert not any(int(x) in dead_rows for x in live), (
+        "a row from the dead group appeared without its transport"
+    )
+    # scores for live rows stay sorted per query
+    for row in v:
+        fin = row[np.isfinite(row)]
+        assert np.all(np.diff(fin) <= 1e-6)
+    # a later healthy batch clears the record
+    ms.transports[1] = LocalTransport(ms.groups[1])
+    ms.search(q, k=k, nprobe=nprobe)
+    assert ms.last_failed_groups == []
+
+
+def test_all_groups_failing_raises():
+    rng = np.random.default_rng(12)
+    emb = _corpus(rng, 600, 16)
+    index = build_ivf(emb, n_clusters=4, sample_size=600, kmeans_iters=2)
+    ms = MultiSliceIVF(index, n_groups=2)
+    ms.transports[0] = _RaisingTransport()
+    ms.transports[1] = _RaisingTransport()
+    with pytest.raises(RuntimeError, match="all .* failed"):
+        ms.search(_corpus(rng, 3, 16), k=4, nprobe=4)
+
+
+@pytest.mark.slow
+def test_supervised_transport_respawns_after_worker_death(tmp_path):
+    """Elastic recovery across a real process boundary: kill the worker
+    process out from under the transport; the next search respawns it from
+    the persisted partition and returns identical results."""
+    rng = np.random.default_rng(13)
+    emb = _corpus(rng, 800, 16)
+    index = build_ivf(emb, n_clusters=4, sample_size=800, kmeans_iters=3)
+    save_ivf_part(index, tmp_path / "p.npz")
+    q = _corpus(rng, 4, 16)
+
+    from tensortruth_tpu.parallel.multislice import SliceGroup
+
+    v_ref, r_ref = SliceGroup(0, 0, index).search(q, k=6, nprobe=4)
+
+    st = SupervisedTransport(tmp_path / "p.npz", startup_timeout=180)
+    try:
+        v, r = st.search(q, k=6, nprobe=4)
+        np.testing.assert_array_equal(r, np.asarray(r_ref))
+        pid_before = st.worker_pid
+        st._proc.kill()  # simulate a worker crash
+        st._proc.wait(timeout=30)
+        v2, r2 = st.search(q, k=6, nprobe=4)  # respawn + retry, same answer
+        np.testing.assert_array_equal(r2, np.asarray(r_ref))
+        np.testing.assert_allclose(v2, v, rtol=1e-5, atol=1e-6)
+        assert st.respawn_count == 1
+        assert st.worker_pid != pid_before
+        assert st.ping()
+    finally:
+        st.close()
+    assert st.worker_pid is None
+
+
+@pytest.mark.slow
+def test_supervised_transport_respawn_budget_exhausts(tmp_path):
+    """A crash-looping worker degrades to a hard error once the respawn
+    budget is spent, instead of spinning forever."""
+    rng = np.random.default_rng(14)
+    emb = _corpus(rng, 400, 16)
+    index = build_ivf(emb, n_clusters=4, sample_size=400, kmeans_iters=2)
+    save_ivf_part(index, tmp_path / "p.npz")
+
+    st = SupervisedTransport(tmp_path / "p.npz", max_respawns=0, startup_timeout=180)
+    try:
+        st._proc.kill()
+        st._proc.wait(timeout=30)
+        with pytest.raises(RuntimeError, match="exceeded 0 respawns"):
+            st.search(_corpus(rng, 2, 16), k=4, nprobe=2)
+    finally:
+        st.close()
 
 
 def test_multislice_close_closes_all_transports(tmp_path):
