@@ -8,14 +8,31 @@ import {$, el} from "../lib/dom.js";
 import {currentSessionId} from "../stores/session.js";
 import {sendUserMessage} from "./send.js";
 
-let pendingImages = [];
+let pendingImages = [];   // raw base64, what rides the WS message
+let pendingDataUrls = []; // same images as data: URLs, for the thumbnails
 
+// Thumbnail strip with per-image remove (reference ImagePreviewStrip.tsx).
 function renderAttachRow() {
   const row = $("attach-row");
+  row.innerHTML = "";
   row.style.display = pendingImages.length ? "block" : "none";
-  row.textContent = pendingImages.length
-    ? `🖼 ${pendingImages.length} image(s) attached — sent with the next message (click to clear)`
-    : "";
+  pendingDataUrls.forEach((url, i) => {
+    const box = el("span", "attach-thumb");
+    const img = document.createElement("img");
+    img.src = url;
+    box.appendChild(img);
+    const x = el("span", "del", "×");
+    x.title = "Remove image";
+    x.onclick = () => {
+      pendingImages.splice(i, 1);
+      pendingDataUrls.splice(i, 1);
+      renderAttachRow();
+    };
+    box.appendChild(x);
+    row.appendChild(box);
+  });
+  if (pendingImages.length)
+    row.appendChild(el("span", "dim", " sent with the next message"));
 }
 
 // Slash-command autocomplete: typing "/" with no space yet filters
@@ -69,7 +86,6 @@ async function updateCmdMenu() {
 }
 
 export function wireComposer() {
-  $("attach-row").onclick = () => { pendingImages = []; renderAttachRow(); };
   $("attach-btn").onclick = () => $("image-input").click();
   $("image-input").onchange = ev => {
     const file = ev.target.files[0];
@@ -77,6 +93,7 @@ export function wireComposer() {
     if (!file) return;
     const reader = new FileReader();
     reader.onload = () => {
+      pendingDataUrls.push(String(reader.result));
       pendingImages.push(String(reader.result).split(",", 2)[1]);  // strip data: prefix
       renderAttachRow();
     };
@@ -93,6 +110,7 @@ export function wireComposer() {
     if (!currentSessionId()) return;
     if (!sendUserMessage(text, pendingImages)) return;
     pendingImages = [];
+    pendingDataUrls = [];
     renderAttachRow();
     $("input").value = "";
   };

@@ -4,7 +4,7 @@
 // lives in stream.js, the socket in ws.js.
 
 import {deleteMessage} from "../api/sessions.js";
-import {$, el, toast} from "../lib/dom.js";
+import {$, el, scrollMessages, toast} from "../lib/dom.js";
 import {safeUrl} from "../lib/markdown.js";
 import {currentSessionId} from "../stores/session.js";
 import {resendMessage} from "./send.js";
@@ -23,6 +23,8 @@ export function copyText(text) {
 
 export function addMessage(role, text, opts) {
   opts = opts || {};
+  const welcome = $("welcome-card");
+  if (welcome) welcome.remove();  // first real message replaces the empty state
   const wrap = el("div", "msg " + role);
   const roleRow = el("div", "role", role);
   if (opts.timestamp) {
@@ -51,8 +53,40 @@ export function addMessage(role, text, opts) {
   }
   wrap.appendChild(actions);
   $("messages").appendChild(wrap);
-  $("messages").scrollTop = 1e9;
+  scrollMessages(true);
   return wrap;
+}
+
+// Empty-session welcome card (reference welcome/WelcomePage.tsx): example
+// prompts that fill the composer, plus pointers to upload/manage.
+const WELCOME_PROMPTS = [
+  "What do my loaded modules cover?",
+  "/web latest JAX pallas TPU kernel examples",
+  "Summarize the uploaded document",
+  "/help",
+];
+
+export function renderWelcome() {
+  if ($("welcome-card")) return;
+  const card = el("div", "welcome");
+  card.id = "welcome-card";
+  card.appendChild(el("h2", "", "TensorTruth TPU"));
+  card.appendChild(el("p", "dim",
+    "Ask about your indexed documentation, attach a document with 📄 " +
+    "Upload, or start a /web research run. Retrieval runs on TPU; " +
+    "generation uses your configured provider."));
+  const list = el("div", "welcome-prompts");
+  for (const p of WELCOME_PROMPTS) {
+    const b = el("button", "hbtn", p);
+    b.onclick = () => {
+      $("input").value = p;
+      $("input").focus();
+      $("input").dispatchEvent(new Event("input"));
+    };
+    list.appendChild(b);
+  }
+  card.appendChild(list);
+  $("messages").appendChild(card);
 }
 
 export function renderSources(container, sources) {

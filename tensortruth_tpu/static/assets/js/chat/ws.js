@@ -5,7 +5,7 @@
 // streaming state held in stream.js.
 
 import {approveConfirmation, rejectConfirmation} from "../api/confirmations.js";
-import {$, el, toast} from "../lib/dom.js";
+import {$, el, scrollMessages, toast} from "../lib/dom.js";
 import {renderMarkdown} from "../lib/markdown.js";
 import {currentSessionId} from "../stores/session.js";
 import {loadSessions} from "../views/sidebar.js";
@@ -37,7 +37,7 @@ const WS_HANDLERS = {
   token(msg) {
     ensureAssistant();
     stream.body.textContent += msg.content;
-    $("messages").scrollTop = 1e9;
+    scrollMessages();
   },
   sources(msg) {
     ensureAssistant();
@@ -80,7 +80,7 @@ const WS_HANDLERS = {
     };
     card.appendChild(yes); card.appendChild(no);
     $("messages").appendChild(card);
-    $("messages").scrollTop = 1e9;
+    scrollMessages(true);
   },
 };
 

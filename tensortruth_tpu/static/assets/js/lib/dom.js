@@ -15,3 +15,14 @@ export function toast(message, isError) {
   $("toasts").appendChild(t);
   setTimeout(() => t.remove(), 4500);
 }
+
+// Autoscroll that respects the reader: stick to the bottom only when the
+// user is already there (within a small margin), so scrolling up to reread
+// isn't yanked away by the next streamed token. force=true (own message
+// sent, session opened) always scrolls. Reference useAutoScroll.ts.
+export function scrollMessages(force) {
+  const box = $("messages");
+  const nearBottom =
+    box.scrollHeight - box.scrollTop - box.clientHeight < 160;
+  if (force || nearBottom) box.scrollTop = box.scrollHeight;
+}

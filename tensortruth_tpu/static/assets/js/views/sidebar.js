@@ -14,6 +14,7 @@ import {renderMarkdown} from "../lib/markdown.js";
 import {sessionStore, currentSessionId} from "../stores/session.js";
 import {
   addMessage, renderMetrics, renderSources, renderThinking, renderToolSteps,
+  renderWelcome,
 } from "../chat/messages.js";
 import {fillParamsDrawer} from "../chat/params.js";
 import {closeWS, connectWS} from "../chat/ws.js";
@@ -78,6 +79,7 @@ export async function openSession(id) {
     renderToolSteps(wrap, m.tool_steps);
     renderMetrics(wrap, m.metrics, m.confidence);
   }
+  if (!session.messages.length) renderWelcome();
   fillParamsDrawer(session.params || {});
   connectWS();
   loadSessions();

@@ -293,7 +293,7 @@ def test_params_drawer_fields_match_session_params():
     fields = set(re.findall(r'name="(\w+)"', drawer))
     expected = {"model", "temperature", "context_window", "reranker_top_n",
                 "use_reranker", "confidence_cutoff", "corpus_dtype",
-                "use_orchestrator"}
+                "use_orchestrator", "thinking"}
     assert fields == expected, fields ^ expected
 
 
@@ -573,3 +573,57 @@ def test_arxiv_ingestion_form_wired():
     docs = JS["panels/documents.js"]
     assert "arxivLookup(" in docs
     assert "addTextDocument(" in docs
+
+
+def test_welcome_empty_state_wired():
+    """Empty sessions show the welcome card (reference WelcomePage.tsx):
+    rendered on open when there are no messages, removed by the first real
+    message, suggestion buttons fill the composer input."""
+    msgs = JS["chat/messages.js"]
+    assert "renderWelcome" in msgs
+    assert 'card.id = "welcome-card"' in msgs
+    assert "WELCOME_PROMPTS" in msgs
+    assert "welcome.remove()" in msgs  # first addMessage clears it
+    sidebar = JS["views/sidebar.js"]
+    assert "renderWelcome()" in sidebar
+    assert "session.messages.length" in sidebar
+    assert ".welcome-prompts" in CSS
+
+
+def test_image_preview_strip_wired():
+    """Pending attachments render as thumbnails with per-image remove
+    (reference ImagePreviewStrip.tsx), and both buffers clear on send."""
+    comp = JS["chat/composer.js"]
+    assert "pendingDataUrls" in comp
+    assert "attach-thumb" in comp
+    assert "splice(i, 1)" in comp  # per-image remove
+    assert "pendingDataUrls = []" in comp  # cleared on successful send
+    assert ".attach-thumb img" in CSS
+
+
+def test_smart_autoscroll():
+    """Streaming tokens must not yank the scroll position when the reader
+    scrolled up (reference useAutoScroll.ts): token path uses the
+    near-bottom-aware helper, own messages force-scroll."""
+    dom = JS["lib/dom.js"]
+    assert "function scrollMessages" in dom
+    assert "nearBottom" in dom
+    assert "scrollMessages()" in JS["chat/ws.js"]       # token: respect reader
+    assert "scrollMessages(true)" in JS["chat/messages.js"]  # own msg: force
+    # the raw scroll yank is gone from the chat modules
+    assert 'scrollTop = 1e9' not in JS["chat/ws.js"]
+    assert 'scrollTop = 1e9' not in JS["chat/messages.js"]
+
+
+def test_thinking_param_control():
+    """The thinking toggle is a real session param: drawer select present,
+    save path coerces its true/false strings to booleans, and the provider
+    layer consumes params['thinking'] (core/providers.py create_llm)."""
+    assert 'name="thinking"' in HTML
+    params = JS["chat/params.js"]
+    assert 'v === "true"' in params and 'v === "false"' in params
+    import inspect
+
+    from tensortruth_tpu.core import providers
+
+    assert 'params.get("thinking")' in inspect.getsource(providers)
