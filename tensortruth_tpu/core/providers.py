@@ -67,6 +67,7 @@ class BaseLLM:
         max_tokens: int = 4096,
         timeout: int = 300,
         thinking: bool | None = None,
+        extra_payload: dict | None = None,
     ):
         self.base_url = base_url.rstrip("/")
         self.model = model
@@ -76,6 +77,10 @@ class BaseLLM:
         self.max_tokens = max_tokens
         self.timeout = timeout
         self.thinking = thinking
+        # provider-specific request params merged into every chat payload
+        # (llama.cpp reasoning_format/think_budget — reference
+        # providers.py:564-589 additional_kwargs)
+        self.extra_payload = dict(extra_payload or {})
 
     def _headers(self) -> dict:
         h = {"Content-Type": "application/json"}
@@ -247,6 +252,7 @@ class OpenAICompatibleLLM(BaseLLM):
             "stream": True,
             "temperature": self.temperature if temperature is None else temperature,
             "max_tokens": self.max_tokens,
+            **self.extra_payload,
         }
         url = self.base_url
         if not url.endswith("/v1"):
@@ -295,6 +301,7 @@ class OpenAICompatibleLLM(BaseLLM):
             "temperature": self.temperature,
             "max_tokens": self.max_tokens,
             "tools": [{"type": "function", "function": t} for t in tools],
+            **self.extra_payload,
         }
         r = requests.post(
             f"{url}/chat/completions", json=payload,
@@ -455,7 +462,26 @@ def create_llm(
     )
     if p.type == "ollama":
         return OllamaLLM(p.base_url, ref.model, **kw)
+    if p.type == "llama_cpp":
+        kw["extra_payload"] = _llama_cpp_thinking_params(kw["thinking"])
     return OpenAICompatibleLLM(p.base_url, ref.model, **kw)
+
+
+def _llama_cpp_thinking_params(thinking) -> dict:
+    """Translate the thinking preference into llama.cpp request params
+    (reference providers.py:564-589): off → reasoning_format "none";
+    level strings map to deepseek format with a think budget (low 1024,
+    medium 4096, high unlimited); any other truthy value → deepseek."""
+    if thinking is None:
+        return {}
+    if thinking is False:
+        return {"reasoning_format": "none"}
+    budgets = {"low": 1024, "medium": 4096, "high": -1}
+    if isinstance(thinking, str) and thinking in budgets:
+        return {"reasoning_format": "deepseek", "think_budget": budgets[thinking]}
+    if thinking:
+        return {"reasoning_format": "deepseek"}
+    return {}
 
 
 _llm_cache: dict[tuple, BaseLLM] = {}

@@ -60,7 +60,11 @@ def fake_server():
         if body.get("stream"):
             resp = web.StreamResponse()
             await resp.prepare(request)
-            for delta in ({"reasoning_content": "hmm"}, {"content": "Hi"}, {"content": "!"}):
+            deltas = [{"reasoning_content": "hmm"}, {"content": "Hi"}, {"content": "!"}]
+            if "reasoning_format" in body:  # echo llama.cpp thinking params
+                deltas.append({"content": f" rf={body['reasoning_format']}"
+                                          f" tb={body.get('think_budget')}"})
+            for delta in deltas:
                 payload = {"choices": [{"delta": delta}]}
                 await resp.write(f"data: {json.dumps(payload)}\n\n".encode())
             await resp.write(b"data: [DONE]\n\n")
@@ -151,4 +155,38 @@ def test_create_llm_dispatch(fake_server):
     llm = create_llm({"model": "llama3:8b", "temperature": 0.1}, providers=providers)
     assert isinstance(llm, OllamaLLM)
     assert llm.temperature == 0.1
+    ProviderRegistry.reset_instance()
+
+
+def test_llama_cpp_thinking_translation():
+    """Thinking preferences become llama.cpp request params (reference
+    providers.py:564-589): off → reasoning_format none, levels → deepseek
+    with a budget, bare true → deepseek, unset → nothing."""
+    from tensortruth_tpu.core.providers import _llama_cpp_thinking_params as t
+
+    assert t(None) == {}
+    assert t(False) == {"reasoning_format": "none"}
+    assert t(True) == {"reasoning_format": "deepseek"}
+    assert t("low") == {"reasoning_format": "deepseek", "think_budget": 1024}
+    assert t("medium") == {"reasoning_format": "deepseek", "think_budget": 4096}
+    assert t("high") == {"reasoning_format": "deepseek", "think_budget": -1}
+
+
+def test_llama_cpp_llm_sends_thinking_params(fake_server):
+    """create_llm on a llama_cpp provider merges the translated params into
+    the chat payload — the fake server echoes them back in the stream."""
+    ProviderRegistry.reset_instance()
+    providers = [ProviderConfig(id="lcpp", type="llama_cpp", base_url=fake_server)]
+    llm = create_llm(
+        {"model": "gpt-oss", "thinking": "medium"}, providers=providers
+    )
+    assert isinstance(llm, OpenAICompatibleLLM)
+    assert llm.extra_payload == {"reasoning_format": "deepseek", "think_budget": 4096}
+    text = "".join(
+        d.text for d in llm.stream_chat([{"role": "user", "content": "hi"}])
+    )
+    assert "rf=deepseek" in text and "tb=4096" in text
+    # thinking=False path
+    off = create_llm({"model": "gpt-oss", "thinking": False}, providers=providers)
+    assert off.extra_payload == {"reasoning_format": "none"}
     ProviderRegistry.reset_instance()
