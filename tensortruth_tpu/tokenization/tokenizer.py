@@ -77,6 +77,18 @@ class SimpleTokenizer:
         )
 
     def encode_with_offsets(self, text: str) -> tuple[list[int], list[tuple[int, int]]]:
+        # Native fast path (native/hostkit.cpp tt_encode_offsets): identical
+        # output for any BMP text, one C pass instead of one hashlib call
+        # per token — this is the chunker's hot loop at build time. Falls
+        # back to the Python reference below for NUL/astral/Σ input or
+        # when no toolchain exists.
+        from tensortruth_tpu.native import get_hostkit
+
+        kit = get_hostkit()
+        if kit is not None:
+            out = kit.encode_with_offsets(text, self.vocab_size, self.n_special)
+            if out is not None:
+                return out
         ids: list[int] = []
         offsets: list[tuple[int, int]] = []
         for m in _WORD_RE.finditer(text):
@@ -90,13 +102,15 @@ class SimpleTokenizer:
     def encode_batch(
         self, texts: Sequence[str], max_length: int, pair: Sequence[str] | None = None
     ) -> tuple[np.ndarray, np.ndarray]:
-        # Native fast path (native/hostkit.cpp): identical output for ASCII
-        # inputs, ~an order of magnitude faster on the single host core this
+        # Native fast path (native/hostkit.cpp): identical output for any
+        # BMP text (Unicode semantics come from Python-generated tables),
+        # ~an order of magnitude faster on the single host core this
         # environment provides — and host tokenization sits on the serving
         # critical path (Reranker.score_pairs tokenizes B*top_k pairs per
-        # batch before the rerank dispatch). Returns None for non-ASCII
-        # input or when no C++ toolchain exists; then the pure-Python loop
-        # below owns the call (it is also the parity reference under test).
+        # batch before the rerank dispatch). Returns None for text the
+        # tables can't answer (NUL, astral plane, Σ) or when no C++
+        # toolchain exists; then the pure-Python loop below owns the call
+        # (it is also the parity reference under test).
         from tensortruth_tpu.native import get_hostkit
 
         kit = get_hostkit()

@@ -110,9 +110,35 @@ def test_pair_budget_split_favors_short_query():
 
 
 @needs_kit
-def test_non_ascii_returns_none():
-    assert _native(["héllo"], 16) is None
-    assert _native(["ok"], 16, pair=["naïve"]) is None
+def test_bmp_unicode_handled_natively():
+    """Real-world non-ASCII text (accents, em-dashes, CJK, Cyrillic) is
+    handled natively with exact parity — this is most of what real corpora
+    contain; the pre-Unicode kit bounced ALL of it to Python."""
+    texts = ["héllo wörld", "em—dash and “curly quotes”", "naïve café",
+             "русский текст", "中文 分词 测试", "Straße GRÜSSE İstanbul"]
+    ids_py, mask_py = _batch_encode(TOK, texts, 32, None)
+    out = _native(texts, 32)
+    assert out is not None
+    assert np.array_equal(ids_py, out[0]) and np.array_equal(mask_py, out[1])
+    pairs = ["doc ünö", "—", "ß", "документ", "文档", "İİ"]
+    ids_py, mask_py = _batch_encode(TOK, texts, 32, pairs)
+    out = _native(texts, 32, pair=pairs)
+    assert out is not None
+    assert np.array_equal(ids_py, out[0]) and np.array_equal(mask_py, out[1])
+
+
+@needs_kit
+def test_fallback_astral_and_sigma():
+    """The three cases the BMP tables cannot answer bounce to Python:
+    astral-plane chars (emoji), U+03A3 (context-sensitive lowercase), and
+    embedded NULs — and the dispatch output still equals the reference."""
+    assert _native(["rocket 🚀"], 16) is None
+    assert _native(["ΑΣ ends in sigma"], 16) is None
+    assert _native(["ok"], 16, pair=["emoji 😀"]) is None
+    for text in ["rocket 🚀 launch", "ΤΟ ΤΕΛΟΣ"]:
+        ids_a, mask_a = TOK.encode_batch([text], 24)
+        ids_b, mask_b = _batch_encode(TOK, [text], 24, None)
+        assert np.array_equal(ids_a, ids_b) and np.array_equal(mask_a, mask_b)
 
 
 @needs_kit
@@ -211,3 +237,108 @@ def test_long_token_over_128_bytes():
     ids_py, _ = _batch_encode(TOK, [t], 8, None)
     ids_cc, _ = _native([t], 8)
     assert np.array_equal(ids_py, ids_cc)
+
+
+# -- encode_with_offsets (chunker hot path) -----------------------------------
+# Parity reference is the RAW regex+hashlib loop (not SimpleTokenizer.encode,
+# which now dispatches to the native path itself — comparing against it would
+# be native-vs-native).
+
+def _py_offsets(text):
+    from tensortruth_tpu.tokenization.tokenizer import _WORD_RE
+
+    ids, offs = [], []
+    for m in _WORD_RE.finditer(text):
+        ids.append(TOK._token_id(m.group(0)))
+        offs.append((m.start(), m.end()))
+    return ids, offs
+
+
+@needs_kit
+def test_offsets_parity_cases():
+    cases = [
+        "", " ", "a", "hello world", "a_b-c.d", "...", "x" * 600,
+        "tabs\tand\nnewlines\x1c\x1dseps", "CAPS lower 42_mixed",
+        "punct!runs??end", "  leading and trailing  ",
+    ]
+    for text in cases:
+        expect = _py_offsets(text)
+        got = kit.encode_with_offsets(text, TOK.vocab_size, TOK.n_special)
+        assert got is not None, text
+        assert got == expect, text
+
+
+@needs_kit
+def test_offsets_fallback_nul_astral_sigma():
+    assert kit.encode_with_offsets("a\x00b", TOK.vocab_size, TOK.n_special) is None
+    assert kit.encode_with_offsets("go 🚀", TOK.vocab_size, TOK.n_special) is None
+    assert kit.encode_with_offsets("ΑΣ", TOK.vocab_size, TOK.n_special) is None
+    # dispatch end-to-end still equals the pure loop on fallback inputs
+    for text in ["pre\x00post", "rocket 🚀 go", "ΤΕΛΟΣ"]:
+        assert TOK.encode_with_offsets(text) == _py_offsets(text)
+    # ...and non-ASCII BMP text is handled natively now
+    got = kit.encode_with_offsets("héllo wörld", TOK.vocab_size, TOK.n_special)
+    assert got is not None and got == _py_offsets("héllo wörld")
+
+
+@needs_kit
+@given(text=ASCII_TEXT)
+@settings(max_examples=150, deadline=None)
+def test_property_offsets_parity(text):
+    expect = _py_offsets(text)
+    got = kit.encode_with_offsets(text, TOK.vocab_size, TOK.n_special)
+    assert got is not None
+    assert got == expect
+
+
+def test_simple_tokenizer_offsets_dispatch_consistent():
+    """Whatever path encode_with_offsets takes, chunker-visible output is
+    identical to the regex reference (ASCII and non-ASCII)."""
+    for text in ["plain ascii text, punct! and_words",
+                 "unicode départ — em-dash"]:
+        assert TOK.encode_with_offsets(text) == _py_offsets(text)
+
+
+BMP_TEXT = st.text(
+    alphabet=st.characters(min_codepoint=0x09, max_codepoint=0xFFFF,
+                           blacklist_categories=("Cs",)),
+    max_size=300,
+)
+
+
+@needs_kit
+@given(texts=st.lists(BMP_TEXT, min_size=1, max_size=6),
+       max_length=st.integers(0, 128))
+@settings(max_examples=150, deadline=None)
+def test_property_parity_unicode_batch(texts, max_length):
+    """Full-BMP property: when the native path answers it matches the
+    pure-Python reference exactly; the dispatch ALWAYS matches (fallback
+    cases included — Σ may appear in generated text)."""
+    ids_py, mask_py = _batch_encode(TOK, texts, max_length, None)
+    out = _native(texts, max_length)
+    if out is not None:
+        assert np.array_equal(ids_py, out[0])
+        assert np.array_equal(mask_py, out[1])
+    ids_d, mask_d = TOK.encode_batch(texts, max_length)
+    assert np.array_equal(ids_py, ids_d) and np.array_equal(mask_py, mask_d)
+
+
+@needs_kit
+@given(text=BMP_TEXT)
+@settings(max_examples=150, deadline=None)
+def test_property_offsets_parity_unicode(text):
+    expect = _py_offsets(text)
+    got = kit.encode_with_offsets(text, TOK.vocab_size, TOK.n_special)
+    if got is not None:
+        assert got == expect
+    assert TOK.encode_with_offsets(text) == expect
+
+
+@needs_kit
+def test_unicode_offsets_are_character_indices():
+    """Offsets must index CHARACTERS (Python slicing), not UTF-8 bytes —
+    the chunker slices str objects with them."""
+    text = "héllo wörld — 中文 test"
+    ids, offs = kit.encode_with_offsets(text, TOK.vocab_size, TOK.n_special)
+    for (s, e), tok in zip(offs, ["héllo", "wörld", "—", "中文", "test"]):
+        assert text[s:e] == tok
