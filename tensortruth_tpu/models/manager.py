@@ -38,6 +38,32 @@ DEFAULT_EMBEDDING_MODEL = "BAAI/bge-m3"
 DEFAULT_RERANKER_MODEL = "BAAI/bge-reranker-v2-m3"
 
 
+def host_cache_tag() -> str:
+    """Short fingerprint of this host's CPU feature set.
+
+    JAX's persistent compilation cache keys entries by HLO + compile options
+    but NOT by the host machine's CPU features, and XLA:CPU AOT executables
+    baked for one microarchitecture fail to load (or worse, SIGILL) on
+    another ("Machine type used for XLA:CPU compilation doesn't match...").
+    Cache directories are therefore suffixed with this tag so that moving
+    the cache dir between hosts — which happens between build rounds here —
+    starts cold instead of tripping over incompatible AOT artifacts.
+    """
+    import hashlib
+    import platform
+
+    feats = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    feats += " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        feats += platform.processor()
+    return hashlib.sha256(feats.encode()).hexdigest()[:10]
+
+
 def enable_persistent_compilation_cache(cache_dir: str | None = None) -> None:
     """Turn on JAX's persistent compilation cache for this process.
 
@@ -51,7 +77,8 @@ def enable_persistent_compilation_cache(cache_dir: str | None = None) -> None:
     if jax.config.jax_compilation_cache_dir:
         return
     cache_dir = cache_dir or os.path.join(
-        os.path.expanduser("~"), ".cache", "tensortruth_tpu_jax"
+        os.path.expanduser("~"), ".cache",
+        "tensortruth_tpu_jax_" + host_cache_tag(),
     )
     try:
         os.makedirs(cache_dir, exist_ok=True)
@@ -183,6 +210,26 @@ class ModelSpec:
         return kw
 
 
+def _clamp_max_length(spec: ModelSpec, cfg: XLMRConfig) -> ModelSpec:
+    """Cap ``spec.max_length`` at the architecture's position capacity.
+
+    XLM-R learned positions start at padding_idx+1=2, so a model with
+    ``max_position`` rows supports sequences of ``max_position - 2`` tokens.
+    Feeding longer sequences indexes past the embedding table (silently
+    clamped/wrapped by the backend — garbage scores, no error). BGE-M3's
+    8194 rows comfortably cover the default 2048; this guard matters for
+    smaller architectures (e.g. the ``tiny-*`` test models at 130 rows,
+    where an unclamped 2048-token program is also a ~100× compile+compute
+    blowup on the CPU test backend).
+    """
+    cap = max(cfg.max_position - 2, 8)
+    if spec.max_length <= cap:
+        return spec
+    from dataclasses import replace
+
+    return replace(spec, max_length=cap)
+
+
 def _mesh_desc(mesh) -> tuple | None:
     """JSON-able VALUE identity for a mesh: config-driven meshes are fresh
     objects each engine load, so object identity would thrash the model
@@ -304,6 +351,7 @@ class ModelManager:
 
     def _load_embedder(self, spec: ModelSpec, mesh=None) -> Embedder:
         cfg = _EMBEDDER_ARCHS.get(spec.model_id, BGE_M3_CONFIG)
+        spec = _clamp_max_length(spec, cfg)
         dtype = getattr(jnp, spec.dtype)
         self._warn_if_degraded(spec, "embedder")
         tokenizer = load_tokenizer(spec.tokenizer_path)
@@ -347,6 +395,7 @@ class ModelManager:
 
     def _load_reranker(self, spec: ModelSpec, mesh=None) -> Reranker:
         cfg = _RERANKER_ARCHS.get(spec.model_id, BGE_RERANKER_V2_M3_CONFIG)
+        spec = _clamp_max_length(spec, cfg)
         dtype = getattr(jnp, spec.dtype)
         self._warn_if_degraded(spec, "reranker")
         tokenizer = load_tokenizer(spec.tokenizer_path)

@@ -31,11 +31,32 @@ jax.config.update("jax_platforms", "cpu")
 # recompiles the tiny-model programs — on this 1-core host those compiles
 # stack up under suite load and were the root cause of the flaky
 # 60s-receive-timeout in test_session_document_upload_then_rag_query.
-os.makedirs(os.path.expanduser("~/.cache/tensortruth_tpu_jax_test"), exist_ok=True)
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.expanduser("~/.cache/tensortruth_tpu_jax_test"),
+# The dir is keyed by the host CPU fingerprint (see
+# tensortruth_tpu.models.manager.host_cache_tag — inlined here because
+# conftest must configure jax before any project import): XLA:CPU AOT
+# executables are microarch-specific and a cache carried across hosts
+# fails to load ("Machine type ... doesn't match") on every entry.
+def _host_cache_tag() -> str:
+    import hashlib
+    import platform
+
+    feats = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    feats += " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        feats += platform.processor()
+    return hashlib.sha256(feats.encode()).hexdigest()[:10]
+
+
+_test_cache = os.path.expanduser(
+    "~/.cache/tensortruth_tpu_jax_test_" + _host_cache_tag()
 )
+os.makedirs(_test_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _test_cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 
 import asyncio

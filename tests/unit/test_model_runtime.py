@@ -100,6 +100,27 @@ def test_model_manager_singleton_and_swap():
     ModelManager.reset_instance()
 
 
+def test_max_length_clamped_to_position_capacity():
+    """A spec's max_length is capped at the architecture's usable positions
+    (max_position - 2, XLM-R padding_idx offset): longer programs index past
+    the position table — garbage scores plus, on the CPU test backend, a
+    ~100x compile/compute blowup (the r3 flaky-WS-test root cause: the
+    default 2048 spec reached the 130-position tiny reranker through the
+    session-document auto-merge path and one merged 2048-token pair took
+    ~178s)."""
+    ModelManager.reset_instance()
+    mgr = ModelManager.get_instance()
+    e = mgr.get_embedder(ModelSpec("tiny-embedder", dtype="float32", max_length=2048))
+    assert e.max_length == 128  # 130 positions - 2 offset
+    r = mgr.get_reranker(ModelSpec("tiny-reranker", dtype="float32", max_length=2048))
+    assert r.max_length == 128
+    assert max(r.seq_buckets) <= 128  # buckets follow the clamp
+    # scoring a pair far longer than the capacity stays in-range and fast
+    s = r.score_pairs([("query", "word " * 3000)])
+    assert s.shape == (1,)
+    ModelManager.reset_instance()
+
+
 def test_score_pairs_matches_score():
     """Length-sorted cross-query batching returns the same scores as the
     per-query path, in input order."""
