@@ -9,6 +9,7 @@ surface with identical paths and JSON shapes.
 
 from __future__ import annotations
 
+import asyncio
 import logging
 import re
 from pathlib import Path
@@ -142,6 +143,21 @@ def create_app(data_dir: str | Path | None = None, config=None) -> web.Applicati
             services.rag_service.enable_batching(
                 max_batch=services.config.rag.query_batching_max_batch,
                 max_wait_ms=services.config.rag.query_batching_max_wait_ms,
+            )
+            # The WS/REST chat paths pump sync query generators via
+            # run_in_executor(None, ...); each pump BLOCKS on its batcher
+            # future, so the default executor (min(32, cpus+4) threads —
+            # 5 on a 1-core host) would cap batch coalescing far below
+            # max_batch. These threads are device-wait-bound, not
+            # CPU-bound: size the pool to the batching tier (two in-flight
+            # double-buffered batches + engine loads + misc executor use).
+            import concurrent.futures
+
+            n = services.config.rag.query_batching_max_batch * 2 + 8
+            asyncio.get_running_loop().set_default_executor(
+                concurrent.futures.ThreadPoolExecutor(
+                    max_workers=n, thread_name_prefix="tt-pump"
+                )
             )
         try:
             from tensortruth_tpu.app.paths import get_base_indexes_dir

@@ -208,6 +208,15 @@ async def rag_status(request: web.Request):
     services = request.app["services"]
     status = ModelManager.get_instance().status()
     status["last_query_timings"] = services.rag_service.last_timings
+    batcher = services.rag_service._batcher
+    status["batcher"] = (
+        {
+            "batches_run": batcher.batches_run,
+            "requests_served": batcher.requests_served,
+        }
+        if batcher is not None
+        else None
+    )
     engine = services.rag_service.engine
     status["engine"] = (
         {

@@ -116,6 +116,11 @@ class RAGService:
         # load/unload/current-pointer guard: routes run in executor threads
         # and must not null the engine out from under an in-flight query.
         self._lock = threading.RLock()
+        # single-flight builds: N sessions cold-starting the SAME engine
+        # must produce one build, not N (a 1M-row index load is GBs of host
+        # work; duplicates stall the box). Different hashes still build in
+        # parallel — only same-hash callers queue on their shared lock.
+        self._build_locks: dict[str, threading.Lock] = {}
         self.last_timings: dict = {}  # stage timings of the latest query
         self._batcher = None  # services/batcher.py micro-batching (optional)
         # injectable for tests; default = provider-backed factory
@@ -168,17 +173,26 @@ class RAGService:
                 self._engines.move_to_end(h)
                 self._engine, self._engine_hash = cached, h
                 return cached
-        # Build OUTSIDE the lock: a cold build (model conversion + XLA
+            build_lock = self._build_locks.setdefault(h, threading.Lock())
+        # Build OUTSIDE self._lock: a cold build (model conversion + XLA
         # compile) takes seconds-to-minutes and must not head-of-line-block
         # concurrent queries that only need the already-current engine.
-        # A duplicate concurrent build of the same hash is possible and
-        # harmless — first insert wins below; ModelManager serializes the
-        # heavy model loads internally anyway.
-        engine = load_engine_for_modules(
-            modules, params, extra_index_paths=extra_index_paths,
-            config=self.config, **kw,
-        )
+        # The per-hash build_lock single-flights same-engine cold starts:
+        # whoever loses the race re-checks the cache and returns the
+        # winner's engine instead of re-loading GBs of index.
+        with build_lock:
+            with self._lock:
+                existing = self._engines.get(h)
+                if existing is not None:
+                    self._engines.move_to_end(h)
+                    self._engine, self._engine_hash = existing, h
+                    return existing
+            engine = load_engine_for_modules(
+                modules, params, extra_index_paths=extra_index_paths,
+                config=self.config, **kw,
+            )
         with self._lock:
+            self._build_locks.pop(h, None)
             existing = self._engines.get(h)
             if existing is not None:
                 self._engines.move_to_end(h)

@@ -120,6 +120,10 @@ async def test_system_endpoints(client):
     r = await client.get("/api/system/rag/status")
     data = await r.json()
     assert data["engine"] is None
+    # batcher observability: stats dict when micro-batching is on, else None
+    assert "batcher" in data
+    if data["batcher"] is not None:
+        assert {"batches_run", "requests_served"} <= data["batcher"].keys()
     r = await client.post("/api/system/restart-engine")
     assert (await r.json())["status"] == "restarted"
 

@@ -205,3 +205,44 @@ def test_openai_multimodal_conversion():
         [{"role": "user", "content": "x", "images": ["data:image/png;base64,QQ=="]}]
     )
     assert out2[0]["content"][1]["image_url"]["url"] == "data:image/png;base64,QQ=="
+
+
+def test_concurrent_cold_start_single_flights_engine_build(env, monkeypatch):
+    """N sessions cold-starting the SAME engine hash must trigger ONE
+    load_engine_for_modules build (a 1M-row index load is GBs of host work;
+    duplicate concurrent builds stall the box). Distinct hashes may still
+    build in parallel."""
+    import threading
+    import time as _time
+
+    import tensortruth_tpu.services.rag_service as rs
+
+    tmp_path, cfg = env
+    svc = RAGService(config=cfg, llm_factory=lambda params: FakeLLM())
+
+    calls = []
+    real = rs.load_engine_for_modules
+
+    def slow_build(*a, **kw):
+        calls.append(a)
+        _time.sleep(0.2)  # widen the race window
+        return real(*a, **kw)
+
+    monkeypatch.setattr(rs, "load_engine_for_modules", slow_build)
+
+    engines = [None] * 8
+
+    def load(i):
+        engines[i] = svc.load_engine(
+            ["numpy"], {"reranker_top_n": 3}, indexes_dir=tmp_path / "indexes"
+        )
+
+    threads = [threading.Thread(target=load, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    assert len(calls) == 1, f"expected single-flight, got {len(calls)} builds"
+    assert all(e is engines[0] for e in engines)
+    assert not svc._build_locks, "build lock leaked after completion"
