@@ -30,12 +30,13 @@ def _bucket(value: int, buckets: Sequence[int]) -> int:
     return buckets[-1]
 
 
-def make_dp_forward(fn, params, mesh):
-    """jit ``fn(params, ids, mask)`` data-parallel over ALL mesh devices.
+def make_dp_forward(fn, params, mesh, n_batch_args: int = 2):
+    """jit ``fn(params, *batch_arrays)`` data-parallel over ALL mesh devices.
 
     Encoder/reranker forwards are embarrassingly parallel over the batch:
-    params replicate, the batch dim shards across every mesh axis (a 2×4
-    v5e-8 mesh runs 8-way DP), XLA inserts zero collectives. Returns
+    params replicate, the batch dim of each of the ``n_batch_args`` arrays
+    (ids, mask[, type_ids]) shards across every mesh axis (a 2×4 v5e-8 mesh
+    runs 8-way DP), XLA inserts zero collectives. Returns
     (forward, replicated_params, batch_multiple).
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -43,7 +44,9 @@ def make_dp_forward(fn, params, mesh):
     repl = NamedSharding(mesh, P())
     batch = NamedSharding(mesh, P(mesh.axis_names))
     params = jax.device_put(params, repl)
-    fwd = jax.jit(fn, in_shardings=(repl, batch, batch), out_shardings=batch)
+    fwd = jax.jit(
+        fn, in_shardings=(repl, *([batch] * n_batch_args)), out_shardings=batch
+    )
     return fwd, params, mesh.devices.size
 
 

@@ -214,15 +214,17 @@ def _clamp_max_length(spec: ModelSpec, cfg: XLMRConfig) -> ModelSpec:
     """Cap ``spec.max_length`` at the architecture's position capacity.
 
     XLM-R learned positions start at padding_idx+1=2, so a model with
-    ``max_position`` rows supports sequences of ``max_position - 2`` tokens.
-    Feeding longer sequences indexes past the embedding table (silently
-    clamped/wrapped by the backend — garbage scores, no error). BGE-M3's
-    8194 rows comfortably cover the default 2048; this guard matters for
-    smaller architectures (e.g. the ``tiny-*`` test models at 130 rows,
-    where an unclamped 2048-token program is also a ~100× compile+compute
-    blowup on the CPU test backend).
+    ``max_position`` rows supports sequences of ``max_position - 2`` tokens;
+    BERT-family positions are a plain arange, capacity = ``max_position``
+    (512 for MiniLM-class checkpoints). Feeding longer sequences indexes
+    past the embedding table (silently clamped/wrapped by the backend —
+    garbage scores, no error). BGE-M3's 8194 rows comfortably cover the
+    default 2048; this guard matters for smaller architectures (e.g. the
+    ``tiny-*`` test models at 130 rows, where an unclamped 2048-token
+    program is also a ~100× compile+compute blowup on the CPU test backend).
     """
-    cap = max(cfg.max_position - 2, 8)
+    offset = 0 if cfg.position_style == "bert" else 2
+    cap = max(cfg.max_position - offset, 8)
     if spec.max_length <= cap:
         return spec
     from dataclasses import replace
@@ -349,12 +351,45 @@ class ModelManager:
             self._embedder_key = key
             return self._embedder
 
+    @staticmethod
+    def _resolve_arch(
+        spec: ModelSpec, registry: dict, default: XLMRConfig, num_labels: int
+    ) -> XLMRConfig:
+        """Architecture for ``spec``: registry id → checkpoint's own
+        config.json (any local BERT/RoBERTa/XLM-R-family checkpoint, the
+        reference's "any HF model id" surface) → BGE default with a warning."""
+        cfg = registry.get(spec.model_id)
+        if cfg is not None:
+            return cfg
+        if spec.local_dir:
+            from tensortruth_tpu.models.convert import config_from_hf
+
+            cfg = config_from_hf(spec.local_dir, num_labels=num_labels)
+            if cfg is not None:
+                logger.info(
+                    "%s: architecture from %s/config.json (%s, L=%d H=%d, "
+                    "pooling=%s)", spec.model_id, spec.local_dir,
+                    cfg.position_style, cfg.num_layers, cfg.hidden_size,
+                    cfg.pooling,
+                )
+                return cfg
+        if spec.model_id not in (DEFAULT_EMBEDDING_MODEL, DEFAULT_RERANKER_MODEL):
+            logger.warning(
+                "%s: unknown architecture and no readable config.json — "
+                "assuming the BGE default (XLM-R %d-layer)",
+                spec.model_id, default.num_layers,
+            )
+        return default
+
     def _load_embedder(self, spec: ModelSpec, mesh=None) -> Embedder:
-        cfg = _EMBEDDER_ARCHS.get(spec.model_id, BGE_M3_CONFIG)
+        cfg = self._resolve_arch(spec, _EMBEDDER_ARCHS, BGE_M3_CONFIG, 0)
         spec = _clamp_max_length(spec, cfg)
         dtype = getattr(jnp, spec.dtype)
         self._warn_if_degraded(spec, "embedder")
-        tokenizer = load_tokenizer(spec.tokenizer_path)
+        tokenizer = load_tokenizer(
+            spec.tokenizer_path,
+            sep_style="bert" if cfg.position_style == "bert" else "xlmr",
+        )
         if spec.local_dir:
             from tensortruth_tpu.models.convert import convert_local_checkpoint
 
@@ -394,11 +429,16 @@ class ModelManager:
             return self._reranker
 
     def _load_reranker(self, spec: ModelSpec, mesh=None) -> Reranker:
-        cfg = _RERANKER_ARCHS.get(spec.model_id, BGE_RERANKER_V2_M3_CONFIG)
+        cfg = self._resolve_arch(
+            spec, _RERANKER_ARCHS, BGE_RERANKER_V2_M3_CONFIG, 1
+        )
         spec = _clamp_max_length(spec, cfg)
         dtype = getattr(jnp, spec.dtype)
         self._warn_if_degraded(spec, "reranker")
-        tokenizer = load_tokenizer(spec.tokenizer_path)
+        tokenizer = load_tokenizer(
+            spec.tokenizer_path,
+            sep_style="bert" if cfg.position_style == "bert" else "xlmr",
+        )
         if spec.local_dir:
             from tensortruth_tpu.models.convert import convert_local_checkpoint
 

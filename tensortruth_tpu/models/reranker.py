@@ -50,6 +50,18 @@ class Reranker:
         self.batch_buckets = tuple(sorted(batch_buckets))
         self.seq_buckets = tuple(sorted(set(min(b, max_length) for b in seq_buckets)))
         self.mesh = mesh
+        # BERT-family cross-encoders (single-SEP pairs, type_vocab_size 2)
+        # were trained with segment ids on the doc side; XLM-R rerankers have
+        # a single token type and never pass them. Static per-model choice —
+        # each compiles its own fixed-arity program.
+        self._needs_type_ids = (
+            cfg.position_style == "bert" and cfg.type_vocab_size > 1
+        )
+        n_args = 3 if self._needs_type_ids else 2
+        if self._needs_type_ids:
+            fn = lambda p, i, m, t: rerank_logits(p, i, m, cfg=cfg, type_ids=t)  # noqa: E731
+        else:
+            fn = partial(rerank_logits, cfg=cfg)
         if mesh is not None:
             # DP rerank over every mesh device: the cross-encoder forward is
             # the pipeline bottleneck (~91% of e2e time single-chip) and is
@@ -57,10 +69,10 @@ class Reranker:
             from tensortruth_tpu.models.embedder import make_dp_forward
 
             self._fwd, self.params, self._batch_multiple = make_dp_forward(
-                partial(rerank_logits, cfg=cfg), params, mesh
+                fn, params, mesh, n_batch_args=n_args
             )
         else:
-            self._fwd = jax.jit(partial(rerank_logits, cfg=cfg))
+            self._fwd = jax.jit(fn)
             self._batch_multiple = 1
 
     @classmethod
@@ -174,7 +186,22 @@ class Reranker:
             mask_p = np.zeros((bsz, seq), dtype=np.int32)
             ids_p[: len(sel)] = ids[sel, :seq]
             mask_p[: len(sel)] = mask[sel, :seq]
-            logits = self._fwd(self.params, jnp.asarray(ids_p), jnp.asarray(mask_p))
+            if self._needs_type_ids:
+                # BERT segment ids from the single-SEP layout: type 1 strictly
+                # after the first [SEP] (the doc segment + trailing [SEP]),
+                # type 0 elsewhere incl. padding — matches HF encode_plus.
+                first_sep = (ids_p == self.tokenizer.sep_id).argmax(axis=1)
+                type_p = (
+                    (np.arange(seq)[None, :] > first_sep[:, None]) & (mask_p > 0)
+                ).astype(np.int32)
+                logits = self._fwd(
+                    self.params, jnp.asarray(ids_p), jnp.asarray(mask_p),
+                    jnp.asarray(type_p),
+                )
+            else:
+                logits = self._fwd(
+                    self.params, jnp.asarray(ids_p), jnp.asarray(mask_p)
+                )
             pending.append((sel, jax.nn.sigmoid(logits), len(sel)))
 
         # ONE device→host transfer for all buckets: per-array np.asarray

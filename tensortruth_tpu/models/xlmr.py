@@ -56,6 +56,10 @@ class XLMRConfig:
     # "bert" = plain arange (BERT/MiniLM rerankers like
     # cross-encoder/ms-marco-MiniLM).
     position_style: str = "xlmr"
+    # Sentence-embedding pooling: "cls" (BGE family) or "mean" (masked mean
+    # over real tokens — the sentence-transformers default for BERT-family
+    # embedders like all-MiniLM; read from 1_Pooling/config.json at load).
+    pooling: str = "cls"
 
     @property
     def head_dim(self) -> int:
@@ -194,9 +198,18 @@ def _layer(
 
 
 def encoder_forward(
-    params: dict, ids: jax.Array, mask: jax.Array, cfg: XLMRConfig
+    params: dict,
+    ids: jax.Array,
+    mask: jax.Array,
+    cfg: XLMRConfig,
+    type_ids: jax.Array | None = None,
 ) -> jax.Array:
-    """Full encoder: (B, S) int ids + mask → (B, S, H) last hidden states."""
+    """Full encoder: (B, S) int ids + mask → (B, S, H) last hidden states.
+
+    ``type_ids`` carries BERT segment ids for cross-encoder pairs
+    (type 1 on the doc segment — trained BERT rerankers attend to it);
+    XLM-R has ``type_vocab_size=1`` and always uses zeros.
+    """
     emb = params["embeddings"]
     dtype = emb["word"].dtype
 
@@ -207,10 +220,12 @@ def encoder_forward(
     else:
         # XLM-R position ids: padding_idx=1, real tokens get 2, 3, ...
         pos_ids = (jnp.cumsum(mask, axis=1) * mask + cfg.pad_token_id).astype(jnp.int32)
+    if type_ids is None:
+        type_ids = jnp.zeros_like(ids)
     x = (
         emb["word"][ids]
         + emb["position"][pos_ids]
-        + emb["token_type"][jnp.zeros_like(ids)]
+        + emb["token_type"][type_ids]
     ).astype(dtype)
     x = _layer_norm(x, emb["ln_scale"], emb["ln_bias"], cfg.layer_norm_eps)
 
@@ -226,22 +241,42 @@ def encoder_forward(
 def cls_embed(
     params: dict, ids: jax.Array, mask: jax.Array, cfg: XLMRConfig
 ) -> jax.Array:
-    """BGE-M3 dense embedding: L2-normalized CLS hidden state, f32 (B, H)."""
+    """Dense sentence embedding, f32 (B, H), L2-normalized.
+
+    ``cfg.pooling`` selects CLS pooling (BGE family) or masked mean pooling
+    (sentence-transformers BERT-family embedders — the 1_Pooling config of
+    e.g. all-MiniLM models; reference loads these through
+    sentence-transformers, reference model_manager.py:254-260).
+    """
     hidden = encoder_forward(params, ids, mask, cfg)
-    cls = hidden[:, 0, :].astype(jnp.float32)
-    return cls / (jnp.linalg.norm(cls, axis=-1, keepdims=True) + 1e-12)
+    if cfg.pooling == "mean":
+        m = mask.astype(jnp.float32)[:, :, None]
+        pooled = (hidden.astype(jnp.float32) * m).sum(axis=1) / jnp.maximum(
+            m.sum(axis=1), 1e-9
+        )
+    else:
+        pooled = hidden[:, 0, :].astype(jnp.float32)
+    return pooled / (jnp.linalg.norm(pooled, axis=-1, keepdims=True) + 1e-12)
 
 
 def rerank_logits(
-    params: dict, ids: jax.Array, mask: jax.Array, cfg: XLMRConfig
+    params: dict,
+    ids: jax.Array,
+    mask: jax.Array,
+    cfg: XLMRConfig,
+    type_ids: jax.Array | None = None,
 ) -> jax.Array:
     """Cross-encoder relevance logit per (query, doc) pair: f32 (B,).
 
-    RobertaClassificationHead: dense → tanh → out_proj over the CLS state.
-    Callers apply sigmoid to map into [0, 1] (the scale the reference's
-    confidence cutoffs 0.35/0.05 are defined on, config_schema.py:99-100).
+    Head math is identical across both supported families —
+    dense → tanh → out_proj over the CLS state — because HF's
+    RobertaClassificationHead and BERT's pooler(+tanh)→classifier are the
+    same computation; models/convert.py maps either weight layout onto the
+    one ``classifier`` pytree. Callers apply sigmoid to map into [0, 1]
+    (the scale the reference's confidence cutoffs 0.35/0.05 are defined
+    on, config_schema.py:99-100).
     """
-    hidden = encoder_forward(params, ids, mask, cfg)
+    hidden = encoder_forward(params, ids, mask, cfg, type_ids=type_ids)
     cls = hidden[:, 0, :]
     head = params["classifier"]
     z = _dense(cls, head["dense_w"], head["dense_b"])

@@ -69,6 +69,8 @@ class SimpleTokenizer:
     unk_id: int = 3
     mask_id: int = 4
     n_special: int = 5
+    # Pair layout: "xlmr" = <s> a </s></s> b </s>, "bert" = [CLS] a [SEP] b [SEP]
+    sep_style: str = "xlmr"
 
     def _token_id(self, token: str) -> int:
         h = hashlib.blake2b(token.lower().encode("utf-8"), digest_size=8).digest()
@@ -114,7 +116,8 @@ class SimpleTokenizer:
         from tensortruth_tpu.native import get_hostkit
 
         kit = get_hostkit()
-        if kit is not None:
+        if kit is not None and self.sep_style == "xlmr":
+            # (native kit implements the XLM-R pair layout only)
             out = kit.encode_batch(
                 texts, max_length, pair=pair,
                 vocab_size=self.vocab_size, pad_id=self.pad_id,
@@ -135,9 +138,17 @@ class HFTokenizer:
         self._tok = _RustTokenizer.from_file(path)
         self.vocab_size = self._tok.get_vocab_size()
         vocab = self._tok.get_vocab()
-        self.pad_id = vocab.get("<pad>", 1)
-        self.cls_id = vocab.get("<s>", 0)
-        self.sep_id = vocab.get("</s>", 2)
+        if "[SEP]" in vocab:
+            # BERT/WordPiece family (MiniLM etc.): single-SEP pair layout
+            self.pad_id = vocab.get("[PAD]", 0)
+            self.cls_id = vocab.get("[CLS]", 101)
+            self.sep_id = vocab.get("[SEP]", 102)
+            self.sep_style = "bert"
+        else:
+            self.pad_id = vocab.get("<pad>", 1)
+            self.cls_id = vocab.get("<s>", 0)
+            self.sep_id = vocab.get("</s>", 2)
+            self.sep_style = "xlmr"
 
     def encode_with_offsets(self, text: str) -> tuple[list[int], list[tuple[int, int]]]:
         enc = self._tok.encode(text, add_special_tokens=False)
@@ -155,15 +166,19 @@ class HFTokenizer:
 def _batch_encode(
     tok, texts: Sequence[str], max_length: int, pair: Sequence[str] | None
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Shared CLS/SEP batch shaping: ``<s> a </s>`` or ``<s> a </s></s> b </s>``.
+    """Shared CLS/SEP batch shaping.
 
-    Pair layout matches XLM-R cross-encoder inputs (query, doc) used by the
-    reranker (reference model_manager.py:333-337 delegates this to
-    sentence-transformers; here it is explicit).
+    Pair layout follows the tokenizer's family (``sep_style``): XLM-R
+    cross-encoders use ``<s> a </s></s> b </s>`` (the inputs the reference's
+    sentence-transformers stack builds, reference model_manager.py:333-337);
+    BERT-family rerankers use ``[CLS] a [SEP] b [SEP]`` with segment ids
+    derived downstream from the single separator (models/reranker.py).
     """
     bsz = len(texts)
     ids = np.full((bsz, max_length), tok.pad_id, dtype=np.int32)
     mask = np.zeros((bsz, max_length), dtype=np.int32)
+    bert_pairs = getattr(tok, "sep_style", "xlmr") == "bert"
+    n_sep = 3 if bert_pairs else 4  # specials in a pair sequence
     # Tokenize each unique string once: rerank batches repeat the same query
     # across all of its candidate docs (N pairs share ~N/top_k queries), so
     # memoizing here nearly halves host tokenize time on the serving path.
@@ -182,12 +197,13 @@ def _batch_encode(
         else:
             b = enc(pair[i])
             # Budget: favour the query (a) up to half, rest to the doc.
-            a_budget = min(len(a), max(1, (max_length - 4) // 2))
-            b_budget = max_length - 4 - a_budget
+            a_budget = min(len(a), max(1, (max_length - n_sep) // 2))
+            b_budget = max_length - n_sep - a_budget
+            mid = [tok.sep_id] if bert_pairs else [tok.sep_id, tok.sep_id]
             seq = (
                 [tok.cls_id]
                 + a[:a_budget]
-                + [tok.sep_id, tok.sep_id]
+                + mid
                 + b[:b_budget]
                 + [tok.sep_id]
             )
@@ -197,8 +213,13 @@ def _batch_encode(
     return ids, mask
 
 
-def load_tokenizer(path: str | None = None) -> Tokenizer:
-    """Load the real tokenizer from a local file, else the offline fallback."""
+def load_tokenizer(path: str | None = None, sep_style: str = "xlmr") -> Tokenizer:
+    """Load the real tokenizer from a local file, else the offline fallback.
+
+    ``sep_style`` only shapes the FALLBACK: a real tokenizer.json declares
+    its own family via its special tokens. The model manager passes "bert"
+    for BERT-family architectures so pair layout + segment ids stay
+    consistent even without a tokenizer file."""
     if path is not None:
         return HFTokenizer(path)
-    return SimpleTokenizer()
+    return SimpleTokenizer(sep_style=sep_style)
