@@ -270,7 +270,11 @@ async def drive() -> dict:
                 await ws.send_json({"message": q})
                 ok = False
                 while True:
-                    msg = await asyncio.wait_for(ws.receive_json(), timeout=1800)
+                    raw = await asyncio.wait_for(ws.receive(), timeout=1800)
+                    if raw.type != aiohttp.WSMsgType.TEXT:
+                        errors.append(f"ws closed: {raw.type!r} data={raw.data!r}")
+                        return
+                    msg = json.loads(raw.data)
                     if msg["type"] == "done":
                         ok = True
                         break
@@ -288,6 +292,7 @@ async def drive() -> dict:
         tasks = [asyncio.create_task(worker(i, sess, stop_at)) for i in range(CONCURRENCY)]
         # warmup: first messages pay engine load + any cold compiles
         warm_deadline = time.time() + (3600 if not TINY else 600)
+        t_start = None
         while len(results) == 0 and not state["measuring"]:
             await asyncio.sleep(2.0)
             # measuring starts once every worker has finished its warmup:
@@ -307,8 +312,15 @@ async def drive() -> dict:
         for t in tasks:
             try:
                 await t
-            except Exception as e:  # worker crash → surface below
-                errors.append(repr(e)[:200])
+            except Exception:  # worker crash → full traceback, not repr
+                import traceback
+
+                errors.append(traceback.format_exc(limit=5)[-500:])
+        if t_start is None:
+            raise RuntimeError(
+                f"no measurement window: {len(errors)} worker errors, "
+                f"first: {errors[0] if errors else 'none'}"
+            )
         elapsed = time.time() - t_start
         async with sess.get(f"{base}/api/system/rag/status") as r:
             status = await r.json()

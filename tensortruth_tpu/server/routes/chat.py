@@ -284,10 +284,39 @@ async def ws_chat(request: web.Request):
             continue
 
         ctx = _chat_context(services, session)
+        # Engine load follows the SAME read-while-working contract as
+        # streaming: a cold load at the 1M tier takes minutes (index mmap +
+        # hierarchy parse + first compiles), and aiohttp only processes the
+        # client's heartbeat PONGs inside ws.receive() — a bare await here
+        # let _pong_not_received fire at heartbeat+grace (450 s) and reap
+        # every connected session mid-load (found by
+        # scripts/measure_serving_e2e.py driving 64 cold WS sessions).
+        async def _safe_load():
+            try:
+                return True, await _ensure_engine(services, ctx)
+            except Exception as e:  # surfaced as a WS error frame below
+                logger.exception("engine load failed")
+                return False, e
+        load_task = asyncio.ensure_future(_safe_load())
         try:
-            engine = await _ensure_engine(services, ctx)
-        except Exception as e:
-            await ws.send_json({"type": "error", "error": f"engine load failed: {e}"})
+            outcome, load_result, raced = await _stream_with_receive(ws, load_task)
+        except asyncio.CancelledError:
+            load_task.cancel()
+            raise
+        if outcome == "client_gone":
+            load_task.cancel()  # only this waiter; the shared build continues
+            return ws
+        if outcome == "stopped":
+            load_task.cancel()
+            await ws.send_json({"type": "done", "content": "", "cancelled": True})
+            continue
+        if raced is not None:
+            pending_msg = raced
+        load_ok, engine = load_result
+        if not load_ok:
+            await ws.send_json(
+                {"type": "error", "error": f"engine load failed: {engine}"}
+            )
             continue
 
         messages = session.get("messages", [])

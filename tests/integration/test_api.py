@@ -982,6 +982,44 @@ async def test_ws_consecutive_messages_reuse_engine(client):
     assert services.rag_service.engine is not None
 
 
+async def test_ws_reads_socket_during_engine_load(client):
+    """The socket must be READ while a cold engine load runs: aiohttp only
+    processes heartbeat PONGs inside ws.receive(), so a bare await on a
+    minutes-long 1M-tier load let the 300 s heartbeat reap every connected
+    session mid-load (found by scripts/measure_serving_e2e.py with 64 cold
+    WS sessions; fixed by routing the load through _stream_with_receive).
+    Proves the contract via its observable effects: mid-load, a second
+    message gets the busy reply promptly and a stop frame cancels the wait."""
+    import threading
+
+    services = client.server.app["services"]
+    release = threading.Event()
+    orig = services.rag_service.load_engine
+
+    def slow_load(modules, params, extra_index_paths=None):
+        release.wait(timeout=15)
+        return None
+
+    services.rag_service.load_engine = slow_load
+    try:
+        r = await client.post("/api/sessions", json={"modules": ["synthmod"]})
+        sid = (await r.json())["id"]
+        ws = await client.ws_connect(f"/ws/chat/{sid}")
+        await ws.send_json({"message": "first question"})
+        await asyncio.sleep(0.3)  # let the handler enter the engine load
+        await ws.send_json({"message": "second while loading"})
+        msg = await ws.receive_json(timeout=10)
+        assert "busy" in (msg.get("error") or ""), msg
+        await ws.send_json({"type": "stop"})
+        msg = await ws.receive_json(timeout=10)
+        assert msg["type"] == "done" and msg.get("cancelled"), msg
+        release.set()
+        await ws.close()
+    finally:
+        release.set()
+        services.rag_service.load_engine = orig
+
+
 async def test_web_command_streams_over_ws(client, monkeypatch):
     """/web end-to-end over the chat WS with mocked DDG + page fetches:
     status → tool_progress → sources → synthesized tokens → done."""
