@@ -116,6 +116,98 @@ async def file_url_info(request: web.Request):
     return web.json_response(info)
 
 
+async def upload_pdf_strict(request: web.Request):
+    """reference documents.py upload: multipart, PDF only, 201."""
+    services = request.app["services"]
+    scope = _scope_dir(request)
+    reader = await request.multipart()
+    part = await reader.next()
+    while part is not None and part.name != "file":
+        part = await reader.next()
+    if part is None:
+        raise web.HTTPUnprocessableEntity(reason="missing 'file' part")
+    filename = part.filename or ""
+    if not filename.lower().endswith(".pdf"):
+        raise web.HTTPBadRequest(reason="File must be a PDF")
+    data = await part.read()
+    result = await asyncio.get_running_loop().run_in_executor(
+        None, services.document_service.add_pdf, scope, filename, data
+    )
+    status = 201 if result.get("status") == "success" else 422
+    return web.json_response(result, status=status)
+
+
+async def upload_text(request: web.Request):
+    from tensortruth_tpu.server.schemas import TextUploadRequest, parse_body
+
+    body = await parse_body(request, TextUploadRequest)
+    services = request.app["services"]
+    result = await asyncio.get_running_loop().run_in_executor(
+        None,
+        services.document_service.add_text,
+        _scope_dir(request),
+        body.filename,
+        body.content,
+    )
+    status = 201 if result.get("status") == "success" else 422
+    return web.json_response(result, status=status)
+
+
+async def upload_url(request: web.Request):
+    from tensortruth_tpu.server.schemas import UrlUploadRequest, parse_body
+
+    body = await parse_body(request, UrlUploadRequest)
+    services = request.app["services"]
+    meta = {"context": body.context} if body.context else None
+    result = await asyncio.get_running_loop().run_in_executor(
+        None, services.document_service.add_url, _scope_dir(request), body.url, meta
+    )
+    status = 201 if result.get("status") == "success" else 400
+    return web.json_response(result, status=status)
+
+
+async def upload_arxiv(request: web.Request):
+    from tensortruth_tpu.server.schemas import ArxivUploadRequest, parse_body
+
+    body = await parse_body(request, ArxivUploadRequest)
+    services = request.app["services"]
+    result = await asyncio.get_running_loop().run_in_executor(
+        None, services.document_service.add_arxiv, _scope_dir(request), body.arxiv_id
+    )
+    status = 201 if result.get("status") == "success" else 400
+    return web.json_response(result, status=status)
+
+
+async def upload_file_url(request: web.Request):
+    from tensortruth_tpu.server.schemas import FileUrlUploadRequest, parse_body
+
+    body = await parse_body(request, FileUrlUploadRequest)
+    services = request.app["services"]
+    result = await asyncio.get_running_loop().run_in_executor(
+        None, services.document_service.add_file_url, _scope_dir(request), body.url
+    )
+    status = 201 if result.get("status") == "success" else 400
+    return web.json_response(result, status=status)
+
+
+async def build_index(request: web.Request):
+    """Submit the scope rebuild to the serial TaskRunner and return the
+    task id (reference documents.py build-index → ReindexTaskResponse);
+    progress is pollable at /api/tasks/{task_id}."""
+    services = request.app["services"]
+    scope = _scope_dir(request)
+    doc_svc = services.document_service
+
+    def job(progress):
+        progress("indexing", 0, 1)
+        n = doc_svc.reindex(scope)
+        progress("indexing", 1, 1)
+        return {"documents": n}
+
+    info = services.task_runner.submit("build-index", job)
+    return web.json_response({"task_id": info.id, "status": "started"})
+
+
 def setup(app: web.Application) -> None:
     r = app.router
     r.add_get("/api/file-url-info", file_url_info)
@@ -123,8 +215,17 @@ def setup(app: web.Application) -> None:
         r.add_get(f"/api/{scope}/documents", list_documents)
         r.add_post(f"/api/{scope}/documents", upload_document)
         r.add_post(f"/api/{scope}/documents/reindex", reindex)
+        # Reference-named subroutes (api/routes/documents.py:527-862): the
+        # reference frontend and scripted clients address these exact paths.
+        r.add_post(f"/api/{scope}/documents/upload", upload_pdf_strict)
+        r.add_post(f"/api/{scope}/documents/upload-text", upload_text)
+        r.add_post(f"/api/{scope}/documents/upload-url", upload_url)
+        r.add_post(f"/api/{scope}/documents/upload-arxiv", upload_arxiv)
+        r.add_post(f"/api/{scope}/documents/upload-file-url", upload_file_url)
+        r.add_post(f"/api/{scope}/documents/build-index", build_index)
         r.add_delete(f"/api/{scope}/documents/{{doc_id}}", delete_document)
     # Legacy pdf endpoints (reference api/routes/pdfs.py:15-102)
     r.add_get("/api/sessions/{session_id}/pdfs", list_documents)
+    r.add_post("/api/sessions/{session_id}/pdfs", upload_pdf_strict)
     r.add_post("/api/sessions/{session_id}/pdfs/reindex", reindex)
     r.add_delete("/api/sessions/{session_id}/pdfs/{doc_id}", delete_document)

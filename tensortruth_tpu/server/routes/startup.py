@@ -111,10 +111,51 @@ async def available_indexes(request: web.Request):
     return web.json_response({"indexes": []})
 
 
+async def embedding_model_suggestions(request: web.Request):
+    """Recommended embedding models for index building (reference
+    routes/startup.py:107-152). Users can bring any local HF-format
+    checkpoint (models/convert.py self-describes the architecture from
+    config.json); these are the vetted starting points."""
+    services = request.app["services"]
+    suggestions = [
+        {
+            "model_name": "BAAI/bge-m3",
+            "model_id": "bge-m3",
+            "description": (
+                "Multilingual, 1024-d, 8192-token max — the default; "
+                "highest quality at 568M params"
+            ),
+        },
+        {
+            "model_name": "sentence-transformers/all-MiniLM-L6-v2",
+            "model_id": "all-minilm-l6-v2",
+            "description": "Very fast, lightweight (22M params), English only",
+        },
+        {
+            "model_name": "BAAI/bge-small-en-v1.5",
+            "model_id": "bge-small-en-v1.5",
+            "description": "Small English model, good speed/quality balance",
+        },
+    ]
+    return web.json_response(
+        {
+            "suggestions": suggestions,
+            "default": services.config.rag.default_embedding_model,
+        }
+    )
+
+
 def setup(app: web.Application) -> None:
     r = app.router
     r.add_get("/api/startup/status", status)
     r.add_get("/api/startup/available-indexes", available_indexes)
+    # Reference paths (routes/startup.py:98-152) — same handlers.
+    r.add_get(
+        "/api/startup/embedding-models/available-indexes", available_indexes
+    )
+    r.add_get(
+        "/api/startup/embedding-models/suggestions", embedding_model_suggestions
+    )
     r.add_post("/api/startup/download-indexes", download_indexes)
     r.add_post("/api/startup/pull-model", pull_model)
     r.add_delete("/api/startup/reinitialize-indexes", reinitialize_indexes)

@@ -122,6 +122,39 @@ class DocumentIngest(APIModel):
     arxiv_id: str | None = None
 
 
+class TextUploadRequest(APIModel):
+    """reference api/routes/documents.py upload-text body."""
+
+    content: str = Field(min_length=1)
+    filename: str = "pasted.md"
+
+
+class UrlUploadRequest(APIModel):
+    url: str = Field(min_length=1)
+    context: str | None = None
+
+
+class ArxivUploadRequest(APIModel):
+    arxiv_id: str = Field(min_length=1, max_length=64)
+
+
+class FileUrlUploadRequest(APIModel):
+    url: str = Field(min_length=1)
+
+
+class CatalogModuleAddRequest(APIModel):
+    """reference api/routes/documents.py:866 CatalogModuleAddRequest."""
+
+    module_name: str = Field(min_length=1, max_length=200)
+
+
+class IndexingConfigUpdate(APIModel):
+    """reference api/routes/documents.py:687 IndexingConfigUpdate."""
+
+    chunk_sizes: list[int] | None = None
+    conversion_method: str | None = None
+
+
 # -- MCP servers -----------------------------------------------------------------
 
 

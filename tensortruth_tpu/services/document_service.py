@@ -92,6 +92,36 @@ class DocumentService:
         meta = {"source_url": url, "title": title, **(metadata or {})}
         return self.add_text(scope_dir, title or url, markdown, meta)
 
+    def add_arxiv(self, scope_dir: str | Path, arxiv_id: str) -> dict:
+        """Download an arXiv paper and index it (reference documents.py
+        upload-arxiv / services/document_service.py arXiv intake)."""
+        try:
+            from tensortruth_tpu.web.fetch import ArxivHandler
+
+            title, md = ArxivHandler().fetch(f"https://arxiv.org/abs/{arxiv_id}")
+        except Exception as e:
+            return {"doc_id": None, "status": "failed", "error": f"arxiv fetch failed: {e}"}
+        meta = {"arxiv_id": arxiv_id, "title": title}
+        return self.add_text(scope_dir, f"{arxiv_id}.md", md, meta)
+
+    def add_file_url(self, scope_dir: str | Path, url: str) -> dict:
+        """Download a file (PDF or text) from a direct URL and index it
+        (reference documents.py upload-file-url)."""
+        try:
+            import requests
+
+            r = requests.get(url, timeout=60)
+            r.raise_for_status()
+        except Exception as e:
+            return {"doc_id": None, "status": "failed", "error": f"download failed: {e}"}
+        filename = url.rstrip("/").rsplit("/", 1)[-1] or "download"
+        ctype = r.headers.get("Content-Type", "")
+        if filename.lower().endswith(".pdf") or "pdf" in ctype:
+            return self.add_pdf(scope_dir, filename, r.content, {"source_url": url})
+        return self.add_text(
+            scope_dir, filename, r.content.decode("utf-8", "ignore"), {"source_url": url}
+        )
+
     def _index_text(
         self, scope_dir: Path, doc_id: str, text: str, filename: str, metadata: dict | None
     ) -> dict:
@@ -159,3 +189,22 @@ class DocumentService:
 
     def index_path(self, scope_dir: str | Path) -> Path:
         return Path(scope_dir) / "index"
+
+    def index_exists(self, scope_dir: str | Path) -> bool:
+        # No _builder(): that would invoke the embedder factory (model load)
+        # for a pure filesystem check.
+        from tensortruth_tpu.index.store import VectorIndex
+
+        return VectorIndex.is_valid(self.index_path(scope_dir))
+
+    def delete_index(self, scope_dir: str | Path) -> bool:
+        """Drop the scope index so the next build starts fresh — the
+        reference deletes the index when indexing settings change
+        (documents.py:687-740 update_project_indexing_config)."""
+        import shutil
+
+        p = self.index_path(scope_dir)
+        if not p.exists():
+            return False
+        shutil.rmtree(p)
+        return True

@@ -37,6 +37,11 @@ class TaskInfo:
     result: object = None
 
     def to_dict(self) -> dict:
+        # ``result`` mirrors reference routes/tasks.py:24 (dict payloads
+        # pass through; non-dict returns wrap as {"success": value}).
+        result = self.result
+        if result is not None and not isinstance(result, dict):
+            result = {"success": result}
         return {
             "id": self.id,
             "name": self.name,
@@ -47,6 +52,7 @@ class TaskInfo:
             "error": self.error,
             "created_at": self.created_at,
             "finished_at": self.finished_at,
+            "result": result,
         }
 
 
