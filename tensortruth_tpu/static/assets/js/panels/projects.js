@@ -3,8 +3,8 @@
 
 import {listModules} from "../api/modules.js";
 import {
-  createProject, createProjectSession, deleteProject, listProjects,
-  patchProject,
+  addCatalogModule, createProject, createProjectSession, deleteProject,
+  listProjects, patchIndexingConfig, removeCatalogModule,
 } from "../api/projects.js";
 import {$, el} from "../lib/dom.js";
 import {openSession, loadProjects} from "../views/sidebar.js";
@@ -27,19 +27,25 @@ export async function loadProjectsPanel() {
       }],
     ]);
     box.appendChild(row);
-    // catalog-module attach: one checkbox per built module
+    // catalog-module attach/detach via the dedicated endpoints (reference
+    // documents.py:866-959); checked = attached in pr.catalog_modules OR a
+    // plain project module.
     const attach = el("div", "row-item");
     attach.style.flexWrap = "wrap";
     attach.appendChild(el("span", "dim", "catalog:"));
+    const catalog = pr.catalog_modules || {};
     for (const m of mods.modules) {
+      const name = m.id || m.module;
       const lbl = el("label", "dim");
       const cb = document.createElement("input");
       cb.type = "checkbox";
-      cb.checked = (pr.modules || []).includes(m.id) || (pr.modules || []).includes(m.module);
+      cb.checked = !!catalog[name] || (pr.modules || []).includes(name)
+        || (pr.modules || []).includes(m.module);
       cb.onchange = async () => {
-        const cur = new Set(pr.modules || []);
-        cb.checked ? cur.add(m.id) : (cur.delete(m.id), cur.delete(m.module));
-        await patchProject(pr.id, {modules: [...cur]});
+        try {
+          if (cb.checked) await addCatalogModule(pr.id, name);
+          else await removeCatalogModule(pr.id, name);
+        } catch (e) { /* 409 double-attach etc — reload shows truth */ }
         loadProjectsPanel();
       };
       lbl.appendChild(cb);
@@ -49,6 +55,23 @@ export async function loadProjectsPanel() {
     }
     if (!mods.modules.length) attach.appendChild(el("span", "dim", "no built modules"));
     box.appendChild(attach);
+    // indexing config: chunk sizes editor (reference indexing-config PATCH)
+    const idxRow = el("div", "row-item");
+    idxRow.appendChild(el("span", "dim", "chunk sizes:"));
+    const sizes = document.createElement("input");
+    sizes.type = "text";
+    sizes.placeholder = "2048,512,256";
+    const indexing = (pr.config || {}).indexing || {};
+    sizes.value = (indexing.chunk_sizes || []).join(",");
+    sizes.style.width = "140px";
+    sizes.onchange = async () => {
+      const parsed = sizes.value.split(",").map(s => parseInt(s.trim(), 10))
+        .filter(n => Number.isFinite(n) && n > 0);
+      if (parsed.length) await patchIndexingConfig(pr.id, {chunk_sizes: parsed});
+      loadProjectsPanel();
+    };
+    idxRow.appendChild(sizes);
+    box.appendChild(idxRow);
   }
 }
 
