@@ -17,26 +17,14 @@ from tensortruth_tpu.app.paths import (
     get_library_docs_dir,
 )
 from tensortruth_tpu.app.sources import (
-    get_document_type_for_module,
     list_all_modules,
     load_user_sources,
-    module_docs_dirname,
 )
 from tensortruth_tpu.index.chunker import DEFAULT_CHUNK_OVERLAP, DEFAULT_CHUNK_SIZES
 from tensortruth_tpu.indexing.builder import build_module
+from tensortruth_tpu.utils.validation import validate_module_for_build
 
 logger = logging.getLogger(__name__)
-
-
-def validate_module_for_build(module: str, sources: dict, docs_dir) -> str | None:
-    """Returns an error string or None (reference utils/validation.py)."""
-    if module not in list_all_modules(sources):
-        return f"module '{module}' not found in sources.json"
-    doc_type = get_document_type_for_module(sources, module)
-    mod_dir = docs_dir / module_docs_dirname(doc_type, module)
-    if not mod_dir.exists():
-        return f"docs directory missing: {mod_dir} (fetch sources first)"
-    return None
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -64,11 +52,27 @@ def main(argv: list[str] | None = None) -> int:
     )
     parser.add_argument("--semantic-buffer-size", type=int, default=1)
     parser.add_argument("--semantic-breakpoint-threshold", type=float, default=95.0)
+    parser.add_argument(
+        "--extensions",
+        nargs="+",
+        default=None,
+        help="file extensions to index (reference default: .md .html .pdf)",
+    )
+    # Path overrides: CLI flag > env var > default (reference
+    # build_db.py:57-88 + cli_paths.py precedence)
+    parser.add_argument("--library-docs-dir", default=None)
+    parser.add_argument("--sources-config", default=None)
+    parser.add_argument("--indexes-dir", default=None)
+    parser.add_argument(
+        "--no-validate",
+        action="store_true",
+        help="skip module/docs-dir validation (private or ad-hoc layouts)",
+    )
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO, format="%(levelname)s %(message)s")
 
-    sources = load_user_sources()
+    sources = load_user_sources(args.sources_config)
     if args.all:
         modules = list_all_modules(sources)
     elif args.books:
@@ -83,14 +87,17 @@ def main(argv: list[str] | None = None) -> int:
         logger.error("no modules selected")
         return 1
 
-    docs_dir = get_library_docs_dir()
-    errors = {m: validate_module_for_build(m, sources, docs_dir) for m in modules}
-    for m, err in errors.items():
-        if err:
-            logger.error("%s: %s", m, err)
-    modules = [m for m in modules if not errors[m]]
-    if not modules:
-        return 1
+    from pathlib import Path
+
+    docs_dir = Path(args.library_docs_dir) if args.library_docs_dir else get_library_docs_dir()
+    if not args.no_validate:
+        errors = {m: validate_module_for_build(m, sources, docs_dir) for m in modules}
+        for m, err in errors.items():
+            if err:
+                logger.error("%s: %s", m, err)
+        modules = [m for m in modules if not errors[m]]
+        if not modules:
+            return 1
 
     from tensortruth_tpu.app.config import load_config
     from tensortruth_tpu.models.manager import ModelManager, ModelSpec
@@ -111,13 +118,14 @@ def main(argv: list[str] | None = None) -> int:
         )
     )
 
+    indexes_dir = Path(args.indexes_dir) if args.indexes_dir else get_base_indexes_dir()
     ok = True
     for m in modules:
         ok &= build_module(
             m,
             embedder,
             library_docs_dir=docs_dir,
-            indexes_dir=get_base_indexes_dir(),
+            indexes_dir=indexes_dir,
             sources=sources,
             embedding_model=args.embedding_model,
             chunk_sizes=args.chunk_sizes,
@@ -125,6 +133,7 @@ def main(argv: list[str] | None = None) -> int:
             chunking_strategy=args.chunking_strategy,
             semantic_buffer_size=args.semantic_buffer_size,
             semantic_breakpoint_threshold=args.semantic_breakpoint_threshold,
+            extensions=args.extensions,
         )
     return 0 if ok else 1
 

@@ -38,18 +38,39 @@ logger = logging.getLogger(__name__)
 SUPPORTED_EXTENSIONS = {".md", ".markdown", ".txt", ".html", ".htm", ".rst"}
 
 
-def load_documents(docs_dir: str | Path) -> list[tuple[str, str]]:
+def load_documents(
+    docs_dir: str | Path, extensions: list[str] | None = None
+) -> list[tuple[str, str]]:
     """(filename, text) pairs from a module docs dir (recursive), sorted for
     deterministic row order (replaces SimpleDirectoryReader,
-    reference builder.py:339-344)."""
+    reference builder.py:339-344). ``extensions`` restricts the file set
+    (reference build CLI --extensions, default [.md, .html, .pdf]); ``.pdf``
+    entries are text-extracted via utils/pdf."""
     docs_dir = Path(docs_dir)
+    allowed = (
+        {e.lower() if e.startswith(".") else f".{e.lower()}" for e in extensions}
+        if extensions
+        else SUPPORTED_EXTENSIONS
+    )
     out = []
     for p in sorted(docs_dir.rglob("*")):
-        if p.is_file() and p.suffix.lower() in SUPPORTED_EXTENSIONS:
+        if not (p.is_file() and p.suffix.lower() in allowed):
+            continue
+        if p.suffix.lower() == ".pdf":
+            from tensortruth_tpu.utils.pdf import pdf_to_text, post_process_markdown
+
             try:
-                out.append((str(p.relative_to(docs_dir)), p.read_text(encoding="utf-8")))
-            except UnicodeDecodeError:
-                logger.warning("skipping non-utf8 file %s", p)
+                text = post_process_markdown(pdf_to_text(p.read_bytes()))
+            except Exception as e:  # noqa: BLE001 — skip one bad PDF, keep building
+                logger.warning("skipping unparseable pdf %s: %s", p, e)
+                continue
+            if text.strip():
+                out.append((str(p.relative_to(docs_dir)), text))
+            continue
+        try:
+            out.append((str(p.relative_to(docs_dir)), p.read_text(encoding="utf-8")))
+        except UnicodeDecodeError:
+            logger.warning("skipping non-utf8 file %s", p)
     return out
 
 
@@ -66,6 +87,7 @@ def build_module(
     chunking_strategy: str = ChunkingStrategy.HIERARCHICAL.value,
     semantic_buffer_size: int = 1,
     semantic_breakpoint_threshold: float = 95.0,
+    extensions: list[str] | None = None,
     progress_callback: Callable[[str, int, int], None] | None = None,
 ) -> bool:
     """Build one module's VectorIndex. Returns True on success.
@@ -83,7 +105,7 @@ def build_module(
     if not docs_dir.exists():
         logger.error("docs dir missing: %s", docs_dir)
         return False
-    documents = load_documents(docs_dir)
+    documents = load_documents(docs_dir, extensions)
     if not documents:
         logger.error("no documents in %s", docs_dir)
         return False
