@@ -50,7 +50,7 @@ def cmd_add(sources: dict, args) -> int:
         # --add interactive flow, utils/interactive.py)
         from tensortruth_tpu.utils.interactive import interactive_add
 
-        interactive_add()
+        interactive_add(sources_path=getattr(args, "sources_config", None))
         return 0
     section = args.section
     config = json.loads(args.config) if args.config else {}
@@ -159,9 +159,12 @@ def main(argv: list[str] | None = None) -> int:
                          help="book fixed page-chunk size (no-TOC fallback)")
     p_fetch.add_argument("--max-pages-per-chapter", type=int, default=None,
                          help="re-chunk oversized TOC chapters")
-    for p in (p_fetch,):
-        p.add_argument("--library-docs-dir", default=None)
-    parser.add_argument("--sources-config", default=None)
+    p_fetch.add_argument("--library-docs-dir", default=None)
+    # On every subparser (not the main parser): argparse would reset a
+    # main-parser value back to the subparser default when the flag
+    # precedes the subcommand, and a main-only flag can't follow it.
+    for p in (sub.choices["list"], sub.choices["validate"], p_add, p_fetch):
+        p.add_argument("--sources-config", default=None)
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO, format="%(levelname)s %(message)s")

@@ -65,8 +65,13 @@ def read_index_metadata(index_dir: str | Path) -> dict | None:
 
 _YAML_HEADER_RE = re.compile(r"\A---\s*\n(.*?)\n---\s*\n", re.DOTALL)
 # "chapter_3"/"ch3" anywhere, OR the leading index our own book scraper
-# writes ("03_Linear_Algebra_book.md", scrapers/book.py split filenames)
-_CHAPTER_RE = re.compile(r"(?:^(\d+)[_\-\s])|(?:(?:chapter|ch)[_\-\s]*(\d+))", re.IGNORECASE)
+# writes ("03_Linear_Algebra_book.md", scrapers/book.py split filenames).
+# The leading-number form is bounded to 1-3 digits: scraper indices are
+# small and zero-padded, while user files like "2024_annual_report.md"
+# carry a year, not a chapter.
+_CHAPTER_RE = re.compile(
+    r"(?:^(\d{1,3})[_\-\s])|(?:(?:chapter|ch)[_\-\s]*(\d+))", re.IGNORECASE
+)
 
 
 def parse_yaml_header(text: str) -> dict:

@@ -108,16 +108,29 @@ class SocketTransport:
         return self._sock
 
     def search(self, q: np.ndarray, k: int, nprobe: int):
+        # Any failure mid-RPC — timeout, partial frame, bad header — leaves
+        # the stream position unknown: a late response for THIS request
+        # could otherwise be read as the answer to the NEXT one (silently
+        # wrong rows at matching shapes). Drop the socket so the next call
+        # reconnects on a clean stream.
         sock = self._connect()
-        _send_frame(
-            sock,
-            {"cmd": "search", "k": int(k), "nprobe": int(nprobe)},
-            {"q": np.asarray(q, np.float32)},
-        )
-        header, arrays = _recv_frame(sock)
+        try:
+            _send_frame(
+                sock,
+                {"cmd": "search", "k": int(k), "nprobe": int(nprobe)},
+                {"q": np.asarray(q, np.float32)},
+            )
+            header, arrays = _recv_frame(sock)
+        except Exception:
+            self.close()
+            raise
         if header.get("status") != "ok":
             raise RuntimeError(f"slice worker error: {header.get('error')}")
-        return arrays["vals"], arrays["rows"]
+        try:
+            return arrays["vals"], arrays["rows"]
+        except KeyError:
+            self.close()  # malformed ok-response: same desync risk
+            raise
 
     def ping(self) -> bool:
         try:
@@ -125,7 +138,7 @@ class SocketTransport:
             _send_frame(sock, {"cmd": "ping"}, {})
             header, _ = _recv_frame(sock)
             return header.get("status") == "ok"
-        except OSError:
+        except Exception:
             self.close()
             return False
 
@@ -224,7 +237,14 @@ class SupervisedTransport:
     def search(self, q: np.ndarray, k: int, nprobe: int):
         try:
             return self._inner.search(q, k, nprobe)
-        except OSError as e:  # includes ConnectionError / socket.timeout
+        except RuntimeError:
+            # status:error from a LIVE worker — bad request, not a death;
+            # respawning would just replay it.
+            raise
+        except Exception as e:
+            # OSError (refused/reset/timeout/mid-frame EOF) and protocol
+            # corruption (json/struct/KeyError on a garbled frame) both mean
+            # the worker or its stream is unusable — respawn and retry once.
             self._respawn(e)
             return self._inner.search(q, k, nprobe)
 

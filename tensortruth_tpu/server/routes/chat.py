@@ -19,6 +19,7 @@ import json
 import logging
 import re
 import threading
+from collections import deque
 
 from aiohttp import WSMsgType, web
 
@@ -110,26 +111,34 @@ def _pump_query(rag, prompt, params, messages, engine=None, images=None,
             return events, stop.value
 
 
-async def _stream_with_receive(ws, work_task):
-    """The listen-while-streaming obligation, shared by the orchestrator and
-    direct paths: await ``work_task`` while still reading the socket so a
-    {"type": "stop"} frame or a peer drop is seen mid-stream (reference
-    chat.py:849-994 has the same contract).
+# Frames queued while a message streams (per socket). Beyond this the
+# client is misbehaving; reply with an error instead of buffering forever.
+_MAX_PENDING_FRAMES = 32
 
-    Returns ``(outcome, result, raced)``:
 
-    * outcome ``"done"`` — work finished; ``result`` is its value, ``raced``
-      is a TEXT frame that raced the completion (caller must process it as
-      the next inbound message) or None;
+async def _stream_with_receive(ws, work_task, pending):
+    """The listen-while-streaming obligation, shared by the engine-load,
+    orchestrator and direct paths: await ``work_task`` while still reading
+    the socket so a {"type": "stop"} frame or a peer drop is seen mid-work
+    (reference chat.py:849-994 has the same contract).
+
+    Returns ``(outcome, result)``:
+
+    * outcome ``"done"`` — work finished; ``result`` is its value;
     * outcome ``"stopped"`` — client sent a stop frame;
     * outcome ``"client_gone"`` — socket closed/errored (possibly racing a
       completed work task — either way nothing more can be sent).
 
+    Non-stop TEXT frames arriving mid-work — including one racing the
+    completion — append to ``pending`` (a deque) and are processed in
+    order after the current message, matching the reference's ``async for``
+    loop which buffers them in the socket. A second user message sent while
+    a cold engine loads must be answered, not bounced. Past
+    ``_MAX_PENDING_FRAMES`` the client gets an error reply instead.
+
     The work task is NOT cancelled here: teardown differs per caller
     (thread-pump flag vs task cancel). CancelledError (aiohttp tearing the
-    handler down on transport drop) propagates for the caller's teardown.
-    Any other non-TEXT-stop frame gets the busy-error reply and streaming
-    continues."""
+    handler down on transport drop) propagates for the caller's teardown."""
     recv_task = asyncio.ensure_future(ws.receive())
     try:
         while True:
@@ -141,31 +150,36 @@ async def _stream_with_receive(ws, work_task):
                 if recv_task.done():
                     raced = recv_task.result()
                     if raced.type != WSMsgType.TEXT:
-                        return "client_gone", None, None
-                    return "done", result, raced
+                        return "client_gone", None
+                    pending.append(raced)
+                    return "done", result
                 recv_task.cancel()
                 try:
                     await recv_task
                 except asyncio.CancelledError:
                     pass
-                return "done", result, None
+                return "done", result
             inbound = recv_task.result()
             if inbound.type != WSMsgType.TEXT:
-                return "client_gone", None, None
+                return "client_gone", None
             try:
                 req = json.loads(inbound.data)
             except json.JSONDecodeError:
                 req = {}
             if req.get("type") == "stop":
-                return "stopped", None, None
-            await ws.send_json(
-                {"type": "error",
-                 "error": "busy streaming — send {\"type\": \"stop\"} first"}
-            )
+                return "stopped", None
+            if len(pending) < _MAX_PENDING_FRAMES:
+                pending.append(inbound)
+            else:
+                await ws.send_json(
+                    {"type": "error",
+                     "error": "too many queued messages — send "
+                              '{"type": "stop"} first'}
+                )
             recv_task = asyncio.ensure_future(ws.receive())
     except (ConnectionResetError, RuntimeError) as e:
         logger.debug("ws stream peer lost: %r", e)
-        return "client_gone", None, None
+        return "client_gone", None
 
 
 async def rest_chat(request: web.Request):
@@ -223,12 +237,12 @@ async def ws_chat(request: web.Request):
     ws = web.WebSocketResponse(heartbeat=300)
     await ws.prepare(request)
 
-    pending_msg = None  # inbound frame that raced a stream's completion
+    # Frames that arrived while a message was being processed, in arrival
+    # order (the reference's async-for loop gets this buffering from the
+    # socket itself).
+    pending: deque = deque()
     while True:
-        if pending_msg is not None:
-            msg, pending_msg = pending_msg, None
-        else:
-            msg = await ws.receive()
+        msg = pending.popleft() if pending else await ws.receive()
         if msg.type != WSMsgType.TEXT:
             break
         try:
@@ -299,7 +313,7 @@ async def ws_chat(request: web.Request):
                 return False, e
         load_task = asyncio.ensure_future(_safe_load())
         try:
-            outcome, load_result, raced = await _stream_with_receive(ws, load_task)
+            outcome, load_result = await _stream_with_receive(ws, load_task, pending)
         except asyncio.CancelledError:
             load_task.cancel()
             raise
@@ -310,8 +324,6 @@ async def ws_chat(request: web.Request):
             load_task.cancel()
             await ws.send_json({"type": "done", "content": "", "cancelled": True})
             continue
-        if raced is not None:
-            pending_msg = raced
         load_ok, engine = load_result
         if not load_ok:
             await ws.send_json(
@@ -337,7 +349,7 @@ async def ws_chat(request: web.Request):
                 engine=engine, images=data.get("images") or None,
             ))
             try:
-                outcome, ok, raced = await _stream_with_receive(ws, orch_task)
+                outcome, ok = await _stream_with_receive(ws, orch_task, pending)
             except asyncio.CancelledError:
                 orch_task.cancel()  # don't leave the agent loop running
                 raise
@@ -351,8 +363,6 @@ async def ws_chat(request: web.Request):
                     return ws
                 await ws.send_json({"type": "done", "content": "", "cancelled": True})
                 continue
-            if raced is not None:
-                pending_msg = raced
             if ok:
                 continue
 
@@ -410,7 +420,7 @@ async def ws_chat(request: web.Request):
         # flag it (it closes the generator within one chunk) and join.
         send_task = asyncio.ensure_future(drain_and_send())
         try:
-            outcome, response, raced = await _stream_with_receive(ws, send_task)
+            outcome, response = await _stream_with_receive(ws, send_task, pending)
         except asyncio.CancelledError:
             logger.debug("ws handler cancelled by transport close")
             cancel.set()
@@ -429,10 +439,6 @@ async def ws_chat(request: web.Request):
         logger.debug("ws stream pump joined (gone=%s stopped=%s)", client_gone, stopped)
         if client_gone:
             return ws
-        if raced is not None:
-            # a frame raced the stream's completion — process it as the
-            # next inbound message instead of dropping it
-            pending_msg = raced
         if stopped:
             await ws.send_json({"type": "done", "content": "", "cancelled": True})
             continue

@@ -153,8 +153,11 @@ def add_book_interactive(input_fn=input, print_fn=print) -> tuple[str, dict]:
     return name, config
 
 
-def interactive_add(input_fn=input, print_fn=print) -> None:
-    """Top-level wizard loop (reference fetch_sources interactive mode)."""
+def interactive_add(input_fn=input, print_fn=print, sources_path=None) -> None:
+    """Top-level wizard loop (reference fetch_sources interactive mode).
+
+    ``sources_path`` overrides the sources.json location for both read and
+    write (the CLI's --sources-config must reach the wizard too)."""
     section = _ask("Add what? (libraries/papers/books)", "libraries", input_fn)
     adders = {
         "libraries": lambda f: add_library_interactive(f),
@@ -164,7 +167,7 @@ def interactive_add(input_fn=input, print_fn=print) -> None:
     if section not in adders:
         raise ValueError(f"unknown section {section}")
     name, config = adders[section](input_fn)
-    sources = load_user_sources()
+    sources = load_user_sources(sources_path)
     sources.setdefault(section, {})[name] = config
-    save_user_sources(sources)
+    save_user_sources(sources, sources_path)
     print_fn(f"saved {section}/{name}: {json.dumps(config)}")

@@ -988,19 +988,32 @@ async def test_ws_reads_socket_during_engine_load(client):
     minutes-long 1M-tier load let the 300 s heartbeat reap every connected
     session mid-load (found by scripts/measure_serving_e2e.py with 64 cold
     WS sessions; fixed by routing the load through _stream_with_receive).
-    Proves the contract via its observable effects: mid-load, a second
-    message gets the busy reply promptly and a stop frame cancels the wait."""
+    Proves the contract via its observable effects: a stop frame sent
+    mid-load cancels the wait promptly, and a second message sent while
+    loading is QUEUED and answered afterwards — the original contract
+    bounced it with a busy error, silently dropping a legitimate message."""
     import threading
+
+    from tensortruth_tpu.core.providers import ChatDelta
+
+    class FakeLLM:
+        def complete(self, prompt):
+            return "t"
+
+        def stream_chat(self, messages, system=None):
+            yield ChatDelta(text="queued answer")
 
     services = client.server.app["services"]
     release = threading.Event()
     orig = services.rag_service.load_engine
+    orig_llm = services.rag_service._llm_factory
 
     def slow_load(modules, params, extra_index_paths=None):
         release.wait(timeout=15)
         return None
 
     services.rag_service.load_engine = slow_load
+    services.rag_service._llm_factory = lambda params: FakeLLM()
     try:
         r = await client.post("/api/sessions", json={"modules": ["synthmod"]})
         sid = (await r.json())["id"]
@@ -1008,16 +1021,28 @@ async def test_ws_reads_socket_during_engine_load(client):
         await ws.send_json({"message": "first question"})
         await asyncio.sleep(0.3)  # let the handler enter the engine load
         await ws.send_json({"message": "second while loading"})
-        msg = await ws.receive_json(timeout=10)
-        assert "busy" in (msg.get("error") or ""), msg
         await ws.send_json({"type": "stop"})
         msg = await ws.receive_json(timeout=10)
         assert msg["type"] == "done" and msg.get("cancelled"), msg
+        # the queued second message now processes (release lets its own
+        # engine load return immediately) and gets a real answer
         release.set()
+        events = []
+        while True:
+            msg = await ws.receive_json(timeout=20)
+            events.append(msg)
+            if msg["type"] in ("done", "error"):
+                break
+        assert events[-1]["type"] == "done", events
+        assert events[-1]["content"] == "queued answer"
         await ws.close()
+        r = await client.get(f"/api/sessions/{sid}/messages")
+        contents = [m["content"] for m in (await r.json())["messages"]]
+        assert "second while loading" in contents
     finally:
         release.set()
         services.rag_service.load_engine = orig
+        services.rag_service._llm_factory = orig_llm
 
 
 async def test_web_command_streams_over_ws(client, monkeypatch):
@@ -1351,3 +1376,67 @@ async def test_per_session_stats(client):
     assert body["history_messages"] == 1
     assert body["history_chars"] == len("hello")
     assert "compiled_history_messages" in body and "context_length" in body
+
+
+async def test_ws_second_message_during_stream_is_queued_in_order(client):
+    """A message sent while another streams is processed after it, in
+    order (reference: the async-for loop buffers frames in the socket).
+    Regression: the first _stream_with_receive design bounced such frames
+    with a 'busy streaming' error, silently dropping user messages."""
+    import threading
+
+    from tensortruth_tpu.core.providers import ChatDelta
+
+    gate = threading.Event()
+
+    class SlowLLM:
+        def __init__(self):
+            self.calls = 0
+
+        def complete(self, prompt):
+            return "t"
+
+        def stream_chat(self, messages, system=None):
+            self.calls += 1
+            if self.calls == 1:
+                yield ChatDelta(text="first ")
+                gate.wait(timeout=15)  # hold the stream open
+                yield ChatDelta(text="answer")
+            else:
+                # prove in-order processing: the second call sees the
+                # second prompt (history entries may be dicts or objects)
+                last = messages[-1]
+                content = getattr(last, "content", None) or (
+                    last.get("content") if isinstance(last, dict) else ""
+                )
+                yield ChatDelta(text=f"reply to: {content}")
+
+    llm = SlowLLM()
+    services = client.server.app["services"]
+    orig_llm = services.rag_service._llm_factory
+    services.rag_service._llm_factory = lambda params: llm
+    try:
+        r = await client.post("/api/sessions", json={})
+        sid = (await r.json())["id"]
+        ws = await client.ws_connect(f"/ws/chat/{sid}")
+        await ws.send_json({"message": "question one"})
+        # wait until the first stream has emitted a token, then send the
+        # second message mid-stream
+        msg = await ws.receive_json(timeout=20)
+        while msg["type"] != "token":
+            msg = await ws.receive_json(timeout=20)
+        await ws.send_json({"message": "question two"})
+        await asyncio.sleep(0.2)
+        gate.set()
+        dones = []
+        while len(dones) < 2:
+            msg = await ws.receive_json(timeout=30)
+            if msg["type"] == "done":
+                dones.append(msg)
+            assert msg["type"] != "error", msg
+        assert dones[0]["content"] == "first answer"
+        assert dones[1]["content"] == "reply to: question two"
+        await ws.close()
+    finally:
+        gate.set()
+        services.rag_service._llm_factory = orig_llm

@@ -127,3 +127,19 @@ def test_interactive_add_saves(tmp_path, monkeypatch, capsys):
     )
     sources = load_user_sources()
     assert "jax_0.9" in sources["libraries"]
+
+
+def test_interactive_add_honors_sources_path(tmp_path, monkeypatch):
+    """--sources-config must reach the wizard (code-review r3: the wizard
+    always saved to the default path, silently ignoring the override)."""
+    import json
+
+    monkeypatch.setenv("TENSOR_TRUTH_TPU_DATA_DIR", str(tmp_path / "default"))
+    alt = tmp_path / "alt_sources.json"
+    interactive_add(
+        scripted(["libraries", "altlib", "sphinx", "https://x/objects.inv", "", ""]),
+        sources_path=alt,
+    )
+    assert alt.exists()
+    assert "altlib" in json.loads(alt.read_text())["libraries"]
+    assert not (tmp_path / "default" / "sources.json").exists()

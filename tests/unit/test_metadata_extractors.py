@@ -36,6 +36,18 @@ def test_book_chapter_metadata_from_filename():
     assert "Linear Algebra" in meta["title"]
 
 
+def test_book_chapter_leading_number_bounded():
+    """A leading 4+ digit number is a year, not a chapter index (code-review
+    r3: '2024_annual_report.md' was stamped chapter 2024). Scraper indices
+    are small and zero-padded; explicit 'chapter_NNNN' still wins."""
+    meta = extract_book_chapter_metadata("2024_annual_report.md", "reports")
+    assert "chapter" not in meta
+    meta = extract_book_chapter_metadata("123_Appendix_book.md", "book")
+    assert meta["chapter"] == 123
+    meta = extract_book_chapter_metadata("chapter_2024_outlook.md", "book")
+    assert meta["chapter"] == 2024  # explicit marker is trusted at any width
+
+
 def test_arxiv_metadata_from_config():
     sources = {"papers": {"ml": {"papers": {
         "1706.03762": {"title": "Attention Is All You Need",

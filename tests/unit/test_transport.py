@@ -308,3 +308,90 @@ def test_multislice_close_closes_all_transports(tmp_path):
         t.close = (lambda i=i, orig=orig: (closed.append(i), orig())[1])
     ms.close()
     assert closed == [0, 1]
+
+
+def test_socket_transport_resets_socket_after_rpc_failure():
+    """A failed/garbled RPC must drop the connection: reusing the socket
+    after a timeout or partial frame can read a LATE response as the answer
+    to the NEXT query — silently wrong rows at matching shapes (code-review
+    r3 finding). First reply is a malformed ok-frame (no arrays) → the
+    client raises AND discards the socket; the reconnect gets a good frame."""
+    calls = {"n": 0}
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(2)
+    port = srv.getsockname()[1]
+
+    def serve():
+        for _ in range(2):
+            conn, _ = srv.accept()
+            with conn:
+                _recv_frame(conn)  # consume the request
+                calls["n"] += 1
+                if calls["n"] == 1:
+                    _send_frame(conn, {"status": "ok"}, {})  # no vals/rows
+                else:
+                    _send_frame(
+                        conn,
+                        {"status": "ok"},
+                        {
+                            "vals": np.zeros((1, 2), np.float32),
+                            "rows": np.zeros((1, 2), np.int32),
+                        },
+                    )
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    tr = SocketTransport("127.0.0.1", port, timeout=10)
+    q = np.zeros((1, 4), np.float32)
+    with pytest.raises(KeyError):
+        tr.search(q, k=2, nprobe=1)
+    assert tr._sock is None, "socket must be discarded after a garbled reply"
+    vals, rows = tr.search(q, k=2, nprobe=1)  # fresh connection, clean stream
+    assert vals.shape == (1, 2) and rows.shape == (1, 2)
+    tr.close()
+    srv.close()
+    t.join(timeout=10)
+
+
+def test_supervised_transport_respawns_on_protocol_corruption(monkeypatch):
+    """Respawn triggers on protocol corruption (garbled frame → JSON/struct/
+    KeyError), not only OSError — a worker emitting garbage is as dead as
+    one that closed the socket. status:error RuntimeErrors still do NOT
+    respawn (live worker, bad request)."""
+    import json as _json
+
+    spawned = []
+
+    class FakeInner:
+        def __init__(self, fail_with):
+            self.fail_with = fail_with
+
+        def search(self, q, k, nprobe):
+            if self.fail_with is not None:
+                e, self.fail_with = self.fail_with, None
+                raise e
+            return np.zeros((1, k), np.float32), np.zeros((1, k), np.int64)
+
+        def close(self):
+            pass
+
+    def fake_spawn(self):
+        inner = FakeInner(
+            _json.JSONDecodeError("garbage", "x", 0) if not spawned else None
+        )
+        spawned.append(inner)
+        self._proc = None
+        self._inner = inner
+
+    monkeypatch.setattr(SupervisedTransport, "_spawn", fake_spawn)
+    tr = SupervisedTransport("unused.npz", max_respawns=2)
+    vals, rows = tr.search(np.zeros((1, 4), np.float32), k=3, nprobe=1)
+    assert vals.shape == (1, 3)
+    assert len(spawned) == 2, "corrupted frame must trigger one respawn"
+
+    # application-level error from a live worker: no respawn
+    spawned[1].fail_with = RuntimeError("slice worker error: bad request")
+    with pytest.raises(RuntimeError):
+        tr.search(np.zeros((1, 4), np.float32), k=3, nprobe=1)
+    assert len(spawned) == 2
