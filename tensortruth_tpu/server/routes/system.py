@@ -68,9 +68,20 @@ async def ollama_status(request: web.Request):
         try:
             r = requests.get(f"{base}/api/tags", timeout=5)
             r.raise_for_status()
-            return {"reachable": True, "models": [m["name"] for m in r.json().get("models", [])]}
+            models = [m["name"] for m in r.json().get("models", [])]
         except Exception as e:
             return {"reachable": False, "error": str(e)}
+        # Loaded (resident) models via /api/ps — the reference UI's
+        # ModelStatusDot contract (frontend ModelSelectContent.tsx); a ps
+        # failure must not mask a reachable server.
+        running: list[str] = []
+        try:
+            r = requests.get(f"{base}/api/ps", timeout=5)
+            r.raise_for_status()
+            running = [m["name"] for m in r.json().get("models", [])]
+        except Exception:
+            pass
+        return {"reachable": True, "models": models, "running": running}
 
     return web.json_response(await asyncio.to_thread(probe))
 

@@ -8,7 +8,7 @@ export function systemMemory() { return api("/system/memory"); }
 export function systemDevices() { return api("/system/devices"); }
 export function ragStatus() { return api("/system/rag/status"); }
 export function runtimeStatus(runtime) { return api(`/system/${runtime}/status`); }
-export function runtimeUnload(runtime) { return post(`/system/${runtime}/unload`, {}); }
+export function runtimeUnload(runtime, body) { return post(`/system/${runtime}/unload`, body || {}); }
 export function restartEngine() { return post("/system/restart-engine"); }
 export function unloadModels() { return post("/system/models/unload"); }
 export function profileStart() { return post("/system/profile/start", {}); }

@@ -7,6 +7,7 @@ import {sessionStats} from "./api/sessions.js";
 import {startupStatus} from "./api/startup.js";
 import {systemDevices} from "./api/system.js";
 import {wireComposer} from "./chat/composer.js";
+import {wireModelSelect} from "./chat/modelselect.js";
 import {wireParamsDrawer} from "./chat/params.js";
 import {stopStreaming} from "./chat/ws.js";
 import {$, toast} from "./lib/dom.js";
@@ -19,6 +20,7 @@ import {wireProvidersPanel} from "./panels/providers.js";
 import {wireSystemPanel} from "./panels/system.js";
 import {sessionStore} from "./stores/session.js";
 import {showManage, wireManage} from "./views/manage.js";
+import {wireMemstrip} from "./views/memstrip.js";
 import {loadModules, loadProjects, loadSessions, wireSidebar} from "./views/sidebar.js";
 import {wireWizard, wizardShow} from "./wizard/wizard.js";
 
@@ -78,6 +80,8 @@ async function init() {
 wireSidebar();
 wireManage();
 wireComposer();
+wireModelSelect();
+wireMemstrip();
 wireParamsDrawer();
 wireWizard();
 wireChrome();

@@ -3,8 +3,9 @@
 // + ChatInput.tsx). Pending base64 images ride the WS message exactly like
 // the reference's multimodal chat request (rag_service.py:431-443).
 
+import {patchSessionRaw} from "../api/sessions.js";
 import {listCommands} from "../api/tools.js";
-import {$, el} from "../lib/dom.js";
+import {$, el, toast} from "../lib/dom.js";
 import {currentSessionId} from "../stores/session.js";
 import {sendUserMessage} from "./send.js";
 
@@ -85,7 +86,23 @@ async function updateCmdMenu() {
   renderCmdMenu();
 }
 
+// Composer thinking quick-select (reference ThinkingSelect.tsx): mirrors
+// params.thinking without opening the drawer; "" = auto (provider decides).
+export function syncThinkingSelect(params) {
+  const t = params.thinking;
+  $("thinking-select").value = t === undefined || t === null ? "" : String(t);
+}
+
+async function onThinkingPick() {
+  if (!currentSessionId()) return;
+  const v = $("thinking-select").value;
+  const thinking = v === "" ? null : v === "true" ? true : v === "false" ? false : v;
+  const r = await patchSessionRaw(currentSessionId(), {params: {thinking}});
+  if (!r.ok) toast(`thinking change failed (${r.status})`, true);
+}
+
 export function wireComposer() {
+  $("thinking-select").onchange = onThinkingPick;
   $("attach-btn").onclick = () => $("image-input").click();
   $("image-input").onchange = ev => {
     const file = ev.target.files[0];

@@ -1,23 +1,38 @@
-// Sidebar + chat-view session lifecycle: session list/filter, project
-// list, knowledge-module picker, document upload with progress, session
-// open/rename/export (reference components/sessions/* + useSessionStore).
+// Sidebar + chat-view session lifecycle: project-grouped session list
+// with filter, knowledge-module picker (live per-session), document
+// upload with progress, session open/rename/export (reference
+// components/sessions/{SessionList,ProjectSessionList,SessionItem}.tsx +
+// useSessionStore).
 
 import {uploadDocumentXHR} from "../api/documents.js";
 import {listModules} from "../api/modules.js";
-import {createProject, createProjectSession, listProjects} from "../api/projects.js";
+import {
+  createProject, createProjectSession, deleteProject, listProjects,
+} from "../api/projects.js";
 import {
   createSession, deleteSession, getSession, listSessions as listSessionsApi,
-  imageUrl, patchSession,
+  imageUrl, patchSession, patchSessionRaw,
 } from "../api/sessions.js";
-import {$, el} from "../lib/dom.js";
+import {$, el, toast} from "../lib/dom.js";
 import {renderMarkdown} from "../lib/markdown.js";
 import {sessionStore, currentSessionId} from "../stores/session.js";
 import {
   addMessage, renderMetrics, renderSources, renderThinking, renderToolSteps,
   renderWelcome,
 } from "../chat/messages.js";
+import {refreshModelSelect} from "../chat/modelselect.js";
 import {fillParamsDrawer} from "../chat/params.js";
+import {syncThinkingSelect} from "../chat/composer.js";
 import {closeWS, connectWS} from "../chat/ws.js";
+
+let projects = [];            // [{id, name, ...}] for grouped rendering
+const collapsed = new Set(    // persisted collapsed project groups
+  JSON.parse(localStorage.getItem("tt-collapsed") || "[]"));
+
+function persistCollapsed() {
+  try { localStorage.setItem("tt-collapsed", JSON.stringify([...collapsed])); }
+  catch (e) {}
+}
 
 export async function loadSessions() {
   const data = await listSessionsApi();
@@ -26,16 +41,8 @@ export async function loadSessions() {
 
 export async function loadProjects() {
   const data = await listProjects();
-  const box = $("projects"); box.innerHTML = "";
-  for (const pr of data.projects) {
-    const d = el("div", "session", pr.name);
-    d.title = "New session in this project";
-    d.onclick = async () => {
-      const s = await createProjectSession(pr.id);
-      await openSession(s.id);
-    };
-    box.appendChild(d);
-  }
+  projects = data.projects;
+  sessionStore.set({});  // re-render groups
 }
 
 export async function loadModules() {
@@ -81,6 +88,11 @@ export async function openSession(id) {
   }
   if (!session.messages.length) renderWelcome();
   fillParamsDrawer(session.params || {});
+  syncThinkingSelect(session.params || {});
+  refreshModelSelect(session.params || {});
+  // reflect the session's modules in the sidebar picker
+  const mset = new Set(session.modules || []);
+  for (const opt of $("modules-select").options) opt.selected = mset.has(opt.value);
   connectWS();
   loadSessions();
 }
@@ -126,26 +138,78 @@ async function exportSession() {
   URL.revokeObjectURL(a.href);
 }
 
+// -- grouped session rendering ------------------------------------------------
+
+function sessionRow(s, st) {
+  const d = el("div", "session" + (st.current === s.id ? " active" : ""));
+  d.appendChild(el("span", "", s.title || s.id));
+  const x = el("span", "del", "×");
+  x.title = "Delete session";
+  x.onclick = async ev => {
+    ev.stopPropagation();
+    await deleteSession(s.id);
+    if (st.current === s.id) { sessionStore.set({current: null, title: ""}); $("messages").innerHTML = ""; }
+    loadSessions();
+  };
+  d.appendChild(x);
+  d.onclick = () => openSession(s.id);
+  return d;
+}
+
+function renderSessionLists(st) {
+  const needle = ($("session-filter").value || "").toLowerCase();
+  const match = s => !needle || (s.title || s.id).toLowerCase().includes(needle);
+
+  // flat list = sessions that belong to no project
+  const box = $("sessions"); box.innerHTML = "";
+  for (const s of st.sessions)
+    if (!s.project_id && match(s)) box.appendChild(sessionRow(s, st));
+
+  // project groups (reference ProjectSessionList.tsx): header row with
+  // collapse caret, new-session and delete actions, nested session rows
+  const pbox = $("projects"); pbox.innerHTML = "";
+  for (const pr of projects) {
+    const head = el("div", "project-head");
+    const caret = el("span", "caret", collapsed.has(pr.id) ? "▸" : "▾");
+    head.appendChild(caret);
+    head.appendChild(el("span", "pname", pr.name));
+    const add = el("span", "padd", "+");
+    add.title = "New session in this project";
+    add.onclick = async ev => {
+      ev.stopPropagation();
+      const s = await createProjectSession(pr.id);
+      await openSession(s.id);
+    };
+    head.appendChild(add);
+    const x = el("span", "del", "×");
+    x.title = "Delete project";
+    x.onclick = async ev => {
+      ev.stopPropagation();
+      if (!confirm(`Delete project "${pr.name}"? Its sessions stay.`)) return;
+      await deleteProject(pr.id);
+      loadProjects();
+    };
+    head.appendChild(x);
+    head.onclick = () => {
+      if (collapsed.has(pr.id)) collapsed.delete(pr.id); else collapsed.add(pr.id);
+      persistCollapsed();
+      sessionStore.set({});
+    };
+    pbox.appendChild(head);
+    if (collapsed.has(pr.id)) continue;
+    const kids = st.sessions.filter(s => s.project_id === pr.id && match(s));
+    for (const s of kids) {
+      const row = sessionRow(s, st);
+      row.classList.add("nested");
+      pbox.appendChild(row);
+    }
+    if (!kids.length) pbox.appendChild(el("div", "dim nested", "no sessions"));
+  }
+}
+
 export function wireSidebar() {
   sessionStore.subscribe(st => {
-    const box = $("sessions"); box.innerHTML = "";
-    const needle = ($("session-filter").value || "").toLowerCase();
-    for (const s of st.sessions) {
-      if (needle && !(s.title || s.id).toLowerCase().includes(needle)) continue;
-      const d = el("div", "session" + (st.current === s.id ? " active" : ""));
-      d.appendChild(el("span", "", s.title || s.id));
-      const x = el("span", "del", "×");
-      x.title = "Delete session";
-      x.onclick = async ev => {
-        ev.stopPropagation();
-        await deleteSession(s.id);
-        if (st.current === s.id) { sessionStore.set({current: null, title: ""}); $("messages").innerHTML = ""; }
-        loadSessions();
-      };
-      d.appendChild(x);
-      d.onclick = () => openSession(s.id);
-      box.appendChild(d);
-    }
+    renderSessionLists(st);
     $("chat-title").textContent = st.title || (st.current ? st.current : "—");
   });
 
@@ -158,6 +222,14 @@ export function wireSidebar() {
     if (!name) return;
     await createProject({name, modules: selectedModules()});
     loadProjects();
+  };
+  // live per-session module editing: changing the picker with a session
+  // open re-scopes THAT session (engine reloads on its next message)
+  $("modules-select").onchange = async () => {
+    if (!currentSessionId()) return;
+    const r = await patchSessionRaw(currentSessionId(), {modules: selectedModules()});
+    if (r.ok) toast("modules updated — engine reloads on next message");
+    else toast(`module update failed (${r.status})`, true);
   };
   $("upload-btn").onclick = () => $("file-input").click();
   $("file-input").onchange = ev => {

@@ -712,6 +712,49 @@ async def test_system_ollama_status_unreachable_is_graceful(client):
     assert body.get("reachable") in (True, False)
 
 
+async def test_system_ollama_status_reports_running_models(client, monkeypatch):
+    """Reachable Ollama → status carries both the installed catalog and the
+    RESIDENT models from /api/ps (the SPA model-switcher's ● dot contract,
+    reference frontend ModelStatusDot.tsx); a /api/ps failure must degrade
+    to running=[] without masking reachability."""
+    import requests as _requests
+
+    class R:
+        def __init__(self, payload):
+            self._p = payload
+        def raise_for_status(self):
+            pass
+        def json(self):
+            return self._p
+
+    def fake_get(url, timeout=None):
+        if url.endswith("/api/tags"):
+            return R({"models": [{"name": "llama3:8b"}, {"name": "qwen3:4b"}]})
+        if url.endswith("/api/ps"):
+            return R({"models": [{"name": "qwen3:4b"}]})
+        raise AssertionError(f"unexpected URL {url}")
+
+    monkeypatch.setattr(_requests, "get", fake_get)
+    r = await client.get("/api/system/ollama/status")
+    assert r.status == 200
+    body = await r.json()
+    assert body == {
+        "reachable": True,
+        "models": ["llama3:8b", "qwen3:4b"],
+        "running": ["qwen3:4b"],
+    }
+
+    def ps_broken(url, timeout=None):
+        if url.endswith("/api/tags"):
+            return R({"models": [{"name": "llama3:8b"}]})
+        raise ConnectionError("ps down")
+
+    monkeypatch.setattr(_requests, "get", ps_broken)
+    r = await client.get("/api/system/ollama/status")
+    body = await r.json()
+    assert body["reachable"] is True and body["running"] == []
+
+
 async def test_engine_retrieve_empty_batch_and_unknown_session(client):
     r = await client.post("/api/sessions/no-such-session/chat",
                           json={"message": "hi"})

@@ -627,3 +627,72 @@ def test_thinking_param_control():
     from tensortruth_tpu.core import providers
 
     assert 'params.get("thinking")' in inspect.getsource(providers)
+
+
+def test_model_quickswitch_wired():
+    """Chat-header model switcher (reference ModelSelectContent.tsx +
+    ModelStatusDot.tsx): encode/decode of provider::model values, resident
+    marker sourced from the ollama status route's `running` list, selection
+    PATCHes the session, eject unloads via the runtime route."""
+    assert 'id="model-select"' in HTML and 'id="model-eject"' in HTML
+    ms = JS["chat/modelselect.js"]
+    assert "::" in ms and "decodeModelValue" in ms and "encodeModelValue" in ms
+    assert "st.running" in ms              # ● dot fed by /api/ps via the status route
+    assert "patchSessionRaw" in ms         # selection persists to session params
+    assert "provider_id" in ms             # reference resolve_model contract
+    assert "runtimeUnload" in ms           # eject path
+    # session open refreshes the switcher to that session's params
+    assert "refreshModelSelect(session.params" in JS["views/sidebar.js"]
+    # the server side of the dot: status route returns running models
+    import inspect
+
+    from tensortruth_tpu.server.routes import system as system_routes
+
+    src = inspect.getsource(system_routes)
+    assert "/api/ps" in src and '"running"' in src
+
+
+def test_thinking_quickselect_matches_drawer():
+    """Composer thinking quick-select mirrors the params-drawer thinking
+    options (reference ThinkingSelect.tsx) so the two controls can never
+    offer different vocabularies."""
+    import re as _re
+
+    def options(select_id_or_name):
+        m = _re.search(select_id_or_name + r'.*?</select>', HTML, _re.S)
+        assert m, select_id_or_name
+        return set(_re.findall(r'value="([^"]*)"', m.group(0)))
+
+    drawer = options(r'<select name="thinking">')
+    quick = options(r'<select id="thinking-select"')
+    assert quick == drawer, (quick, drawer)
+    comp = JS["chat/composer.js"]
+    assert "syncThinkingSelect" in comp and "thinking-select" in comp
+    assert "syncThinkingSelect(session.params" in JS["views/sidebar.js"]
+
+
+def test_memory_monitor_wired():
+    """Sidebar memory strip (reference MemoryMonitor.tsx): polls
+    /api/system/memory, renders device HBM vs limit + RAM pressure, and
+    opens the System panel on click."""
+    assert 'id="memstrip"' in HTML
+    assert 'class="mem-label"' in HTML and 'class="mem-bar"' in HTML
+    mem = JS["views/memstrip.js"]
+    assert "systemMemory" in mem and "setInterval" in mem
+    assert "bytes_in_use" in mem and "bytes_limit" in mem
+    assert 'showManage(true, "system")' in mem
+    assert "wireMemstrip" in JS["app.js"]
+
+
+def test_project_grouped_sessions():
+    """Sidebar groups sessions under their project with collapse state
+    persisted (reference ProjectSessionList.tsx): project header rows carry
+    new-session and delete actions; flat list holds only project-less
+    sessions; per-session module edits PATCH the open session."""
+    sb = JS["views/sidebar.js"]
+    assert "s.project_id === pr.id" in sb      # nested under the right project
+    assert "!s.project_id" in sb               # flat list excludes project sessions
+    assert "tt-collapsed" in sb                # collapse persistence
+    assert "createProjectSession" in sb and "deleteProject" in sb
+    assert '{modules: selectedModules()}' in sb  # live module PATCH body
+    assert "project-head" in CSS and ".session.nested" in CSS
