@@ -118,6 +118,13 @@ class HierarchyStore:
         pid = self._nodes[node_id].parent_id
         return self._nodes[pid] if pid else None
 
+    # Fast paths shared with PackedHierarchyStore (automerge contract).
+    def parent_id_of(self, node_id: str) -> str | None:
+        return self._nodes[node_id].parent_id
+
+    def n_children_of(self, node_id: str) -> int:
+        return len(self._nodes[node_id].child_ids)
+
     def children(self, node_id: str) -> list[Node]:
         return [self._nodes[c] for c in self._nodes[node_id].child_ids]
 

@@ -1,0 +1,322 @@
+"""Packed, mmap-backed hierarchy store for large module indexes.
+
+The JSONL ``HierarchyStore`` (index/nodes.py) materializes every node as a
+Python dataclass at load — right for ≤100k-node modules and mutable scope
+indexes, but a 10M-leaf module (the BASELINE config-5 tier this framework
+serves from ONE chip, scripts/bench_10m_int8.py) would need 20+ GB of host
+RAM and minutes of JSON parsing before the first query. The reference never
+hits this wall only because Chroma+docstore cap out far earlier; a
+TPU-native engine whose device side scans 10M rows in 23 ms needs a host
+side that can hydrate those rows without loading the corpus into Python.
+
+Packed layout (one ``packed/`` dir next to the embedding shards; everything
+numpy-memmapped, so load is O(1) mmap calls, per-node access is O(1) page
+reads, and host RSS stays flat no matter the corpus size):
+
+    manifest.json      {version, n_nodes, n_leaves, n_rows, doc_ids, modules}
+    ids.bin/ids.off    concatenated UTF-8 node ids + uint64 offsets (N+1)
+    texts.bin/.off     node texts, same pattern
+    meta.bin/.off      per-node metadata JSON ("" == {})
+    levels.npy         int16 (N,)
+    doc.npy/mod.npy    int32 (N,) indexes into the manifest vocabularies
+    parent.npy         int64 (N,) node index, -1 for roots
+    span.npy           int64 (N, 2) char spans
+    child_ptr.npy      uint64 (N+1,) CSR row pointers
+    child_idx.npy      int64 (ΣC,) CSR child node indexes
+    leaf_rows.npy      int64 (L,) node index in leaf order
+    leafrow_of.npy     int64 (N,) leaf row per node, -1 for non-leaves
+    id_order.npy       int64 (N,) permutation sorting ids bytewise
+    row_nodes.npy      int64 (n_rows,) physical matrix row → node index
+    alive.npy          bool  (n_rows,) tombstone mask at pack time
+
+id → index lookups binary-search ``id_order`` against the ids blob
+(~23 blob probes at 10M nodes); row → node hydration is one array index +
+one text slice. The store is READ-ONLY: built modules are immutable in this
+framework exactly like the reference's (a rebuild replaces the directory,
+reference indexing/builder.py:333-335); mutable session/project scopes stay
+on the JSONL store.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Iterator
+
+import numpy as np
+
+from tensortruth_tpu.index.nodes import HierarchyStore, Node
+
+PACKED_DIR = "packed"
+PACK_VERSION = 1
+
+# VectorIndex.save switches to the packed format at this node count —
+# big enough that every session/project scope index stays JSONL-mutable,
+# small enough that any "module" scale corpus gets O(1) loads.
+PACK_THRESHOLD = 200_000
+
+
+class ReadOnlyHierarchyError(RuntimeError):
+    """Mutation attempted on a packed (immutable) module index."""
+
+    def __init__(self, op: str):
+        super().__init__(
+            f"{op}: packed module indexes are immutable — rebuild the module "
+            "to change it (tensor-truth-tpu-build), or keep documents in a "
+            "session/project scope for incremental add/remove"
+        )
+
+
+def _write_blob(path: Path, stem: str, strings: list[str]) -> None:
+    blobs = [s.encode("utf-8") for s in strings]
+    off = np.zeros(len(blobs) + 1, dtype=np.uint64)
+    np.cumsum([len(b) for b in blobs], out=off[1:])
+    (path / f"{stem}.bin").write_bytes(b"".join(blobs))
+    np.save(path / f"{stem}.off.npy", off)
+
+
+class _Blob:
+    """Read side of _write_blob: a flat bytes mmap + offsets."""
+
+    def __init__(self, path: Path, stem: str):
+        self._data = np.memmap(path / f"{stem}.bin", dtype=np.uint8, mode="r") \
+            if (path / f"{stem}.bin").stat().st_size else np.zeros(0, np.uint8)
+        self._off = np.load(path / f"{stem}.off.npy", mmap_mode="r")
+
+    def __len__(self) -> int:
+        return len(self._off) - 1
+
+    def raw(self, i: int) -> bytes:
+        a, b = int(self._off[i]), int(self._off[i + 1])
+        return bytes(self._data[a:b])
+
+    def get(self, i: int) -> str:
+        return self.raw(i).decode("utf-8")
+
+
+def pack_index(
+    path: str | Path,
+    store: HierarchyStore,
+    row_ids: list[str],
+    alive: np.ndarray,
+) -> None:
+    """Write the packed artifacts for an in-memory hierarchy + row map."""
+    out = Path(path) / PACKED_DIR
+    out.mkdir(parents=True, exist_ok=True)
+
+    nodes = list(store.nodes())
+    n = len(nodes)
+    idx_of = {nd.node_id: i for i, nd in enumerate(nodes)}
+
+    _write_blob(out, "ids", [nd.node_id for nd in nodes])
+    _write_blob(out, "texts", [nd.text for nd in nodes])
+    _write_blob(
+        out, "meta",
+        [json.dumps(nd.metadata, ensure_ascii=False) if nd.metadata else ""
+         for nd in nodes],
+    )
+
+    doc_vocab = sorted({nd.doc_id for nd in nodes})
+    mod_vocab = sorted({nd.module for nd in nodes})
+    doc_of = {d: i for i, d in enumerate(doc_vocab)}
+    mod_of = {m: i for i, m in enumerate(mod_vocab)}
+
+    np.save(out / "levels.npy", np.array([nd.level for nd in nodes], np.int16))
+    np.save(out / "doc.npy", np.array([doc_of[nd.doc_id] for nd in nodes], np.int32))
+    np.save(out / "mod.npy", np.array([mod_of[nd.module] for nd in nodes], np.int32))
+    np.save(
+        out / "parent.npy",
+        np.array(
+            [idx_of.get(nd.parent_id, -1) if nd.parent_id else -1 for nd in nodes],
+            np.int64,
+        ),
+    )
+    np.save(out / "span.npy", np.array([(nd.start, nd.end) for nd in nodes], np.int64))
+
+    child_ptr = np.zeros(n + 1, np.uint64)
+    np.cumsum([len(nd.child_ids) for nd in nodes], out=child_ptr[1:])
+    child_idx = np.fromiter(
+        (idx_of[c] for nd in nodes for c in nd.child_ids),
+        np.int64,
+        count=int(child_ptr[-1]),
+    )
+    np.save(out / "child_ptr.npy", child_ptr)
+    np.save(out / "child_idx.npy", child_idx)
+
+    leaf_rows = np.array([idx_of[i] for i in store.leaf_ids], np.int64)
+    leafrow_of = np.full(n, -1, np.int64)
+    leafrow_of[leaf_rows] = np.arange(len(leaf_rows))
+    np.save(out / "leaf_rows.npy", leaf_rows)
+    np.save(out / "leafrow_of.npy", leafrow_of)
+
+    ids_bytes = [nd.node_id.encode("utf-8") for nd in nodes]
+    np.save(
+        out / "id_order.npy",
+        np.array(sorted(range(n), key=ids_bytes.__getitem__), np.int64),
+    )
+
+    # Tombstoned rows may reference nodes already pruned from the hierarchy
+    # (VectorIndex.remove_document pops them); -1 marks those rows, exactly
+    # mirroring the JSONL path where node_of_row on a dead row KeyErrors.
+    np.save(
+        out / "row_nodes.npy",
+        np.array([idx_of.get(r, -1) for r in row_ids], np.int64),
+    )
+    np.save(out / "alive.npy", np.asarray(alive, bool))
+
+    manifest = {
+        "version": PACK_VERSION,
+        "n_nodes": n,
+        "n_leaves": len(leaf_rows),
+        "n_rows": len(row_ids),
+        "doc_ids": doc_vocab,
+        "modules": mod_vocab,
+    }
+    tmp = out / "manifest.json.tmp"  # atomic finish: manifest presence = valid
+    tmp.write_text(json.dumps(manifest))
+    tmp.replace(out / "manifest.json")
+
+
+def is_packed(path: str | Path) -> bool:
+    return (Path(path) / PACKED_DIR / "manifest.json").exists()
+
+
+class PackedHierarchyStore:
+    """Read-only, mmap-backed drop-in for HierarchyStore's lookup surface."""
+
+    def __init__(self, path: str | Path):
+        p = Path(path) / PACKED_DIR
+        self._path = p
+        self.manifest = json.loads((p / "manifest.json").read_text())
+        self._ids = _Blob(p, "ids")
+        self._texts = _Blob(p, "texts")
+        self._meta = _Blob(p, "meta")
+        self._levels = np.load(p / "levels.npy", mmap_mode="r")
+        self._doc = np.load(p / "doc.npy", mmap_mode="r")
+        self._mod = np.load(p / "mod.npy", mmap_mode="r")
+        self._parent = np.load(p / "parent.npy", mmap_mode="r")
+        self._span = np.load(p / "span.npy", mmap_mode="r")
+        self._child_ptr = np.load(p / "child_ptr.npy", mmap_mode="r")
+        self._child_idx = np.load(p / "child_idx.npy", mmap_mode="r")
+        self._leaf_rows = np.load(p / "leaf_rows.npy", mmap_mode="r")
+        self._leafrow_of = np.load(p / "leafrow_of.npy", mmap_mode="r")
+        self._id_order = np.load(p / "id_order.npy", mmap_mode="r")
+        self._docs = self.manifest["doc_ids"]
+        self._mods = self.manifest["modules"]
+        # Serving hits the same ids repeatedly (top-k of popular chunks,
+        # automerge parent walks); the bisect costs ~50 µs over 10M nodes,
+        # the cache ~0.1 µs. Per-instance so the mmap can be GC'd.
+        import functools
+
+        self.index_of = functools.lru_cache(maxsize=131072)(self._index_of)
+
+    # -- id → index --------------------------------------------------------
+
+    def _index_of(self, node_id: str) -> int:
+        """Binary search over the bytewise-sorted id permutation; -1 if absent."""
+        key = node_id.encode("utf-8")
+        lo, hi = 0, len(self._id_order)
+        while lo < hi:
+            mid = (lo + hi) // 2
+            probe = self._ids.raw(int(self._id_order[mid]))
+            if probe < key:
+                lo = mid + 1
+            elif probe > key:
+                hi = mid
+            else:
+                return int(self._id_order[mid])
+        return -1
+
+    # -- node materialization ------------------------------------------------
+
+    def by_index(self, i: int) -> Node:
+        a, b = int(self._child_ptr[i]), int(self._child_ptr[i + 1])
+        pid = int(self._parent[i])
+        meta = self._meta.get(i)
+        return Node(
+            node_id=self._ids.get(i),
+            text=self._texts.get(i),
+            level=int(self._levels[i]),
+            doc_id=self._docs[int(self._doc[i])],
+            module=self._mods[int(self._mod[i])],
+            parent_id=self._ids.get(pid) if pid >= 0 else None,
+            child_ids=[self._ids.get(int(c)) for c in self._child_idx[a:b]],
+            start=int(self._span[i][0]),
+            end=int(self._span[i][1]),
+            metadata=json.loads(meta) if meta else {},
+        )
+
+    # -- HierarchyStore lookup surface ---------------------------------------
+
+    def __len__(self) -> int:
+        return self.manifest["n_nodes"]
+
+    def __contains__(self, node_id: str) -> bool:
+        return self.index_of(node_id) >= 0
+
+    def get(self, node_id: str) -> Node:
+        i = self.index_of(node_id)
+        if i < 0:
+            raise KeyError(node_id)
+        return self.by_index(i)
+
+    def parent(self, node_id: str) -> Node | None:
+        pid = int(self._parent[self.index_of(node_id)])
+        return self.by_index(pid) if pid >= 0 else None
+
+    # Fast paths for the automerge walk (retrieval/automerge.py): id + count
+    # only, no text decode / child-id materialization.
+    def parent_id_of(self, node_id: str) -> str | None:
+        pid = int(self._parent[self.index_of(node_id)])
+        return self._ids.get(pid) if pid >= 0 else None
+
+    def n_children_of(self, node_id: str) -> int:
+        i = self.index_of(node_id)
+        return int(self._child_ptr[i + 1] - self._child_ptr[i])
+
+    def children(self, node_id: str) -> list[Node]:
+        i = self.index_of(node_id)
+        a, b = int(self._child_ptr[i]), int(self._child_ptr[i + 1])
+        return [self.by_index(int(c)) for c in self._child_idx[a:b]]
+
+    @property
+    def leaf_ids(self) -> list[str]:
+        """Materializes L strings — avoid on the hot path; kept for parity."""
+        return [self._ids.get(int(i)) for i in self._leaf_rows]
+
+    def leaf_by_row(self, row: int) -> Node:
+        return self.by_index(int(self._leaf_rows[row]))
+
+    def row_of(self, node_id: str) -> int:
+        row = int(self._leafrow_of[self.index_of(node_id)])
+        if row < 0:
+            raise KeyError(node_id)
+        return row
+
+    def nodes(self) -> Iterator[Node]:
+        return (self.by_index(i) for i in range(len(self)))
+
+    def leaves(self) -> Iterator[Node]:
+        return (self.by_index(int(i)) for i in self._leaf_rows)
+
+    # -- row map for PackedVectorIndex ---------------------------------------
+
+    def row_nodes(self) -> np.ndarray:
+        return np.load(self._path / "row_nodes.npy", mmap_mode="r")
+
+    def alive(self) -> np.ndarray:
+        return np.load(self._path / "alive.npy")
+
+    # -- mutation: immutable by design ---------------------------------------
+
+    def add(self, node: Node) -> None:
+        raise ReadOnlyHierarchyError("add")
+
+    def add_all(self, nodes) -> None:
+        raise ReadOnlyHierarchyError("add_all")
+
+    def remove_doc(self, doc_id: str) -> list[str]:
+        raise ReadOnlyHierarchyError("remove_doc")
+
+    def finalize_leaves(self) -> list[str]:
+        raise ReadOnlyHierarchyError("finalize_leaves")

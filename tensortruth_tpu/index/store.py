@@ -264,25 +264,42 @@ class VectorIndex:
 
     # -- persistence -----------------------------------------------------------
 
-    def save(self, path: str | Path) -> None:
+    def save(self, path: str | Path, packed: bool | None = None) -> None:
+        """Persist. Large hierarchies (≥ PACK_THRESHOLD nodes, or
+        ``packed=True``) switch to the mmap-backed packed format
+        (index/packed.py) — O(1) loads and flat host RSS at the 10M-chunk
+        tier; small/mutable scopes stay on JSONL."""
+        from tensortruth_tpu.index.packed import PACK_THRESHOLD, pack_index
+
         path = Path(path)
         path.mkdir(parents=True, exist_ok=True)
         _save_matrix(path, self._emb)
-        tmp = path / (ROWS_FILE + ".tmp")  # atomic write (reference file_utils.py:10)
-        tmp.write_text(
-            json.dumps(
-                {"row_ids": self._row_ids, "alive": self._alive.astype(int).tolist()}
+        use_packed = packed if packed is not None else len(self.store) >= PACK_THRESHOLD
+        if use_packed:
+            pack_index(path, self.store, self._row_ids, self._alive)
+            for stale in (path / ROWS_FILE, path / HIER_FILE):
+                if stale.exists():
+                    stale.unlink()
+        else:
+            tmp = path / (ROWS_FILE + ".tmp")  # atomic (reference file_utils.py:10)
+            tmp.write_text(
+                json.dumps(
+                    {"row_ids": self._row_ids, "alive": self._alive.astype(int).tolist()}
+                )
             )
-        )
-        tmp.replace(path / ROWS_FILE)
-        self.store.save(path / HIER_FILE)
+            tmp.replace(path / ROWS_FILE)
+            self.store.save(path / HIER_FILE)
         mtmp = path / (METADATA_FILE + ".tmp")
         mtmp.write_text(json.dumps(self.metadata, indent=2))
         mtmp.replace(path / METADATA_FILE)
 
     @classmethod
     def load(cls, path: str | Path) -> "VectorIndex":
+        from tensortruth_tpu.index.packed import is_packed
+
         path = Path(path)
+        if is_packed(path):
+            return PackedVectorIndex.load_packed(path)
         emb = _load_matrix(path)
         rows = json.loads((path / ROWS_FILE).read_text())
         store = HierarchyStore.load(path / HIER_FILE)
@@ -301,6 +318,60 @@ class VectorIndex:
         path = Path(path)
         has_matrix = (path / EMB_FILE).exists() or (path / EMB_MANIFEST).exists()
         return has_matrix and (path / METADATA_FILE).exists()
+
+
+class PackedVectorIndex(VectorIndex):
+    """Read-only VectorIndex over the packed hierarchy format.
+
+    Row bookkeeping is an int64 array into the packed node table instead of
+    10M-string lists + dicts, and the store hydrates nodes straight off the
+    mmap — host RSS stays flat at the capacity tier. Mutation raises:
+    built modules are immutable (a rebuild replaces the directory, exactly
+    the reference's module contract, indexing/builder.py:333-335)."""
+
+    def __init__(self, emb, row_nodes, alive, store, metadata):
+        self._emb = np.ascontiguousarray(emb, dtype=np.float32)
+        self._row_nodes = np.asarray(row_nodes, np.int64)
+        self.store = store
+        self.metadata = metadata or {}
+        self._alive = np.asarray(alive, bool)
+        self._compact_cache: tuple[np.ndarray, np.ndarray] | None = None
+        assert self._emb.shape[0] == len(self._row_nodes) == len(self._alive)
+
+    @classmethod
+    def load_packed(cls, path: str | Path) -> "PackedVectorIndex":
+        from tensortruth_tpu.index.packed import PackedHierarchyStore
+
+        path = Path(path)
+        store = PackedHierarchyStore(path)
+        meta = json.loads((path / METADATA_FILE).read_text())
+        return cls(_load_matrix(path), store.row_nodes(), store.alive(), store, meta)
+
+    def node_of_row(self, row: int) -> Node:
+        i = int(self._row_nodes[row])
+        if i < 0:  # tombstoned row whose node was pruned at pack time
+            raise KeyError(f"row {row} is tombstoned")
+        return self.store.by_index(i)
+
+    def rows_to_nodes(self, rows: np.ndarray) -> list[Node]:
+        return [self.node_of_row(int(r)) for r in rows]
+
+    def _read_only(self, op: str):
+        from tensortruth_tpu.index.packed import ReadOnlyHierarchyError
+
+        raise ReadOnlyHierarchyError(op)
+
+    def add_nodes(self, nodes, embed_fn) -> int:
+        self._read_only("add_nodes")
+
+    def remove_document(self, doc_id: str) -> int:
+        self._read_only("remove_document")
+
+    def compact(self) -> None:
+        self._read_only("compact")
+
+    def save(self, path: str | Path, packed: bool | None = None) -> None:
+        self._read_only("save")
 
 
 def resolve_module_dir(model_dir: Path, module: str) -> Path | None:

@@ -34,7 +34,7 @@ def auto_merge(
         for i, (nid, _) in enumerate(current):
             if nid not in store:
                 continue
-            pid = store.get(nid).parent_id
+            pid = store.parent_id_of(nid)
             if pid is not None and pid in store:
                 by_parent[pid].append(i)
 
@@ -43,7 +43,7 @@ def auto_merge(
         additions: list[tuple[str, float]] = []
         present = {nid for nid, _ in current}
         for pid, positions in by_parent.items():
-            n_children = len(store.get(pid).child_ids)
+            n_children = store.n_children_of(pid)
             if n_children == 0 or pid in present:
                 continue
             if len(positions) / n_children > ratio:
