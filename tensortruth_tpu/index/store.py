@@ -82,11 +82,47 @@ class CorruptIndexError(RuntimeError):
     load, startup checks) can distinguish 'rebuild this index' from a bug."""
 
 
-def _load_matrix(path: Path) -> np.ndarray:
+class ShardedMatrix:
+    """Lazy view over per-shard .npy memmaps — the capacity-tier load path.
+
+    A 10M×1024 f32 matrix is 40 GB; materializing it on the host just to
+    quantize it down to a 10 GB int8 device corpus wastes more RAM than many
+    hosts have. This object exposes ``shape``/``dtype``/``iter_shards()`` so
+    the engine can stream shard→quantize→place without ever holding the
+    full f32 corpus; ``__array__`` materializes as a documented fallback for
+    paths that genuinely need one array (mesh bf16 sharding, IVF build)."""
+
+    def __init__(self, mmaps: list[np.ndarray], n_rows: int, dim: int, dtype):
+        self._mmaps = mmaps
+        self.shape = (n_rows, dim)
+        self.dtype = np.dtype(dtype)
+        self.ndim = 2
+
+    def iter_shards(self):
+        return iter(self._mmaps)
+
+    def __array__(self, dtype=None, copy=None):
+        out = np.empty(self.shape, dtype=dtype or self.dtype)
+        row = 0
+        for m in self._mmaps:
+            out[row : row + m.shape[0]] = m
+            row += m.shape[0]
+        return out
+
+    def astype(self, dtype):
+        return self.__array__(dtype=np.dtype(dtype))
+
+    def __getitem__(self, key):  # fancy row selection (tombstone compaction)
+        return np.asarray(self)[key]
+
+
+def _load_matrix(path: Path, mmap: bool = False) -> np.ndarray:
+    """``mmap=True`` (read-only indexes) avoids materializing the matrix:
+    single-file → np.memmap; sharded → ShardedMatrix over per-shard mmaps."""
     manifest = path / EMB_MANIFEST
     if not manifest.exists():
         try:
-            return np.load(path / EMB_FILE)
+            return np.load(path / EMB_FILE, mmap_mode="r" if mmap else None)
         except Exception as e:
             raise CorruptIndexError(
                 f"unreadable embeddings at {path / EMB_FILE}: {e}"
@@ -97,14 +133,13 @@ def _load_matrix(path: Path) -> np.ndarray:
         n_rows, dim, dtype = m["n_rows"], m["dim"], np.dtype(m["dtype"])
     except (json.JSONDecodeError, KeyError, TypeError) as e:
         raise CorruptIndexError(f"unreadable shard manifest at {manifest}: {e}") from e
-    out = np.empty((n_rows, dim), dtype=dtype)
-    row = 0
+    mmaps, row = [], 0
     for shard in shards:
         f = path / shard["file"]
         if not f.exists():
             raise CorruptIndexError(f"missing shard {f} (manifest lists it)")
         try:
-            arr = np.load(f)
+            arr = np.load(f, mmap_mode="r")
         except Exception as e:  # truncated/zero-byte/garbage .npy
             raise CorruptIndexError(f"unreadable shard {f}: {e}") from e
         if arr.ndim != 2 or arr.shape[0] != shard["rows"] or arr.shape[1] != dim:
@@ -115,13 +150,14 @@ def _load_matrix(path: Path) -> np.ndarray:
             raise CorruptIndexError(
                 f"shards over-supply rows (> {n_rows} manifest total) at {f}"
             )
-        out[row : row + arr.shape[0]] = arr
+        mmaps.append(arr)
         row += arr.shape[0]
     if row != n_rows:
         raise CorruptIndexError(
             f"shards supply {row} rows, manifest claims {n_rows} at {path}"
         )
-    return out
+    lazy = ShardedMatrix(mmaps, n_rows, dim, dtype)
+    return lazy if mmap else np.asarray(lazy)
 
 
 def sanitize_model_id(model_id: str) -> str:
@@ -214,11 +250,32 @@ class VectorIndex:
         """(alive_emb (A, D) f32, row_map (A,) i32 physical-row indices).
 
         Compacted view for device placement; cached until the next mutation.
+        Fully-alive indexes (every built module before any delete) return
+        the backing array itself — no fancy-index copy, which matters at
+        the 10M-row tier where a copy is 40 GB.
         """
         if self._compact_cache is None:
-            rows = np.flatnonzero(self._alive).astype(np.int32)
-            self._compact_cache = (self._emb[rows], rows)
+            if self._alive.all():
+                rows = np.arange(self.n_rows, dtype=np.int32)
+                self._compact_cache = (self._emb, rows)
+            else:
+                rows = np.flatnonzero(self._alive).astype(np.int32)
+                self._compact_cache = (self._emb[rows], rows)
         return self._compact_cache
+
+    def iter_matrix_pieces(self):
+        """Yield the alive matrix as row-contiguous pieces without
+        materializing the whole — the engine's streaming-quantize path.
+        Mutated (tombstoned) indexes fall back to one compacted piece."""
+        if not self._alive.all():
+            yield self.matrix()[0]
+            return
+        if isinstance(self._emb, ShardedMatrix):
+            yield from self._emb.iter_shards()
+        else:
+            step = SHARD_ROWS
+            for i in range(0, self.n_rows, step):
+                yield self._emb[i : i + step]
 
     def rows_to_nodes(self, rows: np.ndarray) -> list[Node]:
         return [self.store.get(self._row_ids[r]) for r in rows]
@@ -330,7 +387,14 @@ class PackedVectorIndex(VectorIndex):
     the reference's module contract, indexing/builder.py:333-335)."""
 
     def __init__(self, emb, row_nodes, alive, store, metadata):
-        self._emb = np.ascontiguousarray(emb, dtype=np.float32)
+        # Keep mmap/ShardedMatrix backings lazy — read-only indexes never
+        # mutate the matrix, and a contiguous-f32 copy here would defeat
+        # the whole streaming load path.
+        self._emb = (
+            emb
+            if isinstance(emb, ShardedMatrix) or isinstance(emb, np.memmap)
+            else np.ascontiguousarray(emb, dtype=np.float32)
+        )
         self._row_nodes = np.asarray(row_nodes, np.int64)
         self.store = store
         self.metadata = metadata or {}
@@ -345,7 +409,13 @@ class PackedVectorIndex(VectorIndex):
         path = Path(path)
         store = PackedHierarchyStore(path)
         meta = json.loads((path / METADATA_FILE).read_text())
-        return cls(_load_matrix(path), store.row_nodes(), store.alive(), store, meta)
+        return cls(
+            _load_matrix(path, mmap=True),
+            store.row_nodes(),
+            store.alive(),
+            store,
+            meta,
+        )
 
     def node_of_row(self, row: int) -> Node:
         i = int(self._row_nodes[row])

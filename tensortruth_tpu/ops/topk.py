@@ -279,6 +279,29 @@ def quantize_corpus(emb) -> tuple:
     return emb_q, scales.astype(np.float32)
 
 
+def quantize_corpus_streaming(pieces, n_rows: int, dim: int, tile_n: int = 2048):
+    """quantize_corpus + pad_corpus_for_fused without ever holding the f32
+    corpus: pieces stream in (mmap shards at the capacity tier), the padded
+    int8 output and scales are preallocated once. Peak host RAM = the int8
+    corpus (¼ of f32) + one piece. Returns (emb_q (N_pad, D) int8,
+    scales (N_pad,) f32, n_actual)."""
+    import numpy as np
+
+    n_pad = -(-n_rows // tile_n) * tile_n
+    emb_q = np.zeros((n_pad, dim), np.int8)
+    scales = np.zeros(n_pad, np.float32)
+    row = 0
+    for piece in pieces:
+        piece = np.asarray(piece, dtype=np.float32)
+        q, s = quantize_corpus(piece)
+        emb_q[row : row + q.shape[0]] = q
+        scales[row : row + q.shape[0]] = s
+        row += q.shape[0]
+    if row != n_rows:
+        raise ValueError(f"pieces supplied {row} rows, expected {n_rows}")
+    return emb_q, scales, n_rows
+
+
 @functools.partial(
     jax.jit, static_argnames=("k", "m", "tile_n", "c_out", "interpret", "n_actual")
 )

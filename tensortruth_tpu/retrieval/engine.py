@@ -120,8 +120,13 @@ class MultiIndexEngine:
     # -- device matrix management ---------------------------------------------
 
     def _restack(self) -> None:
-        """Stack all alive module rows into one device matrix."""
-        mats, mods, rows = [], [], []
+        """Stack all alive module rows into one device matrix.
+
+        The host-side f32 stack is built LAZILY: paths that can stream
+        (the int8 fused placement) never materialize it, so a 10M-row
+        packed index (40 GB f32 on disk) loads with peak host RAM ≈ the
+        10 GB int8 device corpus + one mmap'd shard."""
+        mats, mods, rows, active = [], [], [], []
         for mi, mod in enumerate(self.modules):
             m, row_map = self.indexes[mod].matrix()
             if m.shape[0] == 0:
@@ -129,13 +134,26 @@ class MultiIndexEngine:
             mats.append(m)
             mods.append(np.full(m.shape[0], mi, np.int32))
             rows.append(row_map)
+            active.append(mod)
         if not mats:
             self._stacked, self._n_actual = None, 0
             return
-        emb = np.concatenate(mats, axis=0)
+
+        def emb_full():
+            """Materialized f32 stack — only for the paths that need it."""
+            if len(mats) == 1:
+                return np.asarray(mats[0])
+            return np.concatenate([np.asarray(m) for m in mats], axis=0)
+
+        def emb_pieces():
+            """Row-contiguous pieces in stack order, streaming-friendly."""
+            for mod in active:
+                yield from self.indexes[mod].iter_matrix_pieces()
+
         self._module_of_row = np.concatenate(mods)
         self._row_map = np.concatenate(rows)
-        self._n_actual = emb.shape[0]
+        self._n_actual = int(sum(m.shape[0] for m in mats))
+        dim = mats[0].shape[1]
         self._ivf = None
         self._ivf_sharded = None
         self._stacked_scales = None
@@ -153,7 +171,7 @@ class MultiIndexEngine:
             from tensortruth_tpu.ops.ivf import build_ivf, shard_ivf
 
             ivf = build_ivf(
-                emb,
+                emb_full(),
                 n_clusters=self.ivf_clusters,
                 block_dtype=jnp.int8 if self.corpus_dtype == "int8" else jnp.bfloat16,
             )
@@ -167,14 +185,16 @@ class MultiIndexEngine:
             from tensortruth_tpu.parallel.sharded_topk import shard_corpus_int8
 
             self._stacked, self._stacked_scales, _ = shard_corpus_int8(
-                emb, self.mesh, tile_n=2048 if self.use_fused else None
+                emb_full(), self.mesh, tile_n=2048 if self.use_fused else None
             )
         elif self.corpus_dtype == "int8" and self.use_fused:
-            from tensortruth_tpu.ops.topk import pad_corpus_for_fused, quantize_corpus
+            from tensortruth_tpu.ops.topk import quantize_corpus_streaming
 
-            emb_q, scales = quantize_corpus(emb)
-            emb_q, _ = pad_corpus_for_fused(emb_q)
-            scales = np.pad(scales, (0, emb_q.shape[0] - len(scales)))
+            # Streams mmap shards through per-piece quantization — the f32
+            # corpus is never resident (capacity-tier load, BASELINE.md).
+            emb_q, scales, _ = quantize_corpus_streaming(
+                emb_pieces(), self._n_actual, dim
+            )
             self._stacked = jnp.asarray(emb_q)
             self._stacked_scales = jnp.asarray(scales)
         else:
@@ -189,18 +209,29 @@ class MultiIndexEngine:
             # kernel inside the VMEM budget (f32 tiles double-buffer past
             # 16MB); scores accumulate in f32 regardless (ops/topk.py).
             dtype = jnp.float32 if self.corpus_dtype == "float32" else jnp.bfloat16
-            emb = emb.astype(dtype) if hasattr(emb, "astype") else emb
             if self.mesh is not None:
                 self._stacked, _ = shard_corpus(
-                    emb, self.mesh, tile_n=2048 if self.use_fused else None
+                    emb_full().astype(dtype),
+                    self.mesh,
+                    tile_n=2048 if self.use_fused else None,
                 )
             else:
-                # Pre-pad to the kernel tile multiple so the fused path never
-                # copies the corpus inside the jit (ops/topk.py note).
-                from tensortruth_tpu.ops.topk import pad_corpus_for_fused
+                # Stream pieces into a preallocated device-dtype host buffer,
+                # pre-padded to the kernel tile multiple (ops/topk.py note):
+                # the f32 stack is never resident, halving peak host RAM on
+                # the default bf16 tier and quartering it from mmap shards.
+                import ml_dtypes
 
-                emb, _ = pad_corpus_for_fused(emb)
-                self._stacked = jnp.asarray(emb, dtype=dtype)
+                np_dtype = (
+                    np.float32 if self.corpus_dtype == "float32" else ml_dtypes.bfloat16
+                )
+                n_pad = -(-self._n_actual // 2048) * 2048
+                out = np.zeros((n_pad, dim), np_dtype)
+                row = 0
+                for piece in emb_pieces():
+                    out[row : row + piece.shape[0]] = piece
+                    row += piece.shape[0]
+                self._stacked = jnp.asarray(out)
         self._cache.clear()
 
     def refresh(self) -> None:

@@ -283,3 +283,107 @@ def test_empty_metadata_and_unicode_blobs(tmp_path):
     _nodes_equal(packed.get("b"), b)
     manifest = json.loads((tmp_path / PACKED_DIR / "manifest.json").read_text())
     assert manifest["n_nodes"] == 2 and manifest["n_leaves"] == 1
+
+
+class TestStreamingMatrixLoad:
+    """Capacity-tier load path: mmap shards, zero-copy matrix(), piecewise
+    streaming into the device buffer (engine._restack)."""
+
+    def _saved_sharded(self, tmp_path, monkeypatch, n=700, d=16):
+        import tensortruth_tpu.index.store as store_mod
+
+        monkeypatch.setattr(store_mod, "SHARD_ROWS", 250)
+        rng = np.random.default_rng(3)
+        emb = rng.standard_normal((n, d)).astype(np.float32)
+        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        store = HierarchyStore()
+        nodes = [Node(node_id=f"n{i:06d}", text=f"t{i}", level=0, doc_id="d")
+                 for i in range(n)]
+        store.add_all(nodes)
+        store.finalize_leaves()
+        idx = VectorIndex(emb, [f"n{i:06d}" for i in range(n)], store,
+                          {"embedding_model": "tiny"})
+        idx.save(tmp_path / "mod", packed=True)
+        assert (tmp_path / "mod" / "embeddings.manifest.json").exists()
+        return emb, tmp_path / "mod"
+
+    def test_packed_sharded_load_is_lazy_and_equal(self, tmp_path, monkeypatch):
+        from tensortruth_tpu.index.store import ShardedMatrix
+
+        emb, path = self._saved_sharded(tmp_path, monkeypatch)
+        loaded = VectorIndex.load(path)
+        assert isinstance(loaded._emb, ShardedMatrix)
+        np.testing.assert_allclose(np.asarray(loaded._emb), emb, rtol=1e-6)
+        # fully-alive matrix() must NOT copy: it returns the backing object
+        m, rows = loaded.matrix()
+        assert m is loaded._emb
+        np.testing.assert_array_equal(rows, np.arange(len(emb)))
+        # pieces concatenate back to the matrix, in order
+        pieces = list(loaded.iter_matrix_pieces())
+        assert len(pieces) > 1  # actually sharded
+        np.testing.assert_allclose(np.concatenate(pieces), emb, rtol=1e-6)
+
+    def test_packed_single_file_load_is_memmap(self, tmp_path, tiny_tokenizer):
+        store = HierarchyStore()
+        nodes = [Node(node_id=f"n{i}", text="t", level=0, doc_id="d") for i in range(8)]
+        store.add_all(nodes)
+        store.finalize_leaves()
+        emb = np.eye(8, dtype=np.float32)
+        idx = VectorIndex(emb, [f"n{i}" for i in range(8)], store, {})
+        idx.save(tmp_path / "mod", packed=True)
+        loaded = VectorIndex.load(tmp_path / "mod")
+        assert isinstance(loaded._emb, np.memmap)
+        m, _ = loaded.matrix()
+        assert m is loaded._emb  # zero-copy fast path
+
+    def test_quantize_corpus_streaming_matches_eager(self):
+        from tensortruth_tpu.ops.topk import (
+            pad_corpus_for_fused,
+            quantize_corpus,
+            quantize_corpus_streaming,
+        )
+
+        rng = np.random.default_rng(5)
+        emb = rng.standard_normal((5000, 32)).astype(np.float32)
+        q_ref, s_ref = quantize_corpus(emb)
+        q_ref, n = pad_corpus_for_fused(q_ref)
+        s_ref = np.pad(s_ref, (0, q_ref.shape[0] - len(s_ref)))
+        pieces = [emb[:1024], emb[1024:1024], emb[1024:4000], emb[4000:]]
+        q, s, n2 = quantize_corpus_streaming(iter(pieces), 5000, 32)
+        assert n2 == n == 5000
+        np.testing.assert_array_equal(q, q_ref)
+        np.testing.assert_allclose(s, s_ref)
+        with pytest.raises(ValueError, match="supplied"):
+            quantize_corpus_streaming(iter([emb[:10]]), 5000, 32)
+
+    def test_engine_over_sharded_mmap_matches_eager(self, tmp_path, monkeypatch):
+        from tensortruth_tpu.retrieval.engine import MultiIndexEngine
+
+        emb, path = self._saved_sharded(tmp_path, monkeypatch)
+        lazy = VectorIndex.load(path)
+        e_lazy = MultiIndexEngine({"m": lazy}, similarity_top_k=5, use_fused=False)
+        store2 = HierarchyStore()
+        store2.add_all([Node(node_id=f"n{i:06d}", text=f"t{i}", level=0, doc_id="d")
+                        for i in range(len(emb))])
+        store2.finalize_leaves()
+        eager = VectorIndex(emb, [f"n{i:06d}" for i in range(len(emb))], store2, {})
+        e_eager = MultiIndexEngine({"m": eager}, similarity_top_k=5, use_fused=False)
+        for r in range(0, len(emb), 97):
+            a = e_lazy.retrieve(emb[r], f"q{r}")
+            b = e_eager.retrieve(emb[r], f"q{r}")
+            assert [(n.node_id, round(n.score, 5)) for n in a] == [
+                (n.node_id, round(n.score, 5)) for n in b
+            ]
+
+    def test_tombstoned_pieces_fall_back_to_compacted(self, tmp_path, tiny_tokenizer):
+        store = HierarchyStore()
+        nodes = [Node(node_id=f"n{i}", text="t", level=0,
+                      doc_id="d0" if i < 3 else "d1") for i in range(8)]
+        store.add_all(nodes)
+        store.finalize_leaves()
+        emb = np.eye(8, dtype=np.float32)
+        idx = VectorIndex(emb, [f"n{i}" for i in range(8)], store, {})
+        idx.remove_document("d0")
+        pieces = list(idx.iter_matrix_pieces())
+        assert len(pieces) == 1
+        np.testing.assert_array_equal(np.concatenate(pieces), emb[3:])
