@@ -231,6 +231,11 @@ class MultiIndexEngine:
                 for piece in emb_pieces():
                     out[row : row + piece.shape[0]] = piece
                     row += piece.shape[0]
+                if row != self._n_actual:
+                    raise RuntimeError(
+                        f"matrix pieces supplied {row} rows, stack expects "
+                        f"{self._n_actual}"
+                    )
                 self._stacked = jnp.asarray(out)
         self._cache.clear()
 

@@ -19,6 +19,7 @@ import json
 import logging
 import re
 import threading
+import time
 from collections import deque
 
 from aiohttp import WSMsgType, web
@@ -419,6 +420,7 @@ async def ws_chat(request: web.Request):
         # or peer loss the executor pump is NOT cancelled with the task —
         # flag it (it closes the generator within one chunk) and join.
         send_task = asyncio.ensure_future(drain_and_send())
+        t_gen0 = time.monotonic()
         try:
             outcome, response = await _stream_with_receive(ws, send_task, pending)
         except asyncio.CancelledError:
@@ -448,12 +450,21 @@ async def ws_chat(request: web.Request):
 
         sources = [s.to_dict() for s in response.sources]
         await ws.send_json({"type": "sources", "sources": sources})
+        gen_s = time.monotonic() - t_gen0
+        est_tokens = len(response.text) // 4  # reference CHARS_PER_TOKEN=4
         await ws.send_json(
             {
                 "type": "done",
                 "content": response.text,
                 "metrics": response.metrics,
                 "confidence": response.confidence,
+                # generation stats (reference chat.py:934-942 done-message
+                # token estimates; SPA shows them like ResponseStats)
+                "stats": {
+                    "duration_ms": round(gen_s * 1e3),
+                    "est_tokens": est_tokens,
+                    "tokens_per_s": round(est_tokens / gen_s, 1) if gen_s > 0 else None,
+                },
             }
         )
         services.session_service.add_message(
@@ -508,6 +519,7 @@ async def _run_orchestrator(
         logger.warning("MCP tool load failed: %s", e)
     done_msg = None
     sources: list[dict] = []
+    t_gen0 = time.monotonic()
     try:
         async for event in orch.execute(
             prompt, llm, synthesis_llm=synth_llm, extra_tools=service_tools,
@@ -525,6 +537,16 @@ async def _run_orchestrator(
             if event["type"] == "sources":
                 sources = event["sources"]
             if event["type"] == "done":
+                gen_s = time.monotonic() - t_gen0
+                est = len(event.get("content", "")) // 4
+                event = {
+                    **event,
+                    "stats": {
+                        "duration_ms": round(gen_s * 1e3),
+                        "est_tokens": est,
+                        "tokens_per_s": round(est / gen_s, 1) if gen_s > 0 else None,
+                    },
+                }
                 done_msg = event
             await ws.send_json(event)
     except Exception as e:

@@ -50,6 +50,17 @@ export function addMessage(role, text, opts) {
     const reBtn = el("button", "", "↻ resend");
     reBtn.onclick = () => resendMessage(body.textContent);
     actions.appendChild(reBtn);
+    // Long pasted messages collapse to a fixed height with an expander
+    // (reference MessageItem.tsx USER_MSG_COLLAPSED_PX behavior).
+    if ((text || "").length > 1200) {
+      body.classList.add("clamped");
+      const more = el("button", "expand-btn", "⌄ show more");
+      more.onclick = () => {
+        const clamped = body.classList.toggle("clamped");
+        more.textContent = clamped ? "⌄ show more" : "⌃ show less";
+      };
+      actions.appendChild(more);
+    }
   }
   wrap.appendChild(actions);
   $("messages").appendChild(wrap);
@@ -156,6 +167,16 @@ export function renderMetrics(container, metrics, confidence) {
 
 // Per-message tool-call timeline: accumulated from tool_progress events
 // during streaming (reference MessageToolSteps display).
+// Post-stream generation stats (reference ResponseStats on MessageItem):
+// token estimate, wall time, throughput from the done message.
+export function renderStats(container, stats) {
+  if (!stats || !stats.est_tokens) return;
+  const bits = [`≈${stats.est_tokens} tok`];
+  if (stats.duration_ms != null) bits.push(`${(stats.duration_ms / 1000).toFixed(1)} s`);
+  if (stats.tokens_per_s != null) bits.push(`${stats.tokens_per_s} tok/s`);
+  container.appendChild(el("div", "gen-stats", bits.join(" · ")));
+}
+
 export function renderToolSteps(container, steps) {
   if (!steps || !steps.length) return;
   const det = el("details", "toolsteps");

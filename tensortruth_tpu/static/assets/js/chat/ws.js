@@ -9,7 +9,9 @@ import {$, el, scrollMessages, toast} from "../lib/dom.js";
 import {renderMarkdown} from "../lib/markdown.js";
 import {currentSessionId} from "../stores/session.js";
 import {loadSessions} from "../views/sidebar.js";
-import {renderMetrics, renderSources, renderThinking, renderToolSteps} from "./messages.js";
+import {
+  renderMetrics, renderSources, renderStats, renderThinking, renderToolSteps,
+} from "./messages.js";
 import {ensureAssistant, resetStream, stream} from "./stream.js";
 
 let ws = null;
@@ -51,6 +53,7 @@ const WS_HANDLERS = {
     if (stream.thinkingBox) stream.thinkingBox.open = false;
     renderToolSteps(stream.assistant, stream.toolSteps);
     renderMetrics(stream.assistant, msg.metrics, msg.confidence);
+    renderStats(stream.assistant, msg.stats);
     resetStream();
   },
   error(msg) {

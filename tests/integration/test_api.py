@@ -261,6 +261,12 @@ async def test_ws_chat_llm_only(client, monkeypatch):
     assert "token" in types and "thinking" in types and "done" in types
     done = events[-1]
     assert done["content"] == "Hello world"
+    # generation stats ride the done message (reference chat.py:934-942
+    # est-token convention: chars // 4)
+    stats = done["stats"]
+    assert stats["est_tokens"] == len("Hello world") // 4
+    assert stats["duration_ms"] >= 0
+    assert stats["tokens_per_s"] is None or stats["tokens_per_s"] >= 0
     # title generated on first exchange
     title_msg = await ws.receive_json(timeout=10)
     assert title_msg["type"] == "title"

@@ -696,3 +696,28 @@ def test_project_grouped_sessions():
     assert "createProjectSession" in sb and "deleteProject" in sb
     assert '{modules: selectedModules()}' in sb  # live module PATCH body
     assert "project-head" in CSS and ".session.nested" in CSS
+
+
+def test_generation_stats_displayed():
+    """The done message's stats (est_tokens/duration/tok-s) render under the
+    assistant message (reference ResponseStats on MessageItem.tsx)."""
+    msgs = JS["chat/messages.js"]
+    assert "renderStats" in msgs
+    assert "est_tokens" in msgs and "tokens_per_s" in msgs
+    assert "renderStats(stream.assistant, msg.stats)" in JS["chat/ws.js"]
+    assert ".gen-stats" in CSS
+    # server side actually sends them on both chat paths
+    import inspect
+
+    from tensortruth_tpu.server.routes import chat as chat_routes
+
+    src = inspect.getsource(chat_routes)
+    assert src.count('"stats"') >= 2  # direct + orchestrator done messages
+
+
+def test_long_user_messages_collapse():
+    """Long pasted user messages clamp with an expander (reference
+    MessageItem.tsx USER_MSG_COLLAPSED_PX)."""
+    msgs = JS["chat/messages.js"]
+    assert "clamped" in msgs and "show more" in msgs and "show less" in msgs
+    assert ".msg.user .body.clamped" in CSS and "max-height" in CSS
