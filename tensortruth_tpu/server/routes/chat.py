@@ -480,8 +480,13 @@ async def ws_chat(request: web.Request):
 
 
 def _orchestrator_enabled(services, params: dict) -> bool:
-    """Param + model tool-capability probe (reference chat.py:245-290)."""
-    if not params.get("orchestrator_enabled", False):
+    """Param + model tool-capability probe (reference chat.py:245-290).
+
+    A missing param means enabled — the reference defaults the config check
+    to True (chat.py:267) and session defaults fill it from config anyway;
+    defaulting False here silently forced legacy/stripped-params sessions
+    onto the direct path."""
+    if not params.get("orchestrator_enabled", True):
         return False
     try:
         from tensortruth_tpu.core.providers import ProviderRegistry

@@ -410,6 +410,28 @@ async def test_ws_orchestrator_path(client):
     assert events[-1]["content"] == "final synthesized answer"
 
 
+async def test_orchestrator_enabled_defaults_true_when_param_missing(client):
+    """A session whose params lack ``orchestrator_enabled`` (legacy /
+    stripped params) must still take the orchestrator path — the reference
+    defaults the config check to True (chat.py:267). This regressed once to
+    a silent default-False that forced such sessions onto the direct path."""
+    from tensortruth_tpu.core.providers import ProviderRegistry
+    from tensortruth_tpu.server.routes.chat import _orchestrator_enabled
+
+    services = client.server.app["services"]
+    services.config.providers[0].default_capabilities = ["tools"]
+    services.config.providers[0].models = [{"name": "fake-model"}]
+    ProviderRegistry.reset_instance()
+
+    assert _orchestrator_enabled(services, {"model": "fake-model"}) is True
+    assert (
+        _orchestrator_enabled(
+            services, {"model": "fake-model", "orchestrator_enabled": False}
+        )
+        is False
+    )
+
+
 async def test_engine_reloads_after_session_doc_mutation(client):
     """Adding a second doc mid-session must surface in retrieval
     (mtime-aware reload hash)."""

@@ -287,14 +287,26 @@ def test_wizard_structure_complete():
 
 
 def test_params_drawer_fields_match_session_params():
-    """Every field in the params drawer must be a real session param the
-    server accepts (session_service defaults / schemas)."""
+    """Every field in the params drawer must be a param name the server
+    actually READS (``params.get("<name>")`` / ``params["<name>"]`` somewhere
+    in the package) — a hand-copied expected-set once let the drawer ship a
+    ``use_orchestrator`` field while the backend read ``orchestrator_enabled``,
+    making the UI toggle a silent no-op."""
     drawer = re.search(r'id="params-drawer".*?</div>\s*</div>', HTML, re.S).group(0)
     fields = set(re.findall(r'name="(\w+)"', drawer))
     expected = {"model", "temperature", "context_window", "reranker_top_n",
                 "use_reranker", "confidence_cutoff", "corpus_dtype",
-                "use_orchestrator", "thinking"}
+                "orchestrator_enabled", "thinking"}
     assert fields == expected, fields ^ expected
+
+    pkg = Path(__file__).resolve().parents[2] / "tensortruth_tpu"
+    source = "\n".join(
+        p.read_text(encoding="utf-8") for p in pkg.rglob("*.py")
+    )
+    for name in fields:
+        assert (
+            f'params.get("{name}"' in source or f'params["{name}"]' in source
+        ), f"drawer field {name!r} is never read as a session param server-side"
 
 
 def test_spa_has_no_control_characters():
