@@ -100,9 +100,20 @@ def pack_index(
     row_ids: list[str],
     alive: np.ndarray,
 ) -> None:
-    """Write the packed artifacts for an in-memory hierarchy + row map."""
-    out = Path(path) / PACKED_DIR
-    out.mkdir(parents=True, exist_ok=True)
+    """Write the packed artifacts for an in-memory hierarchy + row map.
+
+    Crash-atomic also when a ``packed/`` dir already exists: everything is
+    written into ``packed.tmp/`` and swapped in at the end (old manifest
+    invalidated first). A crash mid-swap leaves either the old pack intact
+    or no pack at all — never a valid-looking manifest over torn blobs."""
+    import os
+    import shutil
+
+    final = Path(path) / PACKED_DIR
+    out = Path(path) / (PACKED_DIR + ".tmp")
+    if out.exists():
+        shutil.rmtree(out)
+    out.mkdir(parents=True)
 
     nodes = list(store.nodes())
     n = len(nodes)
@@ -172,9 +183,13 @@ def pack_index(
         "doc_ids": doc_vocab,
         "modules": mod_vocab,
     }
-    tmp = out / "manifest.json.tmp"  # atomic finish: manifest presence = valid
-    tmp.write_text(json.dumps(manifest))
-    tmp.replace(out / "manifest.json")
+    (out / "manifest.json").write_text(json.dumps(manifest))
+    if final.exists():
+        man = final / "manifest.json"
+        if man.exists():
+            man.unlink()  # invalidate the old pack before tearing it down
+        shutil.rmtree(final)
+    os.replace(out, final)  # atomic finish: manifest presence = valid
 
 
 def is_packed(path: str | Path) -> bool:
@@ -254,28 +269,34 @@ class PackedHierarchyStore:
     def __contains__(self, node_id: str) -> bool:
         return self.index_of(node_id) >= 0
 
-    def get(self, node_id: str) -> Node:
+    def _index_or_raise(self, node_id: str) -> int:
+        """index_of with JSONL-store KeyError semantics — a -1 miss fed
+        straight into numpy indexing would silently wrap to the LAST node
+        (Python negative indexing) and return garbage instead of raising."""
         i = self.index_of(node_id)
         if i < 0:
             raise KeyError(node_id)
-        return self.by_index(i)
+        return i
+
+    def get(self, node_id: str) -> Node:
+        return self.by_index(self._index_or_raise(node_id))
 
     def parent(self, node_id: str) -> Node | None:
-        pid = int(self._parent[self.index_of(node_id)])
+        pid = int(self._parent[self._index_or_raise(node_id)])
         return self.by_index(pid) if pid >= 0 else None
 
     # Fast paths for the automerge walk (retrieval/automerge.py): id + count
     # only, no text decode / child-id materialization.
     def parent_id_of(self, node_id: str) -> str | None:
-        pid = int(self._parent[self.index_of(node_id)])
+        pid = int(self._parent[self._index_or_raise(node_id)])
         return self._ids.get(pid) if pid >= 0 else None
 
     def n_children_of(self, node_id: str) -> int:
-        i = self.index_of(node_id)
+        i = self._index_or_raise(node_id)
         return int(self._child_ptr[i + 1] - self._child_ptr[i])
 
     def children(self, node_id: str) -> list[Node]:
-        i = self.index_of(node_id)
+        i = self._index_or_raise(node_id)
         a, b = int(self._child_ptr[i]), int(self._child_ptr[i + 1])
         return [self.by_index(int(c)) for c in self._child_idx[a:b]]
 
@@ -288,7 +309,7 @@ class PackedHierarchyStore:
         return self.by_index(int(self._leaf_rows[row]))
 
     def row_of(self, node_id: str) -> int:
-        row = int(self._leafrow_of[self.index_of(node_id)])
+        row = int(self._leafrow_of[self._index_or_raise(node_id)])
         if row < 0:
             raise KeyError(node_id)
         return row

@@ -112,7 +112,35 @@ class ShardedMatrix:
     def astype(self, dtype):
         return self.__array__(dtype=np.dtype(dtype))
 
+    def take_rows(self, rows: np.ndarray) -> np.ndarray:
+        """Materialize only the selected (sorted) rows, shard by shard —
+        tombstone compaction must not build the full f32 matrix first (a
+        10M-row index is 40 GB; the full-materialize + fancy-copy path
+        doubles that transiently)."""
+        rows = np.asarray(rows)
+        order = None
+        if len(rows) > 1 and not (rows[1:] >= rows[:-1]).all():
+            order = np.argsort(rows, kind="stable")
+            rows = rows[order]
+        out = np.empty((len(rows), self.shape[1]), dtype=self.dtype)
+        base = filled = 0
+        for m in self._mmaps:
+            sel = rows[(rows >= base) & (rows < base + m.shape[0])] - base
+            if len(sel):
+                out[filled : filled + len(sel)] = m[sel]
+                filled += len(sel)
+            base += m.shape[0]
+        if order is not None:
+            inv = np.empty_like(order)
+            inv[order] = np.arange(len(order))
+            out = out[inv]
+        return out
+
     def __getitem__(self, key):  # fancy row selection (tombstone compaction)
+        if isinstance(key, np.ndarray) and key.ndim == 1:
+            if key.dtype == bool:
+                key = np.flatnonzero(key)
+            return self.take_rows(key)
         return np.asarray(self)[key]
 
 
