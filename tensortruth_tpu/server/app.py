@@ -135,6 +135,16 @@ def create_app(data_dir: str | Path | None = None, config=None) -> web.Applicati
 
         app.router.add_get("/", index)
         app.router.add_static("/assets", STATIC_DIR / "assets" if (STATIC_DIR / "assets").exists() else STATIC_DIR)
+
+        # Renderer conformance harness (markdown/TeX/highlight golden cases,
+        # executed in a real JS runtime — see static/conformance.html).
+        conformance = STATIC_DIR / "conformance.html"
+        if conformance.exists():
+            async def conformance_page(_):
+                return web.FileResponse(conformance)
+
+            app.router.add_get("/conformance.html", conformance_page)
+
         app.router.add_get("/{tail:(?!api|ws|health).*}", index)
 
     async def on_startup(app: web.Application):

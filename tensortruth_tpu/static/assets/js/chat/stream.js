@@ -8,6 +8,8 @@ import {addMessage} from "./messages.js";
 
 export const stream = {
   assistant: null, body: null, thinkingText: "", thinkingBox: null, toolSteps: [],
+  raw: "",           // accumulated assistant text, re-rendered incrementally
+  renderTimer: 0,    // pending throttled markdown repaint (ws.js token handler)
 };
 
 let streaming = false;
@@ -27,13 +29,16 @@ export function ensureAssistant() {
     stream.thinkingText = "";
     stream.thinkingBox = null;
     stream.toolSteps = [];
+    stream.raw = "";
     setStreaming(true);
   }
 }
 
 export function resetStream() {
+  if (stream.renderTimer) { clearTimeout(stream.renderTimer); stream.renderTimer = 0; }
   stream.assistant = stream.body = stream.thinkingBox = null;
   stream.thinkingText = "";
   stream.toolSteps = [];
+  stream.raw = "";
   setStreaming(false);
 }

@@ -38,7 +38,19 @@ const WS_HANDLERS = {
   },
   token(msg) {
     ensureAssistant();
-    stream.body.textContent += msg.content;
+    // Incremental markdown: accumulate raw text and repaint at most every
+    // 120 ms (the reference memoizes per-block in MemoizedMarkdown.tsx; one
+    // throttled full re-render is equivalent at chat-message sizes).
+    stream.raw += msg.content;
+    if (!stream.renderTimer) {
+      stream.renderTimer = setTimeout(() => {
+        stream.renderTimer = 0;
+        if (!stream.body) return; // stream ended while the repaint was pending
+        stream.body.classList.add("md");
+        stream.body.innerHTML = renderMarkdown(stream.raw);
+        scrollMessages();
+      }, 120);
+    }
     scrollMessages();
   },
   sources(msg) {
@@ -48,8 +60,8 @@ const WS_HANDLERS = {
   done(msg) {
     ensureAssistant();
     $("statusline").textContent = "";
-    stream.body.style.whiteSpace = "normal";
-    stream.body.innerHTML = renderMarkdown(msg.content || stream.body.textContent);
+    stream.body.classList.add("md");
+    stream.body.innerHTML = renderMarkdown(msg.content || stream.raw);
     if (stream.thinkingBox) stream.thinkingBox.open = false;
     renderToolSteps(stream.assistant, stream.toolSteps);
     renderMetrics(stream.assistant, msg.metrics, msg.confidence);
@@ -59,7 +71,7 @@ const WS_HANDLERS = {
   error(msg) {
     ensureAssistant();
     $("statusline").textContent = "";
-    stream.body.textContent += "⚠ " + msg.error;
+    stream.body.textContent = stream.raw + "⚠ " + msg.error;
     toast(msg.error, true);
     resetStream();
   },

@@ -72,7 +72,7 @@ export async function openSession(id) {
                              onDelete: () => openSession(id)});
     if (m.role === "assistant") {
       const body = wrap.querySelector(".body");
-      body.style.whiteSpace = "normal";
+      body.classList.add("md");
       body.innerHTML = renderMarkdown(m.content || "");
       if (m.thinking) renderThinking(wrap, m.thinking);
     }

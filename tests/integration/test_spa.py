@@ -489,9 +489,9 @@ def test_message_actions_and_toasts_wired():
 
 
 def test_markdown_pipe_tables_supported():
-    fn = re.search(r"function renderMarkdown.*?\n\}", JS["lib/markdown.js"],
-                   re.S).group(0)
-    assert "<table>" in fn and "<thead>" in fn and "<td>" in fn
+    # table rendering moved to a dedicated block function in the r4 rewrite
+    src = JS["lib/markdown.js"]
+    assert "<table>" in src and "<thead>" in src and "<td>" in src
 
 
 def test_session_filter_and_rename_and_stats():
