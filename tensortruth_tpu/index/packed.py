@@ -103,14 +103,18 @@ def pack_index(
     """Write the packed artifacts for an in-memory hierarchy + row map.
 
     Crash-atomic also when a ``packed/`` dir already exists: everything is
-    written into ``packed.tmp/`` and swapped in at the end (old manifest
-    invalidated first). A crash mid-swap leaves either the old pack intact
-    or no pack at all — never a valid-looking manifest over torn blobs."""
+    written into ``packed.tmp/``, the old pack is renamed aside to
+    ``packed.old/`` (atomic), the new pack renamed in (atomic), then the
+    old one deleted. Every crash window leaves either the old pack intact,
+    the old pack recoverable from ``packed.old`` (``is_packed`` renames it
+    back), or the new pack complete — never a valid-looking manifest over
+    torn blobs."""
     import os
     import shutil
 
     final = Path(path) / PACKED_DIR
     out = Path(path) / (PACKED_DIR + ".tmp")
+    old = Path(path) / (PACKED_DIR + ".old")
     if out.exists():
         shutil.rmtree(out)
     out.mkdir(parents=True)
@@ -184,16 +188,35 @@ def pack_index(
         "modules": mod_vocab,
     }
     (out / "manifest.json").write_text(json.dumps(manifest))
+    if old.exists():
+        shutil.rmtree(old)  # stale leftover from a crash after a prior swap
     if final.exists():
-        man = final / "manifest.json"
-        if man.exists():
-            man.unlink()  # invalidate the old pack before tearing it down
-        shutil.rmtree(final)
+        os.replace(final, old)  # atomic: old pack stays whole while aside
     os.replace(out, final)  # atomic finish: manifest presence = valid
+    if old.exists():
+        shutil.rmtree(old)
 
 
 def is_packed(path: str | Path) -> bool:
-    return (Path(path) / PACKED_DIR / "manifest.json").exists()
+    """True iff a valid pack exists; self-heals a crash-mid-swap.
+
+    ``pack_index`` renames the old pack aside before renaming the new one
+    in; a crash between the two renames leaves only ``packed.old``. Rename
+    it back here (atomic) so the module keeps serving the old pack instead
+    of surfacing a missing-hierarchy error."""
+    p = Path(path) / PACKED_DIR
+    if (p / "manifest.json").exists():
+        return True
+    old = Path(path) / (PACKED_DIR + ".old")
+    if (old / "manifest.json").exists() and not p.exists():
+        import os
+
+        try:
+            os.replace(old, p)
+        except OSError:
+            return False
+        return True
+    return False
 
 
 class PackedHierarchyStore:

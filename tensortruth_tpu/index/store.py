@@ -130,6 +130,14 @@ class ShardedMatrix:
                 out[filled : filled + len(sel)] = m[sel]
                 filled += len(sel)
             base += m.shape[0]
+        if filled != len(rows):
+            # Unmatched rows would otherwise leave np.empty garbage in the
+            # output; __getitem__ is a generic surface, so keep the old
+            # np.asarray(self)[key] contract of raising on bad indices.
+            raise IndexError(
+                f"{len(rows) - filled} row indices out of range for "
+                f"{self.shape[0]} rows"
+            )
         if order is not None:
             inv = np.empty_like(order)
             inv[order] = np.arange(len(order))
@@ -385,6 +393,14 @@ class VectorIndex:
         path = Path(path)
         if is_packed(path):
             return PackedVectorIndex.load_packed(path)
+        if not (path / ROWS_FILE).exists():
+            # Embeddings + metadata present but no hierarchy at all (e.g. a
+            # crash wiped the pack and there never was a JSONL store):
+            # callers must see 'rebuild this index', not a FileNotFoundError.
+            raise CorruptIndexError(
+                f"index at {path} has embeddings but no hierarchy "
+                f"({ROWS_FILE} missing and no valid packed/ dir)"
+            )
         emb = _load_matrix(path)
         rows = json.loads((path / ROWS_FILE).read_text())
         store = HierarchyStore.load(path / HIER_FILE)

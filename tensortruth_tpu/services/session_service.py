@@ -143,10 +143,17 @@ class SessionService:
         for key in ("title", "modules", "params", "project_id", "title_needs_update"):
             if key in patch:
                 if key == "params":
-                    # explicit null params = no-op merge, not a crash
-                    session["params"] = {
-                        **session.get("params", {}), **(patch["params"] or {})
-                    }
+                    # explicit null params = no-op merge, not a crash; a
+                    # null VALUE deletes the key so clients can restore a
+                    # param to "use config default" (merge alone could
+                    # never un-set a previously saved value).
+                    merged = dict(session.get("params", {}))
+                    for pk, pv in (patch["params"] or {}).items():
+                        if pv is None:
+                            merged.pop(pk, None)
+                        else:
+                            merged[pk] = pv
+                    session["params"] = merged
                 else:
                     session[key] = patch[key]
         self.save_session(session)

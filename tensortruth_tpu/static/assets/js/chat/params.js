@@ -36,7 +36,10 @@ async function saveParams() {
   const d = $("params-drawer");
   const params = {};
   for (const inp of d.querySelectorAll("input[name], select[name]")) {
-    if (inp.value === "") continue;
+    // Empty = "use config default": send an explicit null so the server
+    // DELETES the key — a merge-only patch could never un-set a saved
+    // value (e.g. orchestrator_enabled back to auto after saving "off").
+    if (inp.value === "") { params[inp.name] = null; continue; }
     let v = inp.value;
     if (["temperature", "confidence_cutoff"].includes(inp.name)) v = parseFloat(v);
     else if (["context_window", "reranker_top_n"].includes(inp.name)) v = parseInt(v, 10);

@@ -1,0 +1,218 @@
+"""Crash-injection around pack_index's atomic swap, ShardedMatrix.take_rows
+edge cases, and repack-over-live-readers (VERDICT r3 item 6, ADVICE r3).
+
+The swap discipline under test (index/packed.py pack_index): write everything
+into ``packed.tmp/``, rename the old pack aside to ``packed.old/``, rename the
+new pack in, delete ``packed.old``. Each rename is atomic, so every crash
+window must leave the module serving either the OLD pack (directly or via
+``is_packed``'s self-heal rename-back) or the complete NEW pack — never a
+valid-looking manifest over torn blobs, and never "no hierarchy at all".
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+from tensortruth_tpu.index.nodes import HierarchyStore, Node
+from tensortruth_tpu.index.packed import (
+    PACKED_DIR,
+    PackedHierarchyStore,
+    is_packed,
+    pack_index,
+)
+from tensortruth_tpu.index.store import (
+    CorruptIndexError,
+    ShardedMatrix,
+    VectorIndex,
+)
+
+
+def _hierarchy(tag: str, n_leaves: int = 4) -> HierarchyStore:
+    store = HierarchyStore()
+    parent = Node(node_id=f"{tag}-p", text=f"parent {tag}", level=0, doc_id="d")
+    kids = [
+        Node(
+            node_id=f"{tag}-c{i}",
+            text=f"leaf {tag}.{i}",
+            level=1,
+            doc_id="d",
+            parent_id=parent.node_id,
+        )
+        for i in range(n_leaves)
+    ]
+    parent.child_ids = [k.node_id for k in kids]
+    store.add(parent)
+    store.add_all(kids)
+    store.finalize_leaves()
+    return store
+
+
+def _pack(tmp_path, tag: str, n_leaves: int = 4) -> HierarchyStore:
+    store = _hierarchy(tag, n_leaves)
+    pack_index(tmp_path, store, list(store.leaf_ids), np.ones(n_leaves, bool))
+    return store
+
+
+class _CrashAt:
+    """Raise on the Nth call to the wrapped function (1-indexed)."""
+
+    def __init__(self, fn, n: int):
+        self.fn, self.n, self.calls = fn, n, 0
+
+    def __call__(self, *a, **kw):
+        self.calls += 1
+        if self.calls == self.n:
+            raise RuntimeError("injected crash")
+        return self.fn(*a, **kw)
+
+
+class TestPackSwapCrashWindows:
+    def test_crash_before_any_swap_keeps_old_pack(self, tmp_path, monkeypatch):
+        """Crash while writing packed.tmp: the old pack is untouched."""
+        _pack(tmp_path, "old")
+        import tensortruth_tpu.index.packed as packed_mod
+
+        def boom(*a, **kw):
+            raise RuntimeError("injected crash")
+
+        monkeypatch.setattr(packed_mod, "_write_blob", boom)
+        new = _hierarchy("new")
+        with pytest.raises(RuntimeError):
+            pack_index(tmp_path, new, list(new.leaf_ids), np.ones(4, bool))
+        assert is_packed(tmp_path)
+        assert "old-p" in PackedHierarchyStore(tmp_path)
+
+    def test_crash_between_renames_self_heals_to_old_pack(
+        self, tmp_path, monkeypatch
+    ):
+        """Kill between rename-aside and rename-in: only packed.old exists;
+        is_packed must rename it back so the module keeps serving."""
+        _pack(tmp_path, "old")
+        import os
+
+        crash = _CrashAt(os.replace, 2)  # 1st = final→old, 2nd = tmp→final
+        monkeypatch.setattr(os, "replace", crash)
+        new = _hierarchy("new")
+        with pytest.raises(RuntimeError):
+            pack_index(tmp_path, new, list(new.leaf_ids), np.ones(4, bool))
+        monkeypatch.undo()
+        assert not (tmp_path / PACKED_DIR / "manifest.json").exists()
+        assert (tmp_path / (PACKED_DIR + ".old") / "manifest.json").exists()
+        # self-heal: is_packed renames packed.old back in
+        assert is_packed(tmp_path)
+        assert (tmp_path / PACKED_DIR / "manifest.json").exists()
+        assert not (tmp_path / (PACKED_DIR + ".old")).exists()
+        assert "old-p" in PackedHierarchyStore(tmp_path)
+
+    def test_crash_after_rename_in_leaves_new_pack_and_stale_old(
+        self, tmp_path, monkeypatch
+    ):
+        """Kill between rename-in and the packed.old cleanup: the NEW pack is
+        live; the stale .old must not shadow it and the next pack_index must
+        clear it."""
+        _pack(tmp_path, "old")
+        import shutil
+
+        # pack_index calls rmtree only for stale tmp/old dirs; with a prior
+        # pack present the calls are: (1) stale-old cleanup [skipped: none],
+        # so the first rmtree in this run IS the final old cleanup.
+        crash = _CrashAt(shutil.rmtree, 1)
+        monkeypatch.setattr(shutil, "rmtree", crash)
+        new = _hierarchy("new")
+        with pytest.raises(RuntimeError):
+            pack_index(tmp_path, new, list(new.leaf_ids), np.ones(4, bool))
+        monkeypatch.undo()
+        assert (tmp_path / (PACKED_DIR + ".old")).exists()
+        assert is_packed(tmp_path)
+        assert "new-p" in PackedHierarchyStore(tmp_path)  # new pack won
+        # a later rebuild clears the stale .old and succeeds
+        third = _hierarchy("third")
+        pack_index(tmp_path, third, list(third.leaf_ids), np.ones(4, bool))
+        assert not (tmp_path / (PACKED_DIR + ".old")).exists()
+        assert "third-p" in PackedHierarchyStore(tmp_path)
+
+    def test_missing_hierarchy_raises_typed_error(self, tmp_path):
+        """Embeddings + metadata but no hierarchy (pack wiped, no JSONL):
+        VectorIndex.load must say 'rebuild me' (CorruptIndexError), not
+        FileNotFoundError (ADVICE r3)."""
+        np.save(tmp_path / "embeddings.npy", np.zeros((2, 4), np.float32))
+        (tmp_path / "index_metadata.json").write_text(json.dumps({"v": 1}))
+        assert VectorIndex.is_valid(tmp_path)
+        with pytest.raises(CorruptIndexError):
+            VectorIndex.load(tmp_path)
+
+
+class TestRepackOverLiveReaders:
+    def test_old_mmap_reader_survives_repack(self, tmp_path):
+        """POSIX semantics: a PackedHierarchyStore holding the old pack's
+        mmaps keeps reading the old inodes after the directory is replaced;
+        a fresh load sees the new pack."""
+        old_store = _pack(tmp_path, "old")
+        reader = PackedHierarchyStore(tmp_path)
+        assert reader.get("old-c0").text == "leaf old.0"
+
+        new = _hierarchy("new", n_leaves=6)
+        pack_index(tmp_path, new, list(new.leaf_ids), np.ones(6, bool))
+
+        # the live reader still serves the OLD hierarchy, fully intact
+        assert len(reader) == len(old_store)
+        assert reader.get("old-c3").text == "leaf old.3"
+        assert reader.parent("old-c3").node_id == "old-p"
+        with pytest.raises(KeyError):
+            reader.get("new-c0")
+        # a fresh open sees the NEW pack
+        fresh = PackedHierarchyStore(tmp_path)
+        assert len(fresh) == 7
+        assert fresh.get("new-c5").text == "leaf new.5"
+
+
+class TestTakeRowsEdgeCases:
+    def _matrix(self, n=10, shard=4) -> ShardedMatrix:
+        emb = np.arange(n * 2, dtype=np.float32).reshape(n, 2)
+        shards = [emb[i : i + shard] for i in range(0, n, shard)]
+        return ShardedMatrix(shards, n, 2, np.float32)
+
+    def test_unsorted_rows_return_requested_order(self):
+        m = self._matrix()
+        rows = np.array([7, 0, 9, 3])
+        got = m.take_rows(rows)
+        np.testing.assert_array_equal(got, np.asarray(m)[rows])
+
+    def test_duplicate_rows_are_duplicated(self):
+        m = self._matrix()
+        rows = np.array([5, 5, 1, 5])
+        got = m.take_rows(rows)
+        np.testing.assert_array_equal(got, np.asarray(m)[rows])
+
+    def test_out_of_range_raises_index_error(self):
+        m = self._matrix()
+        with pytest.raises(IndexError):
+            m.take_rows(np.array([0, 10]))
+        with pytest.raises(IndexError):
+            m.take_rows(np.array([-1, 2]))
+
+    def test_getitem_fancy_matches_numpy(self):
+        m = self._matrix()
+        rows = np.array([2, 8, 2, 0])
+        np.testing.assert_array_equal(m[rows], np.asarray(m)[rows])
+        mask = np.zeros(10, bool)
+        mask[[1, 6]] = True
+        np.testing.assert_array_equal(m[mask], np.asarray(m)[mask])
+
+
+def test_params_null_value_deletes_key(tmp_path):
+    """PATCH {params: {k: null}} restores k to 'use config default' — a
+    merge-only patch could never un-set a saved value (ADVICE r3)."""
+    from tensortruth_tpu.services.session_service import SessionService
+
+    svc = SessionService(tmp_path / "s")
+    s = svc.create_session(params={"orchestrator_enabled": False, "a": 1})
+    svc.update_session(s["id"], {"params": {"orchestrator_enabled": None}})
+    got = svc.get_session(s["id"])["params"]
+    assert "orchestrator_enabled" not in got
+    assert got["a"] == 1
+    # null params dict is still a no-op, and deleting a missing key is fine
+    svc.update_session(s["id"], {"params": None})
+    svc.update_session(s["id"], {"params": {"never_set": None}})
+    assert svc.get_session(s["id"])["params"]["a"] == 1
