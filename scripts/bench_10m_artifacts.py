@@ -16,6 +16,14 @@ on a big-RAM host).
 Usage:
   python scripts/bench_10m_artifacts.py --build [n_rows]   # CPU, writes /tmp/tier10m
   python scripts/bench_10m_artifacts.py --serve            # TPU process
+  python scripts/bench_10m_artifacts.py --mesh [bf16|int8|ivf]
+      # virtual 8-device CPU mesh placement from the same artifacts,
+      # asserting the host's ANONYMOUS peak stays under the f32 corpus
+      # size — i.e. no _restack branch materializes emb_full()
+      # (VERDICT r3 item 2). On the CPU backend "device" arrays live in
+      # host anon memory, so the budget per tier is
+      #   storage-dtype corpus + shard staging + slack < f32 bytes (flat)
+      #   blocks(×overflow, storage dtype) host + sharded copy  (ivf)
 """
 
 import json
@@ -140,6 +148,53 @@ def serve() -> None:
     print(json.dumps(report))
 
 
+def mesh_placement(tier: str) -> None:
+    import jax
+
+    from tensortruth_tpu.index.store import VectorIndex
+    from tensortruth_tpu.parallel import make_mesh
+    from tensortruth_tpu.retrieval.engine import MultiIndexEngine
+
+    report = {"backend": jax.default_backend(), "tier": tier,
+              "n_devices": len(jax.devices())}
+    idx = VectorIndex.load(OUT)
+    n_rows = idx.n_rows
+    f32_mb = n_rows * DIM * 4 / 2**20
+    anon0 = anon_mb()
+    kw = {
+        "bf16": dict(corpus_dtype="bfloat16"),
+        "int8": dict(corpus_dtype="int8"),
+        # force the IVF tier regardless of row count; bf16 blocks
+        "ivf": dict(corpus_dtype="bfloat16", ivf_threshold=1,
+                    ivf_clusters=64, ivf_nprobe=16),
+    }[tier]
+    t0 = time.perf_counter()
+    engine = MultiIndexEngine({"m": idx}, similarity_top_k=100,
+                              mesh=make_mesh(), use_fused=False, **kw)
+    report["restack_s"] = round(time.perf_counter() - t0, 1)
+    rng = np.random.default_rng(1)
+    q = rng.standard_normal((8, DIM)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    results = engine.retrieve_batch(q)
+    assert all(len(r) for r in results)
+    delta = anon_mb() - anon0
+    report["anon_delta_mb"] = round(delta, 0)
+    report["f32_corpus_mb"] = round(f32_mb, 0)
+    # Budgets: flat tiers hold the corpus once in storage dtype (+ one
+    # shard staging buffer + jit workspace); IVF stages blocks at
+    # overflow×storage on host AND a sharded copy. Every budget is far
+    # below what an emb_full() regression would add (≥ +1.0× f32).
+    budget = {"bf16": 0.9 * f32_mb, "int8": 0.6 * f32_mb,
+              "ivf": 2.2 * f32_mb}[tier]
+    report["budget_mb"] = round(budget, 0)
+    report["flat_rss_ok"] = bool(delta < budget)
+    print(json.dumps(report))
+    if not report["flat_rss_ok"]:
+        raise SystemExit(f"anon delta {delta:.0f} MB exceeds {tier} "
+                         f"budget {budget:.0f} MB — a placement path "
+                         "materialized the corpus")
+
+
 if __name__ == "__main__":
     if "--build" in sys.argv:
         i = sys.argv.index("--build")
@@ -147,5 +202,21 @@ if __name__ == "__main__":
         build(n)
     elif "--serve" in sys.argv:
         serve()
+    elif "--mesh" in sys.argv:
+        # must happen before jax import in this process
+        import os
+
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + " --xla_force_host_platform_device_count=8"
+            ).strip()
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        i = sys.argv.index("--mesh")
+        tier = sys.argv[i + 1] if len(sys.argv) > i + 1 else "bf16"
+        mesh_placement(tier)
     else:
         print(__doc__)

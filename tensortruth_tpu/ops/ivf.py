@@ -178,8 +178,107 @@ class IVFIndex:
         return 1.0 - (self.row_map >= 0).sum() / total if total else 0.0
 
 
+@jax.jit
+def _top2(chunk: jax.Array, cent: jax.Array) -> jax.Array:
+    """Per-row best and second-best centroid (device matmul + top-2)."""
+    s = jax.lax.dot_general(
+        chunk, cent, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    _, idx = jax.lax.top_k(s, 2)
+    return idx
+
+
+def _sample_rows(pieces_fn, n: int, d: int, rows: np.ndarray) -> np.ndarray:
+    """Gather sorted global ``rows`` from row-contiguous pieces (one pass)."""
+    out = np.empty((len(rows), d), np.float32)
+    base = 0
+    for piece in pieces_fn():
+        piece = np.asarray(piece)
+        lo = np.searchsorted(rows, base)
+        hi = np.searchsorted(rows, base + piece.shape[0])
+        if hi > lo:
+            out[lo:hi] = piece[rows[lo:hi] - base]
+        base += piece.shape[0]
+    if base != n:
+        raise RuntimeError(f"pieces supplied {base} rows, expected {n}")
+    return out
+
+
+def _assign_top2(pieces_fn, n: int, centroids: np.ndarray, step: int = 262_144):
+    """Streaming assignment pass: (assign, second) int32 arrays of size n.
+
+    Every chunk scores on the DEVICE (one (step, D) @ (D, K) matmul + top-2)
+    — on a v5e this is MXU work measured in milliseconds per chunk, vs the
+    minutes-per-pass a one-core host matmul costs at the 2M+ tier
+    (VERDICT r3: the 664 s config-5 k-means contamination).
+    """
+    assign = np.empty(n, np.int32)
+    second = np.empty(n, np.int32)
+    dev_dtype = jnp.bfloat16 if _is_tpu() else jnp.float32
+    cent_dev = jnp.asarray(centroids, dev_dtype)
+    base = 0
+    for piece in pieces_fn():
+        piece = np.asarray(piece)
+        for s in range(0, piece.shape[0], step):
+            chunk = piece[s : s + step]
+            idx2 = np.asarray(_top2(jnp.asarray(chunk, dev_dtype), cent_dev))
+            assign[base + s : base + s + chunk.shape[0]] = idx2[:, 0]
+            second[base + s : base + s + chunk.shape[0]] = idx2[:, 1]
+        base += piece.shape[0]
+    return assign, second
+
+
+def _place_rows(
+    assign: np.ndarray, second: np.ndarray, n_clusters: int, rows_per_cluster: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Pure-integer slot assignment: (cluster, slot) per row, plus leftovers.
+
+    Round 1 packs every row into its best cluster (stable order); overflow
+    spills to the second-best; rows that overflow BOTH are returned for the
+    capacity-aware round (they need vectors, which the fill pass collects).
+    Returns (cluster (n,) i32 with -1 = leftover, slot (n,) i32,
+    fill (n_clusters,) i64, leftover row indices sorted ascending).
+    """
+    n = len(assign)
+    cluster = np.full(n, -1, np.int32)
+    slot = np.zeros(n, np.int32)
+    fill = np.zeros(n_clusters, np.int64)
+
+    def pack(rows: np.ndarray, cluster_of: np.ndarray) -> np.ndarray:
+        order = np.argsort(cluster_of, kind="stable")
+        rows_s, clus_s = rows[order], cluster_of[order]
+        boundary = np.r_[True, clus_s[1:] != clus_s[:-1]]
+        run_start = np.maximum.accumulate(
+            np.where(boundary, np.arange(len(clus_s)), 0)
+        )
+        rank = np.arange(len(clus_s)) - run_start
+        slots = fill[clus_s] + rank
+        ok = slots < rows_per_cluster
+        cluster[rows_s[ok]] = clus_s[ok]
+        slot[rows_s[ok]] = slots[ok]
+        np.add.at(fill, clus_s[ok], 1)
+        return rows_s[~ok]
+
+    overflow_rows = pack(np.arange(n, dtype=np.int64), assign)
+    leftover = np.array([], np.int64)
+    if len(overflow_rows):  # one spill round into second-best clusters
+        leftover = np.sort(pack(overflow_rows, second[overflow_rows]))
+    return cluster, slot, fill, leftover
+
+
+def _np_block_dtype(block_dtype):
+    import ml_dtypes
+
+    if block_dtype == jnp.int8:
+        return np.int8
+    if block_dtype == jnp.float32:
+        return np.float32
+    return ml_dtypes.bfloat16
+
+
 def build_ivf(
-    emb: np.ndarray,
+    emb,
     n_clusters: int = 128,
     sample_size: int = 100_000,
     kmeans_iters: int = 10,
@@ -187,62 +286,63 @@ def build_ivf(
     overflow: float = 1.5,
     block_dtype=jnp.bfloat16,
     max_overflow: float = 4.0,
+    n_rows: int | None = None,
+    dim: int | None = None,
+    device_blocks: bool = True,
 ) -> IVFIndex:
     """Fit centroids on a sample, assign all rows, pack cluster-major.
 
+    ``emb`` is either an (N, D) float array or a ZERO-ARG CALLABLE returning
+    an iterator of row-contiguous f32 pieces (``VectorIndex.
+    iter_matrix_pieces`` over mmap shards) — the streaming path never
+    materializes the f32 corpus on the host: pieces are read three times
+    (sample, device assignment, block fill) and the only O(N) host
+    allocations are the packed blocks IN THEIR STORAGE DTYPE (bf16 halves,
+    int8 quarters the old f32 staging array) plus two int32 assignment
+    vectors. Pass ``n_rows``/``dim`` with the callable form.
+
     ``overflow`` pads rows_per_cluster to overflow × N/n_clusters; rows of
-    over-full clusters spill into their next-best cluster (bounded by one
-    spill round, then truncation with a warning). ``max_overflow`` hard-caps
-    rows_per_cluster at max_overflow × N/n_clusters so skewed real-text
-    clusters cannot multiply HBM: the padded layout's memory is
-    n_clusters × rows_per_cluster × D regardless of occupancy. Padding waste
-    is computed on the built index (``IVFIndex.padding_waste``) and logged.
+    over-full clusters spill into their next-best cluster, then a bounded
+    capacity-aware round. ``max_overflow`` hard-caps rows_per_cluster at
+    max_overflow × N/n_clusters so skewed real-text clusters cannot multiply
+    HBM: the padded layout's memory is n_clusters × rows_per_cluster × D
+    regardless of occupancy. Padding waste is computed on the built index
+    (``IVFIndex.padding_waste``) and logged.
+
+    ``device_blocks=False`` keeps blocks/scales as host numpy — the mesh
+    path hands them straight to ``shard_ivf`` and a single-device staging
+    copy (which may not even fit one chip's HBM at the beyond-HBM tier)
+    never happens.
     """
-    n, d = emb.shape
+    if callable(emb):
+        pieces_fn = emb
+        if n_rows is None or dim is None:
+            raise ValueError("streaming build_ivf needs n_rows and dim")
+        n, d = n_rows, dim
+    else:
+        arr = np.asarray(emb)
+        n, d = arr.shape
+
+        def pieces_fn():
+            return iter([arr])
+
     rng = np.random.default_rng(seed)
-    sample = emb[rng.choice(n, min(sample_size, n), replace=False)].astype(np.float32)
-    n_clusters = max(1, min(n_clusters, len(sample)))  # k-means needs k ≤ n
+    n_sample = min(sample_size, n)
+    sample_rows = np.sort(rng.choice(n, n_sample, replace=False))
+    sample = _sample_rows(pieces_fn, n, d, sample_rows)
+    n_clusters = max(1, min(n_clusters, n_sample))  # k-means needs k ≤ n
     centroids = np.asarray(
         _kmeans_fit(jnp.asarray(sample), jnp.asarray([seed]), n_clusters, kmeans_iters)
     )
+    del sample
 
-    # Full assignment pass (chunked; on-device matmul at the multi-million
-    # tier — the host path would take hours at 10M×1024 on one CPU core).
-    assign = np.empty(n, np.int32)
-    second = np.empty(n, np.int32)
-    step = 262_144
     if n_clusters == 1:
-        # top-2 selection below needs ≥2 columns; with one cluster every
-        # row (and its spill target) is cluster 0
-        assign[:] = 0
-        second[:] = 0
-    elif _is_tpu() and n * d > 2**28:
-        @jax.jit
-        def _top2(chunk, cent):
-            s = jax.lax.dot_general(
-                chunk, cent, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            _, idx = jax.lax.top_k(s, 2)
-            return idx
-
-        cent_dev = jnp.asarray(centroids, jnp.bfloat16)
-        for s in range(0, n, step):
-            idx2 = np.asarray(
-                _top2(jnp.asarray(emb[s : s + step], jnp.bfloat16), cent_dev)
-            )
-            assign[s : s + step] = idx2[:, 0]
-            second[s : s + step] = idx2[:, 1]
+        # top-2 selection needs ≥2 columns; with one cluster every row
+        # (and its spill target) is cluster 0
+        assign = np.zeros(n, np.int32)
+        second = np.zeros(n, np.int32)
     else:
-        for s in range(0, n, step):
-            scores = emb[s : s + step].astype(np.float32) @ centroids.T
-            part = np.argpartition(-scores, 1, axis=1)[:, :2]
-            best_is_first = (
-                scores[np.arange(len(part)), part[:, 0]]
-                >= scores[np.arange(len(part)), part[:, 1]]
-            )
-            assign[s : s + step] = np.where(best_is_first, part[:, 0], part[:, 1])
-            second[s : s + step] = np.where(best_is_first, part[:, 1], part[:, 0])
+        assign, second = _assign_top2(pieces_fn, n, centroids)
 
     mean_rows = n / n_clusters
     rows_per_cluster = int(np.ceil(mean_rows * overflow))
@@ -258,75 +358,85 @@ def build_ivf(
     rows_per_cluster = min(rows_per_cluster, int(np.ceil(mean_rows * max_overflow)))
     # Lane-align for the MXU.
     rows_per_cluster = -(-rows_per_cluster // 128) * 128
-    blocks = np.zeros((n_clusters, rows_per_cluster, d), emb.dtype)
+
+    cluster, slot, fill, leftover = _place_rows(
+        assign, second, n_clusters, rows_per_cluster
+    )
+    del assign, second
+
+    quantized = block_dtype == jnp.int8
+    blocks = np.zeros((n_clusters, rows_per_cluster, d), _np_block_dtype(block_dtype))
     row_map = np.full((n_clusters, rows_per_cluster), -1, np.int64)
+    # Padding rows get scale 1 (harmless: their scores are masked by valid).
+    scales_np = np.ones((n_clusters, rows_per_cluster), np.float32) if quantized else None
+    leftover_vecs = np.empty((len(leftover), d), np.float32)
 
-    def pack(rows: np.ndarray, cluster_of: np.ndarray, fill: np.ndarray):
-        """Vectorized cluster-major packing; returns overflow row indices.
+    def write_rows(c: np.ndarray, s: np.ndarray, vecs: np.ndarray, gids: np.ndarray):
+        """Convert (and for int8 quantize per-row) then write into blocks."""
+        if quantized:
+            sc = np.abs(vecs).max(axis=1) / 127.0
+            sc = np.maximum(sc, 1e-12).astype(np.float32)
+            blocks[c, s] = np.clip(np.rint(vecs / sc[:, None]), -127, 127).astype(np.int8)
+            scales_np[c, s] = sc
+        else:
+            blocks[c, s] = vecs
+        row_map[c, s] = gids
 
-        Within-cluster slot = fill[c] + rank of the row among this call's
-        rows for c (stable order). O(N log N), no Python per-row loop —
-        10M rows pack in seconds.
-        """
-        order = np.argsort(cluster_of, kind="stable")
-        rows_s, clus_s = rows[order], cluster_of[order]
-        # rank within each cluster run
-        boundary = np.r_[True, clus_s[1:] != clus_s[:-1]]
-        run_start = np.maximum.accumulate(np.where(boundary, np.arange(len(clus_s)), 0))
-        rank = np.arange(len(clus_s)) - run_start
-        slot = fill[clus_s] + rank
-        ok = slot < rows_per_cluster
-        blocks[clus_s[ok], slot[ok]] = emb[rows_s[ok]]
-        row_map[clus_s[ok], slot[ok]] = rows_s[ok]
-        np.add.at(fill, clus_s[ok], 1)  # counts, capped by ok mask
-        return rows_s[~ok]
+    if len(leftover):
+        # Capacity-aware placement: each remaining row goes to its
+        # best-scoring cluster that still has space. Under the max_overflow
+        # cap no row is ever dropped (total capacity n_clusters ×
+        # rows_per_cluster ≥ n by construction); rows of a giant blob land
+        # in nearby cells and higher nprobe recovers them — a recall knob
+        # instead of silent data loss.
+        logger.warning(
+            "IVF spilling %d rows capacity-aware (skewed clusters; "
+            "overflow=%.1f cap=%.1f)", len(leftover), overflow, max_overflow,
+        )
+    base = 0
+    for piece in pieces_fn():  # fill pass
+        piece = np.asarray(piece, np.float32)
+        gids = np.arange(base, base + piece.shape[0], dtype=np.int64)
+        c = cluster[base : base + piece.shape[0]]
+        placed = c >= 0
+        write_rows(c[placed], slot[base : base + piece.shape[0]][placed],
+                   piece[placed], gids[placed])
+        lo = np.searchsorted(leftover, base)
+        hi = np.searchsorted(leftover, base + piece.shape[0])
+        if hi > lo:
+            leftover_vecs[lo:hi] = piece[leftover[lo:hi] - base]
+        base += piece.shape[0]
+    del cluster, slot
 
-    fill = np.zeros(n_clusters, np.int64)
-    overflow_rows = pack(np.arange(n, dtype=np.int64), assign, fill)
-    if len(overflow_rows):  # one spill round into second-best clusters
-        leftover = pack(overflow_rows, second[overflow_rows], fill)
-        if len(leftover):
-            # Capacity-aware placement: each remaining row goes to its
-            # best-scoring cluster that still has space. Under the
-            # max_overflow cap no row is ever dropped (total capacity
-            # n_clusters × rows_per_cluster ≥ n by construction); rows of a
-            # giant blob land in nearby cells and higher nprobe recovers
-            # them — a recall knob instead of silent data loss.
-            logger.warning(
-                "IVF spilling %d rows capacity-aware (skewed clusters; "
-                "overflow=%.1f cap=%.1f)", len(leftover), overflow, max_overflow,
-            )
-            scores = emb[leftover] @ centroids.T  # (L, k)
-            order = np.argsort(-scores, axis=1)
-            free = rows_per_cluster - fill
-            for row, prefs in zip(leftover, order):
-                for c in prefs:
-                    if free[c] > 0:
-                        blocks[c, rows_per_cluster - free[c]] = emb[row]
-                        row_map[c, rows_per_cluster - free[c]] = row
-                        free[c] -= 1
-                        break
-    scales = None
-    if block_dtype == jnp.int8:
-        # Per-row symmetric quantization (ops/topk.py quantize_corpus
-        # discipline): halves HBM per chunk again vs bf16 — the capacity
-        # knob for the beyond-HBM tier. Padding rows get scale 1 (harmless:
-        # their scores are masked by ``valid``).
-        s = np.abs(blocks).max(axis=2) / 127.0  # (nc, rpc)
-        s = np.where(s > 0, s, 1.0).astype(np.float32)
-        blocks = np.clip(np.rint(blocks / s[:, :, None]), -127, 127).astype(np.int8)
-        scales = jnp.asarray(s)
-        blocks_dev = jnp.asarray(blocks)
-        bytes_per = 1
+    if len(leftover):
+        scores = leftover_vecs @ centroids.T  # (L, k)
+        prefs = np.argsort(-scores, axis=1)
+        free = rows_per_cluster - fill
+        lc = np.empty(len(leftover), np.int64)
+        ls = np.empty(len(leftover), np.int64)
+        for i, row_prefs in enumerate(prefs):
+            for c in row_prefs:
+                if free[c] > 0:
+                    lc[i] = c
+                    ls[i] = rows_per_cluster - free[c]
+                    free[c] -= 1
+                    break
+        write_rows(lc, ls, leftover_vecs, leftover)
+
+    bytes_per = 1 if quantized else (4 if block_dtype == jnp.float32 else 2)
+    if device_blocks:
+        blocks_out = jnp.asarray(blocks) if quantized else jnp.asarray(
+            blocks, dtype=block_dtype
+        )
+        scales_out = jnp.asarray(scales_np) if quantized else None
     else:
-        blocks_dev = jnp.asarray(blocks, dtype=block_dtype)
-        bytes_per = 2
+        blocks_out, scales_out = blocks, scales_np
     index = IVFIndex(
         centroids=jnp.asarray(centroids),
-        blocks=blocks_dev,
+        blocks=blocks_out,
         row_map=row_map,
         n_actual=n,
-        scales=scales,
+        scales=scales_out,
     )
     logger.info(
         "IVF built: %d clusters × %d rows/cluster, %.1f%% padding waste "

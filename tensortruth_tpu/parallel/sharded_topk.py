@@ -36,59 +36,161 @@ from tensortruth_tpu.parallel.mesh import SHARD_AXIS, row_sharded
 NEG_INF = float("-inf")
 
 
+def _per_shard_rows(n: int, p: int, tile_n: int | None) -> int:
+    per_shard = -(-n // p)
+    if tile_n:
+        per_shard = -(-per_shard // tile_n) * tile_n
+    return per_shard
+
+
+def _shard_devices(mesh: Mesh, global_shape: tuple) -> list[list]:
+    """Devices owning each row shard, in shard order.
+
+    ``row_sharded`` replicates over the ``data`` axis, so one row range maps
+    to several devices on a 2D mesh — each gets its own copy of the buffer.
+    """
+    sharding = row_sharded(mesh)
+    per_shard = global_shape[0] // mesh.shape[SHARD_AXIS]
+    groups: dict[int, list] = {}
+    for dev, idx in sharding.addressable_devices_indices_map(global_shape).items():
+        groups.setdefault((idx[0].start or 0) // per_shard, []).append(dev)
+    return [groups[i] for i in range(len(groups))]
+
+
+def _iter_shard_buffers(pieces, n: int, dim: int, per_shard: int, p: int, np_dtype):
+    """Re-chunk row-contiguous f32 pieces into exactly-per_shard buffers.
+
+    Yields (shard_index, (per_shard, dim) buffer in ``np_dtype``) — each
+    buffer freshly allocated (the caller hands it to device_put and drops
+    it), zero-padded past row ``n``. Peak host RAM is ONE shard buffer plus
+    one incoming piece, never the full matrix.
+    """
+    buf = np.zeros((per_shard, dim), np_dtype)
+    si = fill = total = 0
+    for piece in pieces:
+        piece = np.asarray(piece)
+        off = 0
+        while off < piece.shape[0]:
+            take = min(per_shard - fill, piece.shape[0] - off)
+            buf[fill : fill + take] = piece[off : off + take]
+            fill += take
+            off += take
+            total += take
+            if fill == per_shard:
+                yield si, buf
+                si += 1
+                fill = 0
+                buf = np.zeros((per_shard, dim), np_dtype)
+    if total != n:
+        raise RuntimeError(f"matrix pieces supplied {total} rows, expected {n}")
+    while si < p:  # trailing all-padding shards
+        yield si, buf
+        si += 1
+        fill = 0
+        buf = np.zeros((per_shard, dim), np_dtype)
+
+
+def shard_corpus_streaming(
+    pieces,
+    n: int,
+    dim: int,
+    mesh: Mesh,
+    np_dtype=None,
+    tile_n: int | None = None,
+) -> tuple[jax.Array, int]:
+    """Place an (n, dim) corpus row-sharded on the mesh FROM PIECES.
+
+    ``pieces`` is an iterator of row-contiguous f32 arrays (e.g.
+    ``VectorIndex.iter_matrix_pieces`` over mmap'd shards) — the full f32
+    matrix is never materialized on the host: each mesh shard's buffer is
+    filled (converting to ``np_dtype``, default bfloat16), placed on its
+    devices, and dropped. Padded rows are zero vectors, masked to -inf
+    inside the local top-k via the traced valid-row count (``sharded_topk``).
+    Pass ``tile_n`` (the fused kernel's tile) so each shard's slice is
+    tile-aligned here, once, and the fused path never copies in-jit
+    (ops/topk.py note).
+    """
+    import ml_dtypes
+
+    if np_dtype is None:
+        np_dtype = ml_dtypes.bfloat16
+    p = mesh.shape[SHARD_AXIS]
+    per_shard = _per_shard_rows(n, p, tile_n)
+    n_pad = per_shard * p
+    global_shape = (n_pad, dim)
+    devs = _shard_devices(mesh, global_shape)
+    arrays = []
+    for si, buf in _iter_shard_buffers(pieces, n, dim, per_shard, p, np_dtype):
+        arrays.extend(jax.device_put(buf, d) for d in devs[si])
+    sharded = jax.make_array_from_single_device_arrays(
+        global_shape, row_sharded(mesh), arrays
+    )
+    return sharded, n
+
+
 def shard_corpus(
     emb: np.ndarray, mesh: Mesh, pad_value: float = 0.0, tile_n: int | None = None
 ) -> tuple[jax.Array, int]:
     """Place an (N, D) matrix row-sharded on the mesh; pad N to the shard count.
 
-    Returns (device array with NamedSharding, original N). Padded rows are
-    zero vectors; they are masked to -inf *inside* the local top-k via each
-    shard's traced valid-row count (see ``sharded_topk``), so they can never
-    displace true negative-cosine rows. Pass ``tile_n`` (the fused kernel's
-    tile) to ALSO pad each shard's slice to a tile multiple here, once, so
-    the fused path never copies the corpus inside the jit (ops/topk.py note).
+    Array-in-hand wrapper over ``shard_corpus_streaming`` (one piece);
+    keeps the input's dtype. Returns (device array with NamedSharding,
+    original N).
     """
-    n, d = emb.shape
+    return shard_corpus_streaming(
+        iter([emb]), emb.shape[0], emb.shape[1], mesh,
+        np_dtype=emb.dtype, tile_n=tile_n,
+    )
+
+
+def shard_corpus_int8_streaming(
+    pieces, n: int, dim: int, mesh: Mesh, tile_n: int | None = None
+) -> tuple[jax.Array, jax.Array, int]:
+    """int8-quantize row-contiguous f32 pieces straight onto the mesh.
+
+    Streaming analog of the old array-in-hand int8 placement: per-row
+    symmetric scales (ops/topk.py quantize_corpus discipline) are exact
+    piece-locally, so each mesh shard quantizes and places independently —
+    the f32 corpus is never resident. Returns (emb_q (N_pad, D) int8
+    row-sharded, scales (N_pad,) f32 sharded identically, original N).
+    """
+    from jax.sharding import NamedSharding
+
     p = mesh.shape[SHARD_AXIS]
-    per_shard = -(-n // p)
-    if tile_n:
-        per_shard = -(-per_shard // tile_n) * tile_n
+    per_shard = _per_shard_rows(n, p, tile_n)
     n_pad = per_shard * p
-    if n_pad != n:
-        emb = np.concatenate(
-            [emb, np.full((n_pad - n, d), pad_value, dtype=emb.dtype)], axis=0
-        )
-    sharded = jax.device_put(emb, row_sharded(mesh))
-    return sharded, n
+    devs = _shard_devices(mesh, (n_pad, dim))
+    scale_sharding = NamedSharding(mesh, P(SHARD_AXIS))
+    scale_devs: dict[int, list] = {}
+    for dev, idx in scale_sharding.addressable_devices_indices_map((n_pad,)).items():
+        scale_devs.setdefault((idx[0].start or 0) // per_shard, []).append(dev)
+    from tensortruth_tpu.ops.topk import quantize_corpus
+
+    emb_arrays, scale_arrays = [], []
+    for si, buf in _iter_shard_buffers(pieces, n, dim, per_shard, p, np.float32):
+        q, s = quantize_corpus(buf)
+        n_valid = int(np.clip(n - si * per_shard, 0, per_shard))
+        s[n_valid:] = 0.0  # zero scales on padding rows (parity with the
+        # array-in-hand path; padding is masked by n_valid downstream anyway)
+        emb_arrays.extend(jax.device_put(q, d) for d in devs[si])
+        scale_arrays.extend(jax.device_put(s, d) for d in scale_devs[si])
+    emb_dev = jax.make_array_from_single_device_arrays(
+        (n_pad, dim), row_sharded(mesh), emb_arrays
+    )
+    scales_dev = jax.make_array_from_single_device_arrays(
+        (n_pad,), scale_sharding, scale_arrays
+    )
+    return emb_dev, scales_dev, n
 
 
 def shard_corpus_int8(
     emb: np.ndarray, mesh: Mesh, tile_n: int | None = None
 ) -> tuple[jax.Array, jax.Array, int]:
-    """int8-quantize an (N, D) matrix and place it row-sharded on the mesh.
-
-    Returns (emb_q (N_pad, D) int8 row-sharded, scales (N_pad,) f32 sharded
-    identically, original N). Halves per-device HBM vs bf16 so
-    ``corpus_dtype: int8`` works on a mesh too (flat tier; the sharded IVF
-    tier already supports int8 blocks via ops/ivf.py).
-    """
-    from jax.sharding import NamedSharding
-
-    from tensortruth_tpu.ops.topk import quantize_corpus
-
-    emb_q, scales = quantize_corpus(emb)
-    n, d = emb_q.shape
-    p = mesh.shape[SHARD_AXIS]
-    per_shard = -(-n // p)
-    if tile_n:
-        per_shard = -(-per_shard // tile_n) * tile_n
-    n_pad = per_shard * p
-    if n_pad != n:
-        emb_q = np.concatenate([emb_q, np.zeros((n_pad - n, d), np.int8)], axis=0)
-        scales = np.concatenate([scales, np.zeros(n_pad - n, np.float32)])
-    emb_dev = jax.device_put(emb_q, row_sharded(mesh))
-    scales_dev = jax.device_put(scales, NamedSharding(mesh, P(SHARD_AXIS)))
-    return emb_dev, scales_dev, n
+    """Array-in-hand wrapper over ``shard_corpus_int8_streaming``."""
+    return shard_corpus_int8_streaming(
+        iter([np.asarray(emb, np.float32)]), emb.shape[0], emb.shape[1], mesh,
+        tile_n=tile_n,
+    )
 
 
 @functools.partial(

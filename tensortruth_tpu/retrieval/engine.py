@@ -38,7 +38,7 @@ import numpy as np
 from tensortruth_tpu.index.nodes import Node
 from tensortruth_tpu.index.store import VectorIndex
 from tensortruth_tpu.ops.topk import topk_search
-from tensortruth_tpu.parallel.sharded_topk import shard_corpus, sharded_topk
+from tensortruth_tpu.parallel.sharded_topk import sharded_topk
 from tensortruth_tpu.retrieval.automerge import auto_merge
 
 logger = logging.getLogger(__name__)
@@ -122,10 +122,12 @@ class MultiIndexEngine:
     def _restack(self) -> None:
         """Stack all alive module rows into one device matrix.
 
-        The host-side f32 stack is built LAZILY: paths that can stream
-        (the int8 fused placement) never materialize it, so a 10M-row
-        packed index (40 GB f32 on disk) loads with peak host RAM ≈ the
-        10 GB int8 device corpus + one mmap'd shard."""
+        EVERY placement path streams row-contiguous pieces
+        (``VectorIndex.iter_matrix_pieces`` — mmap shards for packed
+        modules): the host-side f32 stack is never materialized, so a
+        10M-row packed index (40 GB f32 on disk) loads with peak host RAM
+        ≈ the device corpus in its storage dtype + one mmap'd shard,
+        whether it lands on one chip, a mesh, or the IVF tier."""
         mats, mods, rows, active = [], [], [], []
         for mi, mod in enumerate(self.modules):
             m, row_map = self.indexes[mod].matrix()
@@ -138,12 +140,6 @@ class MultiIndexEngine:
         if not mats:
             self._stacked, self._n_actual = None, 0
             return
-
-        def emb_full():
-            """Materialized f32 stack — only for the paths that need it."""
-            if len(mats) == 1:
-                return np.asarray(mats[0])
-            return np.concatenate([np.asarray(m) for m in mats], axis=0)
 
         def emb_pieces():
             """Row-contiguous pieces in stack order, streaming-friendly."""
@@ -170,10 +166,16 @@ class MultiIndexEngine:
         if self._n_actual >= self.ivf_threshold * n_shards * dtype_factor:
             from tensortruth_tpu.ops.ivf import build_ivf, shard_ivf
 
+            # device_blocks=False on a mesh: blocks go host → shard_ivf
+            # places them cluster-sharded directly; a single-device staging
+            # copy may not even fit one chip's HBM at this tier.
             ivf = build_ivf(
-                emb_full(),
+                emb_pieces,
                 n_clusters=self.ivf_clusters,
                 block_dtype=jnp.int8 if self.corpus_dtype == "int8" else jnp.bfloat16,
+                n_rows=self._n_actual,
+                dim=dim,
+                device_blocks=self.mesh is None,
             )
             if self.mesh is not None:
                 self._ivf_sharded = shard_ivf(ivf, self.mesh)
@@ -182,10 +184,13 @@ class MultiIndexEngine:
                 self._ivf = ivf
                 self._stacked = self._ivf.blocks  # handle for n_chunks math
         elif self.corpus_dtype == "int8" and self.mesh is not None:
-            from tensortruth_tpu.parallel.sharded_topk import shard_corpus_int8
+            from tensortruth_tpu.parallel.sharded_topk import (
+                shard_corpus_int8_streaming,
+            )
 
-            self._stacked, self._stacked_scales, _ = shard_corpus_int8(
-                emb_full(), self.mesh, tile_n=2048 if self.use_fused else None
+            self._stacked, self._stacked_scales, _ = shard_corpus_int8_streaming(
+                emb_pieces(), self._n_actual, dim, self.mesh,
+                tile_n=2048 if self.use_fused else None,
             )
         elif self.corpus_dtype == "int8" and self.use_fused:
             from tensortruth_tpu.ops.topk import quantize_corpus_streaming
@@ -208,11 +213,19 @@ class MultiIndexEngine:
             # bf16 on device by default: halves HBM and keeps the fused
             # kernel inside the VMEM budget (f32 tiles double-buffer past
             # 16MB); scores accumulate in f32 regardless (ops/topk.py).
-            dtype = jnp.float32 if self.corpus_dtype == "float32" else jnp.bfloat16
             if self.mesh is not None:
-                self._stacked, _ = shard_corpus(
-                    emb_full().astype(dtype),
-                    self.mesh,
+                import ml_dtypes
+
+                from tensortruth_tpu.parallel.sharded_topk import (
+                    shard_corpus_streaming,
+                )
+
+                self._stacked, _ = shard_corpus_streaming(
+                    emb_pieces(), self._n_actual, dim, self.mesh,
+                    np_dtype=(
+                        np.float32 if self.corpus_dtype == "float32"
+                        else ml_dtypes.bfloat16
+                    ),
                     tile_n=2048 if self.use_fused else None,
                 )
             else:
