@@ -156,6 +156,13 @@ class ServiceContainer:
             self._mcp_tools_cache = await load_mcp_tools(self.mcp_service)
         return self._mcp_tools_cache[0]
 
+    def mcp_connection_status(self) -> dict:
+        """Last-known per-server connect status (empty until tools load).
+
+        Pure read — listing servers must NOT trigger connections (a GET
+        spawning subprocesses / opening sockets would be a surprise)."""
+        return dict(self._mcp_tools_cache[2]) if self._mcp_tools_cache else {}
+
     async def invalidate_mcp_tools(self) -> None:
         if self._mcp_tools_cache is not None:
             for client in self._mcp_tools_cache[1]:

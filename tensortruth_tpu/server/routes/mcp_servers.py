@@ -16,7 +16,25 @@ def _svc(request):
 
 
 async def list_servers(request):
-    return web.json_response({"servers": _svc(request).list_servers()})
+    """Configs + config-level errors + last-known connect status.
+
+    A server with an unsupported transport or missing url/command shows a
+    ``config_error`` immediately (pure validation); ``connection`` carries
+    the most recent load attempt's outcome (connected/error/disabled) once
+    the orchestrator has loaded tools. Reference surfaces the same failures
+    only in logs (server_registry.py:147-174)."""
+    from tensortruth_tpu.agents.mcp_client import validate_server_config
+
+    live = request.app["services"].mcp_connection_status()
+    servers = []
+    for cfg in _svc(request).list_servers():
+        err = validate_server_config(cfg)
+        if err:
+            cfg["config_error"] = err
+        if cfg["name"] in live:
+            cfg["connection"] = live[cfg["name"]]
+        servers.append(cfg)
+    return web.json_response({"servers": servers})
 
 
 async def presets(request):

@@ -158,21 +158,26 @@ class IndexingConfigUpdate(APIModel):
 # -- MCP servers -----------------------------------------------------------------
 
 
+MCPTransport = Literal["stdio", "sse", "http", "streamable-http", "streamable_http"]
+
+
 class MCPServerCreate(APIModel):
     name: str = Field(min_length=1, max_length=64)
-    transport: Literal["stdio", "sse"] = "stdio"
+    transport: MCPTransport = "stdio"
     command: str = ""
     args: list[str] = Field(default_factory=list)
     env: dict[str, str] = Field(default_factory=dict)
+    headers: dict[str, str] = Field(default_factory=dict)
     url: str = ""
     enabled: bool = True
 
 
 class MCPServerPatch(APIModel):
-    transport: Literal["stdio", "sse"] | None = None
+    transport: MCPTransport | None = None
     command: str | None = None
     args: list[str] | None = None
     env: dict[str, str] | None = None
+    headers: dict[str, str] | None = None
     url: str | None = None
     enabled: bool | None = None
 

@@ -14,7 +14,15 @@ export async function loadMcpPanel() {
   const box = $("mcp-list"); box.innerHTML = "";
   if (!(servers.servers || []).length) box.appendChild(el("div", "dim", "No MCP servers configured."));
   for (const s of servers.servers || []) {
-    box.appendChild(rowItem(s.name, `${s.transport || "stdio"} · ${s.command || s.url || ""}`, [
+    // Surface config errors (bad transport, missing url/command) and the
+    // last connect attempt's outcome so a server silently loading zero
+    // tools is visible here, not just in server logs.
+    let detail = `${s.transport || "stdio"} · ${s.command || s.url || ""}`;
+    if (s.config_error) detail += ` · ⚠ ${s.config_error}`;
+    else if (s.connection?.status === "error") detail += ` · ⚠ ${s.connection.error}`;
+    else if (s.connection?.status === "connected")
+      detail += ` · ✓ ${s.connection.n_tools} tools`;
+    box.appendChild(rowItem(s.name, detail, [
       [s.enabled ? "Disable" : "Enable", "", async () => {
         await toggleMcpServer(s.name);
         loadMcpPanel();
@@ -41,7 +49,8 @@ export function wireMcpPanel() {
     ev.preventDefault();
     const f = new FormData(ev.target);
     await addMcpServer({
-      name: f.get("name"), command: f.get("command"),
+      name: f.get("name"), transport: f.get("transport") || "stdio",
+      command: f.get("command"), url: f.get("url") || "",
       args: (f.get("args") || "").split(/\s+/).filter(Boolean),
     });
     ev.target.reset();

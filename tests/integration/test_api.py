@@ -192,6 +192,33 @@ async def test_tools_tasks_commands_mcp(client):
     assert (await r.json())["presets"]
 
 
+async def test_mcp_server_errors_surface_in_listing(client):
+    """A bad transport / missing url must show an error in the listing, not
+    silently load zero tools (VERDICT r3 item 5)."""
+    # API-level: unsupported transports are rejected at create time
+    r = await client.post(
+        "/api/mcp-servers", json={"name": "w", "transport": "websocket"}
+    )
+    assert r.status == 422
+    # sse without a url: accepted as config, flagged in the listing
+    r = await client.post("/api/mcp-servers", json={"name": "s", "transport": "sse"})
+    assert r.status == 200
+    # hand-edited config with an unknown transport (bypasses the schema)
+    svc = client.server.app["services"].mcp_service
+    svc.add_server("legacy", {"transport": "carrier-pigeon"})
+    r = await client.get("/api/mcp-servers")
+    servers = {s["name"]: s for s in (await r.json())["servers"]}
+    assert "no url" in servers["s"]["config_error"]
+    assert "unsupported transport" in servers["legacy"]["config_error"]
+    # connection status appears after a tools load attempt
+    await client.server.app["services"].get_mcp_tools()
+    r = await client.get("/api/mcp-servers")
+    servers = {s["name"]: s for s in (await r.json())["servers"]}
+    assert servers["s"]["connection"]["status"] == "error"
+    for name in ("s", "legacy"):
+        await client.delete(f"/api/mcp-servers/{name}")
+
+
 async def test_extensions_install_and_command(client):
     yaml_cmd = """
 name: shout
