@@ -4,12 +4,14 @@
 // isStreaming() to block mid-stream submits.
 
 import {$} from "../lib/dom.js";
+import {createStreamRenderer} from "../lib/mdstream.js";
 import {addMessage} from "./messages.js";
 
 export const stream = {
   assistant: null, body: null, thinkingText: "", thinkingBox: null, toolSteps: [],
   raw: "",           // accumulated assistant text, re-rendered incrementally
   renderTimer: 0,    // pending throttled markdown repaint (ws.js token handler)
+  repaint: null,     // per-message memoized block renderer (lib/mdstream.js)
 };
 
 let streaming = false;
@@ -30,13 +32,14 @@ export function ensureAssistant() {
     stream.thinkingBox = null;
     stream.toolSteps = [];
     stream.raw = "";
+    stream.repaint = createStreamRenderer(stream.body);
     setStreaming(true);
   }
 }
 
 export function resetStream() {
   if (stream.renderTimer) { clearTimeout(stream.renderTimer); stream.renderTimer = 0; }
-  stream.assistant = stream.body = stream.thinkingBox = null;
+  stream.assistant = stream.body = stream.thinkingBox = stream.repaint = null;
   stream.thinkingText = "";
   stream.toolSteps = [];
   stream.raw = "";

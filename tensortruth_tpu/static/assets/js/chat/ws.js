@@ -39,15 +39,16 @@ const WS_HANDLERS = {
   token(msg) {
     ensureAssistant();
     // Incremental markdown: accumulate raw text and repaint at most every
-    // 120 ms (the reference memoizes per-block in MemoizedMarkdown.tsx; one
-    // throttled full re-render is equivalent at chat-message sizes).
+    // 120 ms. The repaint is block-memoized (lib/mdstream.js ≡ reference
+    // MemoizedMarkdown.tsx): finished blocks keep their DOM; only the open
+    // tail block re-parses, so long answers stay O(tail) per repaint.
     stream.raw += msg.content;
     if (!stream.renderTimer) {
       stream.renderTimer = setTimeout(() => {
         stream.renderTimer = 0;
         if (!stream.body) return; // stream ended while the repaint was pending
         stream.body.classList.add("md");
-        stream.body.innerHTML = renderMarkdown(stream.raw);
+        stream.repaint(stream.raw);
         scrollMessages();
       }, 120);
     }

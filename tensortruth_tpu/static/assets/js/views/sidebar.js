@@ -61,32 +61,52 @@ export function selectedModules() {
   return [...$("modules-select").selectedOptions].map(o => o.value);
 }
 
-export async function openSession(id) {
+// Long-session hygiene (reference virtualizes with react-virtuoso): opening
+// a session paints only the most recent HISTORY_WINDOW messages — first
+// paint stays O(window) however long the session is — with a "show earlier"
+// expander that renders the full history on demand. Offscreen rows are
+// additionally skipped at layout/paint time via `content-visibility: auto`
+// on `.msg` (app.css), the no-framework equivalent of list virtualization.
+const HISTORY_WINDOW = 80;
+
+function renderHistoryMessage(id, m, mi) {
+  const wrap = addMessage(m.role, m.role === "assistant" ? "" : m.content,
+                          {index: mi, timestamp: m.timestamp,
+                           onDelete: () => openSession(id)});
+  if (m.role === "assistant") {
+    const body = wrap.querySelector(".body");
+    body.classList.add("md");
+    body.innerHTML = renderMarkdown(m.content || "");
+    if (m.thinking) renderThinking(wrap, m.thinking);
+  }
+  for (const imgId of m.images || []) {
+    const img = document.createElement("img");
+    img.src = imageUrl(id, imgId);
+    img.style.cssText = "max-width:240px; border-radius:8px; margin-top:6px; display:block;";
+    wrap.appendChild(img);
+  }
+  renderSources(wrap, m.sources);
+  renderToolSteps(wrap, m.tool_steps);
+  renderMetrics(wrap, m.metrics, m.confidence);
+  return wrap;
+}
+
+export async function openSession(id, opts) {
   closeWS();
   $("messages").innerHTML = "";
   const session = await getSession(id);
   sessionStore.set({current: id, title: session.title || id});
-  for (const [mi, m] of session.messages.entries()) {
-    const wrap = addMessage(m.role, m.role === "assistant" ? "" : m.content,
-                            {index: mi, timestamp: m.timestamp,
-                             onDelete: () => openSession(id)});
-    if (m.role === "assistant") {
-      const body = wrap.querySelector(".body");
-      body.classList.add("md");
-      body.innerHTML = renderMarkdown(m.content || "");
-      if (m.thinking) renderThinking(wrap, m.thinking);
-    }
-    for (const imgId of m.images || []) {
-      const img = document.createElement("img");
-      img.src = imageUrl(id, imgId);
-      img.style.cssText = "max-width:240px; border-radius:8px; margin-top:6px; display:block;";
-      wrap.appendChild(img);
-    }
-    renderSources(wrap, m.sources);
-    renderToolSteps(wrap, m.tool_steps);
-    renderMetrics(wrap, m.metrics, m.confidence);
+  const msgs = session.messages;
+  const start = (opts && opts.full) ? 0 : Math.max(0, msgs.length - HISTORY_WINDOW);
+  if (start > 0) {
+    const more = el("button", "hbtn expand-history",
+                    `⌃ show ${start} earlier message${start === 1 ? "" : "s"}`);
+    more.onclick = () => openSession(id, {full: true});
+    $("messages").appendChild(more);
   }
-  if (!session.messages.length) renderWelcome();
+  for (let mi = start; mi < msgs.length; mi++)
+    renderHistoryMessage(id, msgs[mi], mi);
+  if (!msgs.length) renderWelcome();
   fillParamsDrawer(session.params || {});
   syncThinkingSelect(session.params || {});
   refreshModelSelect(session.params || {});

@@ -969,3 +969,32 @@ def render_markdown(src: str) -> str:
         html = re.sub(r"\x00MD(\d+)\x00", lambda m: slots[int(m.group(1))],
                       html)
     return html
+
+
+# ================================================================ streaming
+
+def split_blocks(src: str) -> list[str]:
+    """Twin of mdstream.js splitBlocks: blank-line block split that never
+    cuts inside a fenced code block or a multi-line ``$$`` display-math
+    region (renderMarkdown's extraction pass needs opener and closer in the
+    same string). Used by the SPA's memoized streaming repaint; mirrored
+    here so the split invariants are testable without a JS runtime."""
+    blocks: list[str] = []
+    cur: list[str] = []
+    fence = False
+    math = False
+    for line in src.split("\n"):
+        if not math and re.match(r"^\s*```", line):
+            fence = not fence
+        elif not fence:
+            if line.count("$$") % 2 == 1:
+                math = not math
+        if not fence and not math and re.match(r"^\s*$", line):
+            if cur:
+                blocks.append("\n".join(cur))
+                cur = []
+            continue
+        cur.append(line)
+    if cur:
+        blocks.append("\n".join(cur))
+    return blocks

@@ -483,7 +483,7 @@ def _regex_position(src, i):
 
 def test_message_actions_and_toasts_wired():
     for feature in ["copyText(", 'el("div", "actions")', "function toast(",
-                    "✕ delete", "messages.entries()"]:
+                    "✕ delete", "renderHistoryMessage("]:
         assert feature in JS_ALL, f"missing UI feature: {feature}"
     assert 'id="toasts"' in HTML
 
@@ -598,7 +598,7 @@ def test_welcome_empty_state_wired():
     assert "welcome.remove()" in msgs  # first addMessage clears it
     sidebar = JS["views/sidebar.js"]
     assert "renderWelcome()" in sidebar
-    assert "session.messages.length" in sidebar
+    assert "msgs.length" in sidebar
     assert ".welcome-prompts" in CSS
 
 

@@ -157,7 +157,7 @@ def test_markdown_js_imports_tex_and_highlight():
 def test_ws_token_handler_renders_incrementally():
     ws = (STATIC / "assets" / "js" / "chat" / "ws.js").read_text()
     token = re.search(r"token\(msg\) \{(.*?)\n  \},", ws, re.S).group(1)
-    assert "renderMarkdown" in token and "renderTimer" in token
+    assert "stream.repaint" in token and "renderTimer" in token
     done = re.search(r"done\(msg\) \{(.*?)\n  \},", ws, re.S).group(1)
     assert "renderMarkdown" in done
 
@@ -226,3 +226,58 @@ process.exit(failed ? 1 : 0);
     res = subprocess.run([exe, *args, str(runner)], capture_output=True,
                          text=True, timeout=60)
     assert res.returncode == 0, res.stderr or res.stdout
+
+
+# ------------------------------------------------- 4. streaming block split
+# (lib/mdstream.js: memoized streaming repaint ≡ reference
+# MemoizedMarkdown.tsx. The split invariants run against the Python twin
+# mdrender.split_blocks; the wiring check pins the JS to the same logic.)
+
+MDSTREAM_JS = (JS_LIB / "mdstream.js").read_text()
+
+
+def test_mdstream_wiring():
+    assert "export function splitBlocks" in MDSTREAM_JS
+    assert "export function createStreamRenderer" in MDSTREAM_JS
+    ws = (STATIC / "assets" / "js" / "chat" / "ws.js").read_text()
+    assert "stream.repaint(stream.raw)" in ws, "token handler must use the memoized repaint"
+    sj = (STATIC / "assets" / "js" / "chat" / "stream.js").read_text()
+    assert "createStreamRenderer(stream.body)" in sj
+    # done() stays a canonical single-call render of the full text
+    assert "renderMarkdown(msg.content || stream.raw)" in ws
+
+
+def test_split_blocks_never_cuts_fences_or_math():
+    src = ("intro text\n\n```python\na = 1\n\nb = 2\n```\n\n"
+           "mid paragraph\n\n$$\nx = 1\n\ny = 2\n$$\n\ntail")
+    blocks = mdrender.split_blocks(src)
+    fence = next(b for b in blocks if b.startswith("```"))
+    assert fence.endswith("```") and "\n\n" in fence  # blank lines kept inside
+    math = next(b for b in blocks if b.startswith("$$"))
+    assert math.endswith("$$") and "\n\n" in math
+    assert blocks[0] == "intro text" and blocks[-1] == "tail"
+
+
+def test_split_blocks_conserves_content():
+    # no non-blank line is ever lost or duplicated by the split
+    def nonblank(s):
+        return [ln for ln in s.split("\n") if ln.strip()]
+
+    for case in CASES:
+        blocks = mdrender.split_blocks(case["input"])
+        assert nonblank("\n\n".join(blocks)) == nonblank(case["input"]), case["name"]
+
+
+def test_split_blocks_streaming_prefix_stability():
+    # append-only stream: once a block stops being the open tail, its text
+    # (hence the cached DOM in createStreamRenderer) never changes again
+    src = ("The loss is $$L = \\sum_i x_i^2$$ with inline $\\alpha$.\n\n"
+           "```python\ndef step(w, g):\n\n    return w - g\n```\n\n"
+           "- item one\n- item two\n\nfinal **paragraph** here")
+    prev: list[str] = []
+    for i in range(1, len(src) + 1):
+        blocks = mdrender.split_blocks(src[:i])
+        for j in range(min(len(prev), len(blocks)) - 1):
+            assert blocks[j] == prev[j], f"finalized block {j} changed at char {i}"
+        prev = blocks
+    assert len(prev) == 4
