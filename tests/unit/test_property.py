@@ -273,3 +273,121 @@ def test_budget_history_never_exceeds_share(ctx, n_msgs, msg_len):
     # order preserved, complete messages only
     contents = [m["content"] for m in out]
     assert all(c == "x" * msg_len for c in contents)
+
+
+# ---------------------------------------------------------------- r4 surfaces
+
+MD_TEXT = st.text(
+    alphabet=st.sampled_from(list("ab c\n`*_$[]()<>#->|!\\{}^~=+.123")),
+    max_size=400,
+)
+
+
+@given(src=MD_TEXT)
+@settings(max_examples=150, deadline=None)
+def test_split_blocks_conserves_nonblank_lines(src):
+    from tensortruth_tpu.utils.mdrender import split_blocks
+
+    blocks = split_blocks(src)
+    nonblank = lambda s: [ln for ln in s.split("\n") if ln.strip()]  # noqa: E731
+    assert nonblank("\n\n".join(blocks)) == nonblank(src)
+    # a block is never empty and never leads/ends with a splittable blank
+    for b in blocks:
+        assert b.strip()
+
+
+@given(src=MD_TEXT)
+@settings(max_examples=150, deadline=None)
+def test_split_blocks_streaming_prefix_stability(src):
+    from tensortruth_tpu.utils.mdrender import split_blocks
+
+    prev: list[str] = []
+    for i in range(0, len(src) + 1, 3):
+        blocks = split_blocks(src[:i])
+        for j in range(min(len(prev), len(blocks)) - 1):
+            assert blocks[j] == prev[j], (
+                f"finalized block {j} changed at prefix {i}"
+            )
+        prev = blocks
+
+
+@given(src=MD_TEXT)
+@settings(max_examples=150, deadline=None)
+def test_render_markdown_never_raises_never_leaks_script(src):
+    from tensortruth_tpu.utils.mdrender import render_markdown
+
+    html = render_markdown(src + "<script>alert(1)</script>")
+    assert "<script" not in html  # raw tags always escaped
+    assert "\x00" not in html  # no unresolved extraction placeholders
+
+
+@given(
+    n=st.integers(1, 60),
+    n_clusters=st.integers(1, 8),
+    rpc_mult=st.floats(1.0, 3.0),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=80, deadline=None)
+def test_place_rows_places_every_row_exactly_once(n, n_clusters, rpc_mult, seed):
+    from tensortruth_tpu.ops.ivf import _place_rows
+
+    rng = np.random.default_rng(seed)
+    assign = rng.integers(0, n_clusters, n).astype(np.int32)
+    second = rng.integers(0, n_clusters, n).astype(np.int32)
+    rows_per_cluster = max(1, int(np.ceil(n / n_clusters * rpc_mult)))
+    cluster, slot, fill, leftover = _place_rows(
+        assign, second, n_clusters, rows_per_cluster
+    )
+    placed = cluster >= 0
+    # every row is either placed or a leftover, never both, never neither
+    assert sorted(np.flatnonzero(~placed)) == sorted(leftover)
+    # no slot collision: (cluster, slot) unique among placed rows
+    pairs = set(zip(cluster[placed].tolist(), slot[placed].tolist()))
+    assert len(pairs) == placed.sum()
+    assert (slot[placed] < rows_per_cluster).all()
+    assert (slot[placed] >= 0).all()
+    # fill counts match actual occupancy
+    occ = np.bincount(cluster[placed], minlength=n_clusters)
+    assert (occ == fill[: n_clusters]).all()
+    # a leftover only exists if both its preferred clusters were full
+    for r in leftover:
+        assert fill[assign[r]] == rows_per_cluster
+        assert fill[second[r]] == rows_per_cluster
+
+
+@given(
+    shard_sizes=st.lists(st.integers(1, 7), min_size=1, max_size=5),
+    seed=st.integers(0, 2**31 - 1),
+    n_take=st.integers(0, 30),
+    allow_dups=st.booleans(),
+)
+@settings(max_examples=100, deadline=None)
+def test_take_rows_matches_numpy_gather(shard_sizes, seed, n_take, allow_dups):
+    from tensortruth_tpu.index.store import ShardedMatrix
+
+    rng = np.random.default_rng(seed)
+    shards = [rng.standard_normal((s, 3)).astype(np.float32) for s in shard_sizes]
+    n = sum(shard_sizes)
+    mat = ShardedMatrix(shards, n, 3, np.float32)
+    full = np.concatenate(shards)
+    rows = rng.integers(0, n, n_take) if allow_dups else rng.permutation(n)[:min(n_take, n)]
+    np.testing.assert_array_equal(mat.take_rows(rows), full[rows])
+
+
+@given(
+    shard_sizes=st.lists(st.integers(1, 5), min_size=1, max_size=3),
+    bad=st.integers(-5, 5),
+)
+@settings(max_examples=50, deadline=None)
+def test_take_rows_raises_on_out_of_range(shard_sizes, bad):
+    from tensortruth_tpu.index.store import ShardedMatrix
+
+    n = sum(shard_sizes)
+    shards = [np.zeros((s, 2), np.float32) for s in shard_sizes]
+    mat = ShardedMatrix(shards, n, 2, np.float32)
+    import pytest
+
+    with pytest.raises(IndexError):
+        mat.take_rows(np.array([0, n + max(bad, 0)]))
+    with pytest.raises(IndexError):
+        mat.take_rows(np.array([-1]))
