@@ -37,6 +37,19 @@ function wireChrome() {
 
   $("stop-btn").onclick = () => stopStreaming();
 
+  // Mobile sidebar drawer (≤900px, app.css): toggle from the header,
+  // dismiss by tapping the scrim or picking a session.
+  $("sidebar-btn").onclick = () =>
+    document.body.classList.toggle("sidebar-open");
+  document.addEventListener("click", ev => {
+    if (!document.body.classList.contains("sidebar-open")) return;
+    const inAside = ev.target.closest("aside");
+    if (!inAside && ev.target.id !== "sidebar-btn")
+      document.body.classList.remove("sidebar-open");
+    else if (inAside && ev.target.closest(".session"))
+      document.body.classList.remove("sidebar-open");
+  });
+
   $("status-bar").onclick = async () => {
     try {
       const stats = await sessionStats();

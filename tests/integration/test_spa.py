@@ -578,6 +578,21 @@ def test_theme_toggle_wired():
         assert feature in JS["app.js"], f"missing: {feature}"
 
 
+def test_responsive_sidebar_drawer_wired():
+    """Mobile layout (reference useMediaQuery + drawer): a ≤900px media
+    block turns the sidebar into a translate-X drawer behind a scrim,
+    toggled by the header button and dismissed by scrim tap or session
+    pick."""
+    assert "@media (max-width: 900px)" in CSS
+    assert "body.sidebar-open aside" in CSS
+    assert "transform: translateX(-100%)" in CSS
+    assert 'id="sidebar-btn"' in HTML
+    app = JS["app.js"]
+    assert '$("sidebar-btn").onclick' in app
+    assert 'classList.toggle("sidebar-open")' in app
+    assert 'classList.remove("sidebar-open")' in app  # scrim/session dismiss
+
+
 def test_arxiv_ingestion_form_wired():
     """Documents panel can ingest an arXiv paper by id: lookup via the
     typed arxiv client, then index the markdown as a text document."""
