@@ -9,6 +9,7 @@ import {addMessage} from "./messages.js";
 
 export const stream = {
   assistant: null, body: null, thinkingText: "", thinkingBox: null, toolSteps: [],
+  reasoningText: "", reasoningBox: null, // ephemeral agent phase-1 reasoning
   raw: "",           // accumulated assistant text, re-rendered incrementally
   renderTimer: 0,    // pending throttled markdown repaint (ws.js token handler)
   repaint: null,     // per-message memoized block renderer (lib/mdstream.js)
@@ -30,6 +31,8 @@ export function ensureAssistant() {
     stream.body = stream.assistant.querySelector(".body");
     stream.thinkingText = "";
     stream.thinkingBox = null;
+    stream.reasoningText = "";
+    stream.reasoningBox = null;
     stream.toolSteps = [];
     stream.raw = "";
     stream.repaint = createStreamRenderer(stream.body);
@@ -37,10 +40,20 @@ export function ensureAssistant() {
   }
 }
 
+// Remove the ephemeral phase-1 reasoning box (reference clearReasoning():
+// agent reasoning is never persisted; it yields to thinking or the answer).
+export function clearReasoning() {
+  if (stream.reasoningBox) stream.reasoningBox.remove();
+  stream.reasoningBox = null;
+  stream.reasoningText = "";
+}
+
 export function resetStream() {
   if (stream.renderTimer) { clearTimeout(stream.renderTimer); stream.renderTimer = 0; }
   stream.assistant = stream.body = stream.thinkingBox = stream.repaint = null;
+  stream.reasoningBox = null;
   stream.thinkingText = "";
+  stream.reasoningText = "";
   stream.toolSteps = [];
   stream.raw = "";
   setStreaming(false);

@@ -1,8 +1,8 @@
 // WS chat protocol (reference hooks/useWebSocket.ts + useChat.ts).
 // One handler per server message type (server/routes/chat.py + orchestrator
-// emit: token, thinking, status, tool_phase, tool_progress, sources, done,
-// error, title, confirmation_request). Handlers close over the live
-// streaming state held in stream.js.
+// emit: token, thinking, reasoning, status, tool_phase, tool_progress,
+// sources, done, error, title, confirmation_request). Handlers close over
+// the live streaming state held in stream.js.
 
 import {approveConfirmation, rejectConfirmation} from "../api/confirmations.js";
 import {$, el, scrollMessages, toast} from "../lib/dom.js";
@@ -12,7 +12,7 @@ import {loadSessions} from "../views/sidebar.js";
 import {
   renderMetrics, renderSources, renderStats, renderThinking, renderToolSteps,
 } from "./messages.js";
-import {ensureAssistant, resetStream, stream} from "./stream.js";
+import {clearReasoning, ensureAssistant, resetStream, stream} from "./stream.js";
 
 let ws = null;
 
@@ -28,8 +28,24 @@ const WS_HANDLERS = {
     ensureAssistant();
     stream.toolSteps.push({tool: msg.tool, message: msg.message, phase: msg.phase});
   },
+  reasoning(msg) {
+    // Agent phase-1 reasoning deltas (orchestrator show_orchestrator_reasoning,
+    // agents/function_agent.py). Ephemeral like the reference's
+    // appendReasoning/clearReasoning pair (useWebSocket.ts): shown in a
+    // thinking-style box while the agent plans, removed once synthesis
+    // thinking or the first answer token arrives; never persisted.
+    ensureAssistant();
+    if (!stream.reasoningBox) {
+      stream.reasoningBox = renderThinking(stream.assistant, "",
+                                           {before: stream.body, open: true});
+      stream.reasoningBox.querySelector("summary").textContent = "reasoning";
+    }
+    stream.reasoningText += msg.content;
+    stream.reasoningBox.querySelector(".tbody").textContent = stream.reasoningText;
+  },
   thinking(msg) {
     ensureAssistant();
+    clearReasoning();
     if (!stream.thinkingBox)
       stream.thinkingBox = renderThinking(stream.assistant, "",
                                           {before: stream.body, open: true});
@@ -38,6 +54,7 @@ const WS_HANDLERS = {
   },
   token(msg) {
     ensureAssistant();
+    clearReasoning();
     // Incremental markdown: accumulate raw text and repaint at most every
     // 120 ms. The repaint is block-memoized (lib/mdstream.js ≡ reference
     // MemoizedMarkdown.tsx): finished blocks keep their DOM; only the open
@@ -60,6 +77,7 @@ const WS_HANDLERS = {
   },
   done(msg) {
     ensureAssistant();
+    clearReasoning();
     $("statusline").textContent = "";
     stream.body.classList.add("md");
     stream.body.innerHTML = renderMarkdown(msg.content || stream.raw);
@@ -71,6 +89,7 @@ const WS_HANDLERS = {
   },
   error(msg) {
     ensureAssistant();
+    clearReasoning();
     $("statusline").textContent = "";
     stream.body.textContent = stream.raw + "⚠ " + msg.error;
     toast(msg.error, true);

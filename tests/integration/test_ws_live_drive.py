@@ -138,8 +138,9 @@ async def _drive_rag(client) -> dict[str, list[dict]]:
 async def _drive_orchestrator(client) -> dict[str, list[dict]]:
     """Tool-capable fake LLM calls the confirmation-gated MCP tool.
 
-    Expected branches: tool_phase, tool_progress, confirmation_request,
-    plus the final token/done from synthesis.
+    Expected branches: reasoning (loop commentary alongside the tool call,
+    with show_orchestrator_reasoning on), tool_phase, tool_progress,
+    confirmation_request, plus the final token/done from synthesis.
     """
     import asyncio
 
@@ -156,7 +157,7 @@ async def _drive_orchestrator(client) -> dict[str, list[dict]]:
             self.turns += 1
             if self.turns == 1:
                 assert any(t["name"] == "manage_mcp_server" for t in tools)
-                return "", [{
+                return "I should register srv-x first.", [{
                     "name": "manage_mcp_server",
                     "arguments": {"action": "add", "name": "srv-x",
                                   "config": {"transport": "stdio", "command": "x"}},
@@ -168,6 +169,7 @@ async def _drive_orchestrator(client) -> dict[str, list[dict]]:
 
     services = client.server.app["services"]
     services.rag_service._llm_factory = lambda params: ToolLLM()
+    services.config.agent.show_orchestrator_reasoning = True
     services.config.providers[0].default_capabilities = ["tools"]
     services.config.providers[0].models = [{"name": "fake-model"}]
     ProviderRegistry.reset_instance()
@@ -214,8 +216,8 @@ async def _drive_error(client) -> dict[str, list[dict]]:
 
 async def test_every_ws_handler_branch_is_driven(client):
     assert set(HANDLERS) == {
-        "status", "tool_phase", "tool_progress", "thinking", "token",
-        "sources", "done", "error", "title", "confirmation_request",
+        "status", "tool_phase", "tool_progress", "thinking", "reasoning",
+        "token", "sources", "done", "error", "title", "confirmation_request",
     }, "WS_HANDLERS changed — extend the drive scenarios for the new branch"
 
     seen: dict[str, list[dict]] = {}
