@@ -16,3 +16,7 @@ __all__ = [
     "shard_corpus",
     "sharded_topk",
 ]
+
+# Multi-process global-mesh path (parallel/distributed.py) is imported
+# lazily by deployments that call jax.distributed — importing it here would
+# drag the distributed runtime into every single-process user.

@@ -22,6 +22,13 @@ code. One request per round-trip; the socket is kept open across batches.
 Reference analog: none — the reference is single-process (SURVEY.md §2.14);
 its closest boundary is HTTP to Ollama. This replaces nothing and adds the
 10M-tier scale-out story.
+
+On a real multi-slice pod prefer the collective path
+(parallel/distributed.py): one jax.distributed runtime across hosts, the
+corpus row-sharded over a global mesh, and the merge all_gather riding
+ICI/DCN inside a single jit program. THIS transport remains for
+coordinator-routed deployments where slices run independent runtimes
+(elastic workers, per-slice restart isolation, heterogeneous slice sizes).
 """
 
 from __future__ import annotations

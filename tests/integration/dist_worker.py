@@ -1,0 +1,78 @@
+"""Worker for test_jax_distributed.py — one process of the global mesh.
+
+Usage: python dist_worker.py <coordinator> <num_processes> <process_id>
+       <result_json_path>
+
+Each process seeds the SAME rng, so process 0 can brute-force the full
+corpus for the parity check while every process only PLACES its own block
+(the deployment contract: hosts load disjoint shard files).
+"""
+
+import json
+import os
+import sys
+
+COORD, NPROC, PID, OUT = (
+    sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
+)
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=4"
+).strip()
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+
+from tensortruth_tpu.parallel.distributed import (  # noqa: E402
+    GlobalMeshSearch,
+    global_mesh,
+    init_process,
+    my_row_range,
+)
+
+N, D, K, B = 1000, 64, 10, 5
+TILE = 64  # small shapes: don't pad each shard to 2048 rows
+
+init_process(COORD, NPROC, PID)
+assert jax.device_count() == 4 * NPROC, jax.device_count()
+mesh = global_mesh()
+
+rng = np.random.default_rng(7)
+corpus = rng.standard_normal((N, D)).astype(np.float32)
+corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+
+start, stop, n_pad = my_row_range(mesh, N, tile_n=TILE)
+local = corpus[start:min(stop, N)]
+
+engine = GlobalMeshSearch(local, n_total=N, mesh=mesh, tile_n=TILE)
+
+qrng = np.random.default_rng(11)
+q = qrng.standard_normal((B, D)).astype(np.float32)
+q /= np.linalg.norm(q, axis=1, keepdims=True)
+
+if PID == 0:
+    scores, ids = engine.search(q, K)
+else:
+    # non-serving hosts run the same collective with a dummy batch
+    scores, ids = engine.search(None, K, batch=B)
+
+report = {"pid": PID, "start": start, "stop": stop, "n_pad": n_pad}
+# exact parity vs numpy brute force (f32 corpus, exact path — identical ids)
+ref = q @ corpus.T
+ref_ids = np.argsort(-ref, axis=1)[:, :K]
+ref_scores = np.take_along_axis(ref, ref_ids, axis=1)
+report["ids_match"] = bool((ids == ref_ids).all())
+report["scores_max_err"] = float(np.abs(scores - ref_scores).max())
+report["ok"] = report["ids_match"] and report["scores_max_err"] < 1e-5
+
+with open(OUT, "w") as f:
+    json.dump(report, f)
+print(f"[p{PID}] {report}", flush=True)
+sys.exit(0 if report["ok"] else 1)
