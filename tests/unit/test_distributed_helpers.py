@@ -1,0 +1,76 @@
+"""Single-process coverage of the global-mesh helpers (parallel/distributed.py).
+
+The 2-OS-process collective run lives in
+tests/integration/test_jax_distributed.py; these tests pin the pure
+row-range / placement / search algebra on the in-process 8-virtual-device
+mesh, where a "cluster" of one process owns every shard.
+"""
+
+import numpy as np
+import pytest
+
+from tensortruth_tpu.parallel import make_mesh
+from tensortruth_tpu.parallel.distributed import (
+    GlobalMeshSearch,
+    my_row_range,
+    place_global_corpus,
+)
+
+
+def _normed(rng, n, d):
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+def test_my_row_range_tile_alignment():
+    mesh = make_mesh()
+    start, stop, n_pad = my_row_range(mesh, 1000, tile_n=64)
+    # 8 shards, ceil(125/64)*64 = 128 rows/shard
+    assert (start, stop, n_pad) == (0, 1024, 1024)
+    # one process owns everything, so the range covers the padded matrix
+    start, stop, n_pad = my_row_range(mesh, 1024, tile_n=64)
+    assert (start, stop, n_pad) == (0, 1024, 1024)
+
+
+def test_my_row_range_no_tile_padding():
+    mesh = make_mesh()
+    start, stop, n_pad = my_row_range(mesh, 800, tile_n=0)
+    assert (start, stop, n_pad) == (0, 800, 800)
+
+
+def test_place_global_corpus_pads_and_validates(rng):
+    mesh = make_mesh()
+    n, d = 1000, 16
+    rows = _normed(rng, n, d)
+    emb = place_global_corpus(rows, mesh=mesh, n_total=n, tile_n=64)
+    assert emb.shape == (1024, d)
+    host = np.asarray(emb)
+    np.testing.assert_allclose(host[:n], rows, rtol=1e-6)
+    assert (host[n:] == 0).all()
+
+    with pytest.raises(ValueError, match="expected 1000 local rows"):
+        place_global_corpus(rows[:-1], mesh=mesh, n_total=n, tile_n=64)
+
+
+def test_global_mesh_search_matches_numpy(rng):
+    mesh = make_mesh()
+    n, d, k, b = 777, 32, 9, 4
+    corpus = _normed(rng, n, d)
+    q = _normed(rng, b, d)
+    engine = GlobalMeshSearch(corpus, n_total=n, mesh=mesh, tile_n=64)
+    scores, ids = engine.search(q, k)
+
+    ref = q @ corpus.T
+    ref_ids = np.argsort(-ref, axis=1)[:, :k]
+    np.testing.assert_array_equal(ids, ref_ids)
+    np.testing.assert_allclose(
+        scores, np.take_along_axis(ref, ref_ids, axis=1), atol=1e-5
+    )
+
+
+def test_global_mesh_search_requires_batch_on_non_serving_host(rng):
+    mesh = make_mesh()
+    corpus = _normed(rng, 64, 16)
+    engine = GlobalMeshSearch(corpus, n_total=64, mesh=mesh, tile_n=0)
+    with pytest.raises(ValueError, match="batch="):
+        engine.search(None, 5)
