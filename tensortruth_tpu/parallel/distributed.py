@@ -139,6 +139,122 @@ def place_global_corpus(
     return jax.make_array_from_process_local_data(sharding, block, (n_pad, dim))
 
 
+def my_cluster_range(mesh: Mesh, n_clusters: int) -> tuple[int, int, int]:
+    """(start, stop, nc_pad): the IVF clusters THIS process must load.
+
+    Clusters pad to a multiple of the shard count; like ``my_row_range``
+    the tail process's range may extend past ``n_clusters`` (zero-filled
+    by ``place_global_ivf``).
+    """
+    p = mesh.shape[SHARD_AXIS]
+    nc_pad = -(-n_clusters // p) * p
+    sharding = NamedSharding(mesh, P(SHARD_AXIS, None))
+    idx_map = sharding.addressable_devices_indices_map((nc_pad, 1))
+    starts = [s[0].start or 0 for s in idx_map.values()]
+    stops = [s[0].stop if s[0].stop is not None else nc_pad for s in idx_map.values()]
+    return min(starts), max(stops), nc_pad
+
+
+def place_global_ivf(
+    *,
+    mesh: Mesh,
+    n_clusters: int,
+    n_actual: int,
+    local_centroids: np.ndarray,
+    local_blocks: np.ndarray,
+    local_valid: np.ndarray,
+    local_scales: np.ndarray | None = None,
+    row_map: np.ndarray | None = None,
+):
+    """Assemble a cluster-sharded ``ShardedIVF`` across processes.
+
+    Each host passes ONLY its ``my_cluster_range`` slice of the
+    cluster-major arrays (its own partition files — the same per-range
+    artifacts the coordinator-RPC tier persists via ``save_ivf_part``).
+    ``row_map`` is host-side metadata for mapping candidate positions back
+    to global rows: pass the full (n_clusters, rpc) table on hosts that
+    hydrate results (int32, tens of MB even at 10M rows), None elsewhere
+    (those hosts get -1 rows from ``ivf_search_sharded``).
+    """
+    from tensortruth_tpu.ops.ivf import ShardedIVF
+
+    start, stop, nc_pad = my_cluster_range(mesh, n_clusters)
+    want = min(stop, n_clusters) - min(start, n_clusters)
+    if local_blocks.shape[0] != want:
+        raise ValueError(
+            f"process owns clusters [{start}, {stop}) of {n_clusters}: "
+            f"expected {want} local clusters, got {local_blocks.shape[0]}"
+        )
+    rpc, dim = local_blocks.shape[1], local_blocks.shape[2]
+    my_nc = stop - start
+
+    cent = np.zeros((my_nc, dim), local_centroids.dtype)
+    cent[:want] = local_centroids
+    blocks = np.zeros((my_nc, rpc, dim), local_blocks.dtype)
+    blocks[:want] = local_blocks
+    valid = np.zeros((my_nc, rpc), np.int32)
+    valid[:want] = local_valid
+
+    shard2 = NamedSharding(mesh, P(SHARD_AXIS, None))
+    shard3 = NamedSharding(mesh, P(SHARD_AXIS, None, None))
+    g = jax.make_array_from_process_local_data
+    scales_g = None
+    if local_scales is not None:
+        scales = np.ones((my_nc, rpc), np.float32)
+        scales[:want] = local_scales
+        scales_g = g(shard2, scales, (nc_pad, rpc))
+
+    if row_map is not None:
+        rm = np.full((nc_pad, rpc), -1, np.int32)
+        rm[:n_clusters] = row_map
+    else:
+        rm = np.full((nc_pad, rpc), -1, np.int32)
+    return ShardedIVF(
+        centroids=g(shard2, cent, (nc_pad, dim)),
+        blocks=g(shard3, blocks, (nc_pad, rpc, dim)),
+        valid=g(shard2, valid, (nc_pad, rpc)),
+        row_map=rm,
+        n_actual=n_actual,
+        n_clusters_actual=n_clusters,
+        mesh=mesh,
+        scales=scales_g,
+    )
+
+
+class GlobalMeshIVF:
+    """Collective IVF search over the multi-process global mesh.
+
+    The beyond-HBM tier in ONE program: cluster blocks shard over all
+    slices' devices, every shard probes the top-nprobe of its own clusters
+    (a superset of the global probe set — see ``ShardedIVF``), and the
+    candidate merge all_gather rides ICI/DCN. Same SPMD discipline as
+    ``GlobalMeshSearch``: the serving host passes the real batch, everyone
+    else passes None + ``batch=``.
+    """
+
+    def __init__(self, sharded_ivf):
+        self.sidx = sharded_ivf
+        self.dim = sharded_ivf.blocks.shape[2]
+
+    def search(
+        self,
+        q: np.ndarray | None,
+        k: int,
+        nprobe: int = 8,
+        batch: int | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        from jax.experimental import multihost_utils
+
+        from tensortruth_tpu.ops.ivf import ivf_search_sharded
+
+        if q is None:
+            if batch is None:
+                raise ValueError("non-serving processes must pass batch=")
+            q = np.zeros((batch, self.dim), np.float32)
+        q_global = multihost_utils.broadcast_one_to_all(np.asarray(q, np.float32))
+        return ivf_search_sharded(self.sidx, q_global, k, nprobe=nprobe)
+
+
 class GlobalMeshSearch:
     """Collective dense top-k over the multi-process global mesh.
 

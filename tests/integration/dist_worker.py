@@ -31,10 +31,13 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np  # noqa: E402
 
 from tensortruth_tpu.parallel.distributed import (  # noqa: E402
+    GlobalMeshIVF,
     GlobalMeshSearch,
     global_mesh,
     init_process,
+    my_cluster_range,
     my_row_range,
+    place_global_ivf,
 )
 
 N, D, K, B = 1000, 64, 10, 5
@@ -70,7 +73,48 @@ ref_ids = np.argsort(-ref, axis=1)[:, :K]
 ref_scores = np.take_along_axis(ref, ref_ids, axis=1)
 report["ids_match"] = bool((ids == ref_ids).all())
 report["scores_max_err"] = float(np.abs(scores - ref_scores).max())
-report["ok"] = report["ids_match"] and report["scores_max_err"] < 1e-5
+
+# --- IVF tier on the same global mesh -------------------------------
+# Both processes deterministically build the SAME index (same data, same
+# seed, local jit), then each places only ITS cluster range — the
+# per-range artifact contract of save_ivf_part. nprobe = n_clusters makes
+# the probe exhaustive, so results must equal brute force exactly.
+import jax.numpy as jnp  # noqa: E402
+
+from tensortruth_tpu.ops.ivf import build_ivf  # noqa: E402
+
+NCL = 16
+idx = build_ivf(
+    corpus, n_clusters=NCL, sample_size=N, kmeans_iters=4, seed=3,
+    block_dtype=jnp.float32,
+)
+c0, c1, nc_pad = my_cluster_range(mesh, NCL)
+blocks_h = np.asarray(idx.blocks)
+cent_h = np.asarray(idx.centroids)
+valid_h = (idx.row_map >= 0).astype(np.int32)
+lo, hi = min(c0, NCL), min(c1, NCL)
+sidx = place_global_ivf(
+    mesh=mesh, n_clusters=NCL, n_actual=N,
+    local_centroids=cent_h[lo:hi],
+    local_blocks=blocks_h[lo:hi],
+    local_valid=valid_h[lo:hi],
+    row_map=idx.row_map,
+)
+ivf_engine = GlobalMeshIVF(sidx)
+if PID == 0:
+    iv, ir = ivf_engine.search(q, K, nprobe=NCL)
+else:
+    iv, ir = ivf_engine.search(None, K, nprobe=NCL, batch=B)
+report["ivf_cluster_range"] = [c0, c1, nc_pad]
+report["ivf_ids_match"] = bool((ir == ref_ids).all())
+report["ivf_scores_max_err"] = float(np.abs(iv - ref_scores).max())
+
+report["ok"] = (
+    report["ids_match"]
+    and report["scores_max_err"] < 1e-5
+    and report["ivf_ids_match"]
+    and report["ivf_scores_max_err"] < 1e-4
+)
 
 with open(OUT, "w") as f:
     json.dump(report, f)

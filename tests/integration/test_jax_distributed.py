@@ -58,6 +58,7 @@ def test_two_process_global_mesh_topk(tmp_path):
     for rep in reports:
         assert rep["ok"], rep
         assert rep["ids_match"], rep
+        assert rep["ivf_ids_match"], rep  # IVF tier collective too
     # the two processes own disjoint, covering halves of the padded matrix
     assert reports[0]["start"] == 0
     assert reports[0]["stop"] == reports[1]["start"]

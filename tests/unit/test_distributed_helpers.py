@@ -11,9 +11,12 @@ import pytest
 
 from tensortruth_tpu.parallel import make_mesh
 from tensortruth_tpu.parallel.distributed import (
+    GlobalMeshIVF,
     GlobalMeshSearch,
+    my_cluster_range,
     my_row_range,
     place_global_corpus,
+    place_global_ivf,
 )
 
 
@@ -66,6 +69,47 @@ def test_global_mesh_search_matches_numpy(rng):
     np.testing.assert_allclose(
         scores, np.take_along_axis(ref, ref_ids, axis=1), atol=1e-5
     )
+
+
+def test_my_cluster_range_pads_to_shard_count():
+    mesh = make_mesh()
+    start, stop, nc_pad = my_cluster_range(mesh, 10)
+    assert (start, stop, nc_pad) == (0, 16, 16)
+    start, stop, nc_pad = my_cluster_range(mesh, 16)
+    assert (start, stop, nc_pad) == (0, 16, 16)
+
+
+def test_global_mesh_ivf_exhaustive_probe_matches_numpy(rng):
+    import jax.numpy as jnp
+
+    from tensortruth_tpu.ops.ivf import build_ivf
+
+    mesh = make_mesh()
+    n, d, k, b, ncl = 500, 32, 7, 3, 16
+    corpus = _normed(rng, n, d)
+    q = _normed(rng, b, d)
+    idx = build_ivf(corpus, n_clusters=ncl, sample_size=n, kmeans_iters=4,
+                    seed=3, block_dtype=jnp.float32)
+    sidx = place_global_ivf(
+        mesh=mesh, n_clusters=ncl, n_actual=n,
+        local_centroids=np.asarray(idx.centroids),
+        local_blocks=np.asarray(idx.blocks),
+        local_valid=(idx.row_map >= 0).astype(np.int32),
+        row_map=idx.row_map,
+    )
+    scores, ids = GlobalMeshIVF(sidx).search(q, k, nprobe=ncl)
+
+    ref = q @ corpus.T
+    ref_ids = np.argsort(-ref, axis=1)[:, :k]
+    np.testing.assert_array_equal(ids, ref_ids)
+
+    with pytest.raises(ValueError, match="expected 16 local clusters"):
+        place_global_ivf(
+            mesh=mesh, n_clusters=ncl, n_actual=n,
+            local_centroids=np.asarray(idx.centroids)[:-1],
+            local_blocks=np.asarray(idx.blocks)[:-1],
+            local_valid=(idx.row_map >= 0).astype(np.int32)[:-1],
+        )
 
 
 def test_global_mesh_search_requires_batch_on_non_serving_host(rng):
