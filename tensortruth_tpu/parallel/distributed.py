@@ -139,6 +139,37 @@ def place_global_corpus(
     return jax.make_array_from_process_local_data(sharding, block, (n_pad, dim))
 
 
+def place_global_corpus_int8(
+    local_rows: np.ndarray,
+    *,
+    mesh: Mesh,
+    n_total: int,
+    tile_n: int = 2048,
+) -> tuple[jax.Array, jax.Array]:
+    """int8 variant: (emb_q (n_pad, D) int8, scales (n_pad,) f32), both
+    row-sharded. Per-row symmetric scales (quantize_corpus discipline) are
+    row-local, so each host quantizes its own block exactly — identical to
+    the single-process ``shard_corpus_int8`` placement."""
+    from tensortruth_tpu.ops.topk import quantize_corpus
+
+    start, stop, n_pad = my_row_range(mesh, n_total, tile_n)
+    want = min(stop, n_total) - min(start, n_total)
+    if local_rows.shape[0] != want:
+        raise ValueError(
+            f"process owns global rows [{start}, {stop}) of {n_total}: "
+            f"expected {want} local rows, got {local_rows.shape[0]}"
+        )
+    dim = local_rows.shape[1]
+    block = np.zeros((stop - start, dim), np.float32)
+    block[:want] = local_rows
+    q, s = quantize_corpus(block)
+    s[want:] = 0.0  # padding rows
+    shard2 = NamedSharding(mesh, P(SHARD_AXIS, None))
+    shard1 = NamedSharding(mesh, P(SHARD_AXIS))
+    g = jax.make_array_from_process_local_data
+    return g(shard2, q, (n_pad, dim)), g(shard1, s, (n_pad,))
+
+
 def my_cluster_range(mesh: Mesh, n_clusters: int) -> tuple[int, int, int]:
     """(start, stop, nc_pad): the IVF clusters THIS process must load.
 
@@ -280,10 +311,16 @@ class GlobalMeshSearch:
         self.n_total = n_total
         self.use_fused = use_fused
         self.tile_n = tile_n
-        self.emb = place_global_corpus(
-            local_rows, mesh=self.mesh, n_total=n_total, dtype=dtype,
-            tile_n=tile_n,
-        )
+        self.scales = None
+        if dtype == "int8":
+            self.emb, self.scales = place_global_corpus_int8(
+                local_rows, mesh=self.mesh, n_total=n_total, tile_n=tile_n
+            )
+        else:
+            self.emb = place_global_corpus(
+                local_rows, mesh=self.mesh, n_total=n_total, dtype=dtype,
+                tile_n=tile_n,
+            )
         self.dim = self.emb.shape[1]
 
     def search(
@@ -307,7 +344,7 @@ class GlobalMeshSearch:
         q_global = multihost_utils.broadcast_one_to_all(q)
         vals, idx = sharded_topk(
             q_global, self.emb, k=k, mesh=self.mesh, n_actual=self.n_total,
-            use_fused=self.use_fused, tile_n=self.tile_n,
+            use_fused=self.use_fused, tile_n=self.tile_n, scales=self.scales,
         )
         # outputs are replicated; pulling them local is a no-copy view of
         # the addressable replica

@@ -74,6 +74,25 @@ ref_scores = np.take_along_axis(ref, ref_ids, axis=1)
 report["ids_match"] = bool((ids == ref_ids).all())
 report["scores_max_err"] = float(np.abs(scores - ref_scores).max())
 
+# --- int8 flat tier on the same global mesh -------------------------
+# Quantization is row-local, so each host quantizes only its block; int8
+# ids should overlap f32 heavily and MUST be identical on both hosts
+# (same program, replicated outputs).
+engine8 = GlobalMeshSearch(local, n_total=N, mesh=mesh, tile_n=TILE,
+                           dtype="int8")
+if PID == 0:
+    s8, i8 = engine8.search(q, K)
+else:
+    s8, i8 = engine8.search(None, K, batch=B)
+overlap = np.mean([
+    len(set(i8[b_].tolist()) & set(ref_ids[b_].tolist())) / K
+    for b_ in range(B)
+])
+report["int8_overlap_vs_f32"] = float(overlap)
+report["int8_ids_sha"] = __import__("hashlib").sha1(
+    np.ascontiguousarray(i8).tobytes()
+).hexdigest()
+
 # --- IVF tier on the same global mesh -------------------------------
 # Both processes deterministically build the SAME index (same data, same
 # seed, local jit), then each places only ITS cluster range — the
@@ -114,6 +133,7 @@ report["ok"] = (
     and report["scores_max_err"] < 1e-5
     and report["ivf_ids_match"]
     and report["ivf_scores_max_err"] < 1e-4
+    and report["int8_overlap_vs_f32"] >= 0.8
 )
 
 with open(OUT, "w") as f:

@@ -59,6 +59,9 @@ def test_two_process_global_mesh_topk(tmp_path):
         assert rep["ok"], rep
         assert rep["ids_match"], rep
         assert rep["ivf_ids_match"], rep  # IVF tier collective too
+        assert rep["int8_overlap_vs_f32"] >= 0.8, rep
+    # the int8 tier's replicated output must be bit-identical on both hosts
+    assert reports[0]["int8_ids_sha"] == reports[1]["int8_ids_sha"]
     # the two processes own disjoint, covering halves of the padded matrix
     assert reports[0]["start"] == 0
     assert reports[0]["stop"] == reports[1]["start"]

@@ -71,6 +71,23 @@ def test_global_mesh_search_matches_numpy(rng):
     )
 
 
+def test_global_mesh_search_int8_tier(rng):
+    mesh = make_mesh()
+    n, d, k, b = 512, 64, 10, 4
+    corpus = _normed(rng, n, d)
+    q = _normed(rng, b, d)
+    engine = GlobalMeshSearch(corpus, n_total=n, mesh=mesh, tile_n=64,
+                              dtype="int8")
+    assert engine.scales is not None and engine.scales.shape == (512,)
+    _, ids = engine.search(q, k)
+    ref_ids = np.argsort(-(q @ corpus.T), axis=1)[:, :k]
+    overlap = np.mean([
+        len(set(ids[i].tolist()) & set(ref_ids[i].tolist())) / k
+        for i in range(b)
+    ])
+    assert overlap >= 0.8, overlap
+
+
 def test_my_cluster_range_pads_to_shard_count():
     mesh = make_mesh()
     start, stop, nc_pad = my_cluster_range(mesh, 10)
