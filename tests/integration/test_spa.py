@@ -748,3 +748,24 @@ def test_long_user_messages_collapse():
     msgs = JS["chat/messages.js"]
     assert "clamped" in msgs and "show more" in msgs and "show less" in msgs
     assert ".msg.user .body.clamped" in CSS and "max-height" in CSS
+
+
+def test_documents_panel_is_scope_aware():
+    """Documents panel serves BOTH scope types (reference DocumentPanel.tsx
+    ScopeType): a scope dropdown listing the open session and every project,
+    a file-upload control inside the panel, and a scope-generic API client
+    whose scopePath covers /sessions/{id} and /projects/{id}."""
+    apidoc = JS["api/documents.js"]
+    assert "export function scopePath" in apidoc
+    assert '"project" ? "projects" : "sessions"' in apidoc
+    # every document call routes through scopePath — no hardcoded scope
+    assert "`/sessions/${sessionId}/documents`" not in apidoc
+    assert apidoc.count("scopePath(scope)") >= 6
+    panel = JS["panels/documents.js"]
+    for feature in ["listProjects", 'kind === "project"', "uploadDocumentXHR(",
+                    '$("doc-scope").onchange']:
+        assert feature in panel, f"missing: {feature}"
+    for el_id in ["doc-scope", "doc-upload-btn", "doc-file-input"]:
+        assert f'id="{el_id}"' in HTML, f"missing element: {el_id}"
+    # sidebar's session upload still rides the back-compat string scope
+    assert "uploadDocumentXHR(currentSessionId()" in JS["views/sidebar.js"]
