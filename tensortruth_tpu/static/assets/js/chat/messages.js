@@ -100,6 +100,11 @@ export function renderWelcome() {
   $("messages").appendChild(card);
 }
 
+// Per-source fetch-status badge (reference WebSearchSources.tsx
+// getStatusBadge): success renders nothing — badges flag the exceptions
+// (failed / skipped / filtered) the way the reference greys them out.
+const STATUS_BADGES = {failed: "failed", skipped: "skipped", filtered: "filtered"};
+
 export function renderSources(container, sources) {
   if (!sources || !sources.length) return;
   const det = el("details", "sources");
@@ -111,12 +116,22 @@ export function renderSources(container, sources) {
     item.appendChild(document.createTextNode(
       (s.title || s.metadata?.filename || s.id || "source") +
       (s.metadata?.module ? ` · ${s.metadata.module}` : "")));
+    // source-type chip (reference SourceCard type badges): web sources
+    // read differently from indexed chunks in a mixed orchestrator answer
+    if (s.type && s.type !== "library_doc")
+      item.appendChild(el("span", "src-badge type", s.type.replace(/_/g, " ")));
+    if (STATUS_BADGES[s.status])
+      item.appendChild(el("span", "src-badge " + s.status, STATUS_BADGES[s.status]));
     const srcUrl = s.url && safeUrl(s.url);
     if (srcUrl) {
       const a = el("a", "", " ↗"); a.href = srcUrl; a.target = "_blank"; item.appendChild(a);
     }
-    if (s.content) {
-      const preview = el("div", "preview", String(s.content).slice(0, 1500));
+    if (s.error) {
+      item.appendChild(el("div", "src-error", s.error));
+    }
+    const body = s.content || s.snippet;  // failed fetches still show their snippet
+    if (body) {
+      const preview = el("div", "preview", String(body).slice(0, 1500));
       item.appendChild(preview);
       item.onclick = ev => {
         if (ev.target.tagName === "A") return;

@@ -769,3 +769,22 @@ def test_documents_panel_is_scope_aware():
         assert f'id="{el_id}"' in HTML, f"missing element: {el_id}"
     # sidebar's session upload still rides the back-compat string scope
     assert "uploadDocumentXHR(currentSessionId()" in JS["views/sidebar.js"]
+
+
+def test_source_status_and_type_badges():
+    """Sources display fetch-status and type chips + error text (reference
+    WebSearchSources.tsx getStatusBadge / SourceCard type badges) and fall
+    back to the snippet when a failed fetch has no content."""
+    msgs = JS["chat/messages.js"]
+    for feature in ["STATUS_BADGES", '"src-badge " + s.status', "s.error",
+                    "s.content || s.snippet"]:
+        assert feature in msgs, f"missing: {feature}"
+    for cls in [".src-badge", ".src-badge.failed", ".src-error"]:
+        assert cls in CSS, f"missing CSS: {cls}"
+    # wire-schema contract: the fields the JS reads exist in SourceNode.to_dict
+    import inspect
+
+    from tensortruth_tpu.core.source import SourceNode
+    src = inspect.getsource(SourceNode.to_dict)
+    for field in ['"type"', '"status"', '"error"', '"snippet"']:
+        assert field in src, f"SourceNode.to_dict lost {field}"
