@@ -249,6 +249,7 @@ class MCPSSEClient(_MCPClientBase):
             raise
 
     async def _pump(self) -> None:
+        why = "stream ended"
         try:
             async for event, data in _iter_sse_events(self._stream.content):
                 if event == "endpoint":
@@ -263,12 +264,21 @@ class MCPSSEClient(_MCPClientBase):
                 if fut is not None and not fut.done():
                     fut.set_result(msg)
                 # else: server notification (progress/log) — ignored
-        except Exception as e:  # stream died: fail everything in flight
+        except asyncio.CancelledError:
+            raise  # close() cancelling us must not fail futures it will drop
+        except Exception as e:
+            why = str(e) or type(e).__name__
+        finally:
+            # Whether the stream died OR ended cleanly (server shutdown),
+            # everything still waiting must fail NOW — otherwise each
+            # in-flight request (and connect()'s endpoint wait) blocks the
+            # full REQUEST_TIMEOUT before surfacing an unrelated timeout.
+            err = RuntimeError(f"MCP {self.name} SSE stream closed: {why}")
+            if self._endpoint_fut and not self._endpoint_fut.done():
+                self._endpoint_fut.set_exception(err)
             for fut in self._pending.values():
                 if not fut.done():
-                    fut.set_exception(
-                        RuntimeError(f"MCP {self.name} SSE stream closed: {e}")
-                    )
+                    fut.set_exception(err)
             self._pending.clear()
 
     async def _post(self, payload: dict) -> None:

@@ -50,6 +50,12 @@ from tensortruth_tpu.index.nodes import HierarchyStore, Node
 PACKED_DIR = "packed"
 PACK_VERSION = 1
 
+# Serializes pack_index's rename-aside swap against is_packed's crash-heal
+# (which would otherwise rename the old pack back in mid-swap).
+import threading
+
+_SWAP_LOCK = threading.Lock()
+
 # VectorIndex.save switches to the packed format at this node count —
 # big enough that every session/project scope index stays JSONL-mutable,
 # small enough that any "module" scale corpus gets O(1) loads.
@@ -188,13 +194,27 @@ def pack_index(
         "modules": mod_vocab,
     }
     (out / "manifest.json").write_text(json.dumps(manifest))
-    if old.exists():
-        shutil.rmtree(old)  # stale leftover from a crash after a prior swap
-    if final.exists():
-        os.replace(final, old)  # atomic: old pack stays whole while aside
-    os.replace(out, final)  # atomic finish: manifest presence = valid
-    if old.exists():
-        shutil.rmtree(old)
+    # The swap and is_packed's crash-heal (which renames packed.old BACK to
+    # packed/) race each other: a reader healing between the two renames
+    # below would make os.replace(out, final) hit a repopulated non-empty
+    # dir. The lock serializes them in-process (server: reindex executor
+    # thread vs request threads); the retry covers a heal from ANOTHER
+    # process between our renames.
+    with _SWAP_LOCK:
+        if old.exists():
+            shutil.rmtree(old)  # stale leftover from a crash after a prior swap
+        for attempt in range(3):
+            if final.exists():
+                os.replace(final, old)  # atomic: old pack stays whole while aside
+            try:
+                os.replace(out, final)  # atomic finish: manifest presence = valid
+                break
+            except OSError:
+                if attempt == 2:
+                    raise
+                continue  # a concurrent heal renamed old back in — re-aside it
+        if old.exists():
+            shutil.rmtree(old)
 
 
 def is_packed(path: str | Path) -> bool:
@@ -208,15 +228,16 @@ def is_packed(path: str | Path) -> bool:
     if (p / "manifest.json").exists():
         return True
     old = Path(path) / (PACKED_DIR + ".old")
-    if (old / "manifest.json").exists() and not p.exists():
-        import os
+    with _SWAP_LOCK:  # never heal while pack_index is mid-swap (see there)
+        if (old / "manifest.json").exists() and not p.exists():
+            import os
 
-        try:
-            os.replace(old, p)
-        except OSError:
-            return False
-        return True
-    return False
+            try:
+                os.replace(old, p)
+            except OSError:
+                return False
+            return True
+    return (p / "manifest.json").exists()
 
 
 class PackedHierarchyStore:

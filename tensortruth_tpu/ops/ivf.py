@@ -440,8 +440,8 @@ def build_ivf(
         scores = leftover_vecs @ centroids.T  # (L, k)
         prefs = np.argsort(-scores, axis=1)
         free = rows_per_cluster - fill
-        lc = np.empty(len(leftover), np.int64)
-        ls = np.empty(len(leftover), np.int64)
+        lc = np.full(len(leftover), -1, np.int64)
+        ls = np.full(len(leftover), -1, np.int64)
         for i, row_prefs in enumerate(prefs):
             for c in row_prefs:
                 if free[c] > 0:
@@ -449,6 +449,16 @@ def build_ivf(
                     ls[i] = rows_per_cluster - free[c]
                     free[c] -= 1
                     break
+        if (lc < 0).any():
+            # Only reachable with a caller-forced overflow below the
+            # ≥1.0 capacity invariant; writing the -1s would scatter rows
+            # into blocks[-1] (a corrupt index), so refuse loudly.
+            raise ValueError(
+                f"IVF capacity exhausted: {int((lc < 0).sum())} of "
+                f"{len(leftover)} spilled rows found no cluster with free "
+                f"space (n_clusters * rows_per_cluster < n_rows; raise "
+                f"overflow/max_overflow)"
+            )
         write_rows(lc, ls, leftover_vecs, leftover)
 
     bytes_per = 1 if quantized else (4 if block_dtype == jnp.float32 else 2)

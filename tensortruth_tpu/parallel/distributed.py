@@ -278,11 +278,18 @@ class GlobalMeshIVF:
 
         from tensortruth_tpu.ops.ivf import ivf_search_sharded
 
+        # is_source follows WHO HOLDS the real batch — the serving host may
+        # be any process, not just process 0 (broadcast_one_to_all defaults
+        # to process 0; with that default a non-0 serving host would have
+        # its real queries silently replaced by host 0's zero dummy batch).
+        is_source = q is not None
         if q is None:
             if batch is None:
                 raise ValueError("non-serving processes must pass batch=")
             q = np.zeros((batch, self.dim), np.float32)
-        q_global = multihost_utils.broadcast_one_to_all(np.asarray(q, np.float32))
+        q_global = multihost_utils.broadcast_one_to_all(
+            np.asarray(q, np.float32), is_source=is_source
+        )
         return ivf_search_sharded(self.sidx, q_global, k, nprobe=nprobe)
 
 
@@ -336,12 +343,15 @@ class GlobalMeshSearch:
         """
         from jax.experimental import multihost_utils
 
+        # see GlobalMeshIVF.search: source the broadcast from whichever
+        # process holds the real batch, not unconditionally process 0.
+        is_source = q is not None
         if q is None:
             if batch is None:
                 raise ValueError("non-serving processes must pass batch=")
             q = np.zeros((batch, self.dim), np.float32)
         q = np.asarray(q, np.float32)
-        q_global = multihost_utils.broadcast_one_to_all(q)
+        q_global = multihost_utils.broadcast_one_to_all(q, is_source=is_source)
         vals, idx = sharded_topk(
             q_global, self.emb, k=k, mesh=self.mesh, n_actual=self.n_total,
             use_fused=self.use_fused, tile_n=self.tile_n, scales=self.scales,

@@ -129,13 +129,14 @@ def shard_corpus_streaming(
 
 
 def shard_corpus(
-    emb: np.ndarray, mesh: Mesh, pad_value: float = 0.0, tile_n: int | None = None
+    emb: np.ndarray, mesh: Mesh, tile_n: int | None = None
 ) -> tuple[jax.Array, int]:
     """Place an (N, D) matrix row-sharded on the mesh; pad N to the shard count.
 
     Array-in-hand wrapper over ``shard_corpus_streaming`` (one piece);
-    keeps the input's dtype. Returns (device array with NamedSharding,
-    original N).
+    keeps the input's dtype, zero-pads the tail (padding is masked via
+    ``n_actual`` downstream, so the pad value is immaterial). Returns
+    (device array with NamedSharding, original N).
     """
     return shard_corpus_streaming(
         iter([emb]), emb.shape[0], emb.shape[1], mesh,

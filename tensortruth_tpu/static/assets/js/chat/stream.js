@@ -50,8 +50,11 @@ export function clearReasoning() {
 
 export function resetStream() {
   if (stream.renderTimer) { clearTimeout(stream.renderTimer); stream.renderTimer = 0; }
+  // a wedged-socket reset (ws.js stopStreaming fallback) may fire with the
+  // reasoning box still attached — nulling the reference without removing
+  // the node would orphan the never-persisted box in the message DOM
+  clearReasoning();
   stream.assistant = stream.body = stream.thinkingBox = stream.repaint = null;
-  stream.reasoningBox = null;
   stream.thinkingText = "";
   stream.reasoningText = "";
   stream.toolSteps = [];

@@ -74,6 +74,22 @@ ref_scores = np.take_along_axis(ref, ref_ids, axis=1)
 report["ids_match"] = bool((ids == ref_ids).all())
 report["scores_max_err"] = float(np.abs(scores - ref_scores).max())
 
+# --- serving host OTHER than process 0 -------------------------------
+# The broadcast must source from whichever process holds the real batch
+# (GlobalMeshSearch.search sets is_source=q is not None); with the
+# process-0 default, a non-0 serving host would silently search host 0's
+# zero dummy batch. q2 is derived deterministically on every host, but
+# only the LAST process passes it — everyone else broadcasts-in.
+q2 = qrng.standard_normal((B, D)).astype(np.float32)
+q2 /= np.linalg.norm(q2, axis=1, keepdims=True)
+if PID == NPROC - 1:
+    s2, i2 = engine.search(q2, K)
+else:
+    s2, i2 = engine.search(None, K, batch=B)
+ref2 = q2 @ corpus.T
+ref2_ids = np.argsort(-ref2, axis=1)[:, :K]
+report["alt_source_ids_match"] = bool((i2 == ref2_ids).all())
+
 # --- int8 flat tier on the same global mesh -------------------------
 # Quantization is row-local, so each host quantizes only its block; int8
 # ids should overlap f32 heavily and MUST be identical on both hosts
@@ -130,6 +146,7 @@ report["ivf_scores_max_err"] = float(np.abs(iv - ref_scores).max())
 
 report["ok"] = (
     report["ids_match"]
+    and report["alt_source_ids_match"]
     and report["scores_max_err"] < 1e-5
     and report["ivf_ids_match"]
     and report["ivf_scores_max_err"] < 1e-4

@@ -788,3 +788,12 @@ def test_source_status_and_type_badges():
     src = inspect.getsource(SourceNode.to_dict)
     for field in ['"type"', '"status"', '"error"', '"snippet"']:
         assert field in src, f"SourceNode.to_dict lost {field}"
+
+
+def test_reset_stream_removes_reasoning_box():
+    """resetStream must remove the ephemeral reasoning box from the DOM
+    (via clearReasoning), not just null the reference — a wedged-socket
+    stop would otherwise orphan the never-persisted box in the message."""
+    body = JS["chat/stream.js"].split("export function resetStream")[1]
+    assert "clearReasoning()" in body
+    assert "reasoningBox = null" not in body  # removal owns the reference

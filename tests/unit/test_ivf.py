@@ -394,3 +394,18 @@ def test_build_determinism_same_seed():
     np.testing.assert_array_equal(
         np.asarray(a.centroids, np.float32), np.asarray(b.centroids, np.float32)
     )
+
+
+def test_build_ivf_capacity_exhaustion_raises():
+    """A caller-forced overflow below the ≥1.0 capacity invariant must be
+    refused loudly — the capacity-aware spill used to write uninitialized
+    placement indices (scattering rows into blocks[-1]) when no cluster had
+    free space left."""
+    rng = np.random.default_rng(0)
+    emb = rng.standard_normal((1000, 16)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    with pytest.raises(ValueError, match="capacity exhausted"):
+        build_ivf(
+            emb, n_clusters=2, sample_size=1000, kmeans_iters=2,
+            overflow=0.1, max_overflow=0.1,
+        )

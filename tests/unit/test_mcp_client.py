@@ -7,6 +7,7 @@ load zero tools)."""
 import asyncio
 import json
 import sys
+import time
 
 import pytest
 
@@ -273,5 +274,92 @@ def test_sse_dead_endpoint_errors_cleanly(tmp_path):
         specs, clients, status = await load_mcp_tools(svc)
         assert specs == {} and clients == []
         assert status["dead"]["status"] == "error"
+
+    asyncio.run(scenario())
+
+
+async def _start_closing_sse_server(close_after_handshake: bool):
+    """SSE server that ends its event stream — immediately (before the
+    endpoint event) or right after the initialize handshake completes."""
+    from aiohttp import web
+
+    queues: dict[str, asyncio.Queue] = {}
+
+    async def sse(request):
+        resp = web.StreamResponse(headers={"Content-Type": "text/event-stream"})
+        await resp.prepare(request)
+        if not close_after_handshake:
+            return resp  # clean EOF before any endpoint event
+        q: asyncio.Queue = asyncio.Queue()
+        queues["only"] = q
+        await resp.write(b"event: endpoint\ndata: /messages?session=only\n\n")
+        while True:
+            msg = await q.get()
+            if msg is None:
+                break  # clean EOF mid-session
+            await resp.write(
+                b"event: message\ndata: " + json.dumps(msg).encode() + b"\n\n"
+            )
+        return resp
+
+    async def messages(request):
+        msg = await request.json()
+        reply = _handle_rpc(msg)
+        if reply is not None:
+            await queues["only"].put(reply)
+        if msg.get("method") == "notifications/initialized":
+            await queues["only"].put(None)  # close the stream post-handshake
+        return web.Response(status=202, text="Accepted")
+
+    app = web.Application()
+    app.router.add_get("/sse", sse)
+    app.router.add_post("/messages", messages)
+    runner = web.AppRunner(app)
+    await runner.setup()
+    site = web.TCPSite(runner, "127.0.0.1", 0)
+    await site.start()
+    port = site._server.sockets[0].getsockname()[1]
+    return runner, f"http://127.0.0.1:{port}/sse"
+
+
+def test_sse_request_fails_fast_on_clean_stream_eof():
+    """A gracefully closed event stream (server restart) must fail in-flight
+    and subsequent requests immediately — not strand each one for the full
+    REQUEST_TIMEOUT (the pump's finally fails every pending future)."""
+
+    async def scenario():
+        runner, url = await _start_closing_sse_server(close_after_handshake=True)
+        client = MCPSSEClient("fix", url)
+        try:
+            await client.connect()
+            # the server closed the stream right after the handshake; the
+            # next request must fail fast with the stream-closed error
+            t0 = time.monotonic()
+            with pytest.raises(RuntimeError, match="SSE stream closed"):
+                await client.list_tools()
+            assert time.monotonic() - t0 < 5, "request hung instead of failing fast"
+        finally:
+            await client.close()
+            await runner.cleanup()
+
+    asyncio.run(scenario())
+
+
+def test_sse_connect_fails_fast_without_endpoint_event():
+    """A stream that ends before the endpoint event must fail connect()
+    immediately (endpoint future gets the stream-closed error), not wait
+    the full REQUEST_TIMEOUT."""
+
+    async def scenario():
+        runner, url = await _start_closing_sse_server(close_after_handshake=False)
+        client = MCPSSEClient("fix", url)
+        try:
+            t0 = time.monotonic()
+            with pytest.raises(RuntimeError, match="SSE stream closed"):
+                await client.connect()
+            assert time.monotonic() - t0 < 5, "connect hung instead of failing fast"
+        finally:
+            await client.close()
+            await runner.cleanup()
 
     asyncio.run(scenario())

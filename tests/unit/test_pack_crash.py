@@ -216,3 +216,39 @@ def test_params_null_value_deletes_key(tmp_path):
     svc.update_session(s["id"], {"params": None})
     svc.update_session(s["id"], {"params": {"never_set": None}})
     assert svc.get_session(s["id"])["params"]["a"] == 1
+
+
+class TestSwapHealRace:
+    def test_repack_survives_concurrent_is_packed_hammer(self, tmp_path):
+        """is_packed's crash-heal used to race pack_index's rename-aside
+        swap: a heal between the two renames restored packed.old into
+        packed/, making os.replace(out, final) fail ENOTEMPTY. The swap
+        lock (+ bounded retry) must let repacks succeed while readers
+        hammer is_packed from another thread."""
+        import threading
+
+        store = _pack(tmp_path, "race")
+        stop = threading.Event()
+        heals_alive = []
+
+        def hammer():
+            while not stop.is_set():
+                heals_alive.append(is_packed(tmp_path))
+
+        t = threading.Thread(target=hammer)
+        t.start()
+        try:
+            for _ in range(30):
+                pack_index(
+                    tmp_path, store, list(store.leaf_ids), np.ones(4, bool)
+                )
+        finally:
+            stop.set()
+            t.join()
+        # every probe during the repacks saw a valid pack (old or new)
+        assert all(heals_alive)
+        assert is_packed(tmp_path)
+        reader = PackedHierarchyStore(tmp_path)
+        assert reader.get("race-p").text == "parent race"
+        # no debris from retried swaps
+        assert not (tmp_path / "packed.old").exists()
