@@ -51,10 +51,39 @@ PACKED_DIR = "packed"
 PACK_VERSION = 1
 
 # Serializes pack_index's rename-aside swap against is_packed's crash-heal
-# (which would otherwise rename the old pack back in mid-swap).
+# (which would otherwise rename the old pack back in mid-swap) AND against
+# readers opening the pack's file set (a swap landing mid-open-sequence
+# would hand the reader a mix of old/new files). In-process the threading
+# lock covers the server's executor-vs-request threads; cross-process
+# (CLI rebuild vs running server on one module dir) an advisory flock on
+# ``packed.lock`` in the module dir extends the same exclusion.
+import contextlib
 import threading
 
 _SWAP_LOCK = threading.Lock()
+
+
+@contextlib.contextmanager
+def _swap_guard(path: str | Path):
+    import os
+
+    with _SWAP_LOCK:
+        lockfile = Path(path) / (PACKED_DIR + ".lock")
+        try:
+            fd = os.open(lockfile, os.O_CREAT | os.O_RDWR, 0o644)
+        except OSError:
+            yield  # unwritable dir (read-only mount): in-process lock only
+            return
+        try:
+            try:
+                import fcntl
+
+                fcntl.flock(fd, fcntl.LOCK_EX)
+            except ImportError:  # non-POSIX: in-process lock only
+                pass
+            yield
+        finally:
+            os.close(fd)  # releases the flock
 
 # VectorIndex.save switches to the packed format at this node count —
 # big enough that every session/project scope index stays JSONL-mutable,
@@ -200,7 +229,7 @@ def pack_index(
     # dir. The lock serializes them in-process (server: reindex executor
     # thread vs request threads); the retry covers a heal from ANOTHER
     # process between our renames.
-    with _SWAP_LOCK:
+    with _swap_guard(path):
         if old.exists():
             shutil.rmtree(old)  # stale leftover from a crash after a prior swap
         for attempt in range(3):
@@ -210,11 +239,15 @@ def pack_index(
                 os.replace(out, final)  # atomic finish: manifest presence = valid
                 break
             except OSError:
+                # belt-and-braces: the guard excludes concurrent heals, so
+                # this only fires on exotic filesystems — re-aside and retry
                 if attempt == 2:
                     raise
-                continue  # a concurrent heal renamed old back in — re-aside it
-        if old.exists():
-            shutil.rmtree(old)
+                continue
+    # packed/ now exists, so no heal can touch packed.old — the (possibly
+    # multi-GB) cleanup needs no lock and must not block readers.
+    if old.exists():
+        shutil.rmtree(old, ignore_errors=True)
 
 
 def is_packed(path: str | Path) -> bool:
@@ -228,15 +261,20 @@ def is_packed(path: str | Path) -> bool:
     if (p / "manifest.json").exists():
         return True
     old = Path(path) / (PACKED_DIR + ".old")
-    with _SWAP_LOCK:  # never heal while pack_index is mid-swap (see there)
+    with _swap_guard(path):  # never heal while pack_index is mid-swap
         if (old / "manifest.json").exists() and not p.exists():
             import os
 
             try:
                 os.replace(old, p)
             except OSError:
-                return False
-            return True
+                pass  # lost a cross-FS race — the re-check below decides
+            else:
+                return True
+    # A swap may have completed while we waited on the guard (or the heal
+    # lost a race): the manifest, not the failed branch, is the answer —
+    # returning False for a healthy pack would misroute the caller to the
+    # deleted JSONL path and surface a spurious CorruptIndexError.
     return (p / "manifest.json").exists()
 
 
@@ -246,6 +284,16 @@ class PackedHierarchyStore:
     def __init__(self, path: str | Path):
         p = Path(path) / PACKED_DIR
         self._path = p
+        # The open sequence below touches ~15 files; a repack swapping the
+        # pack aside mid-sequence would hand this reader a mix of old/new
+        # files (or a FileNotFoundError). The guard makes open atomic vs
+        # swaps; once the mmaps are open, POSIX keeps the data alive even
+        # if the files are later renamed/unlinked by a repack (tested:
+        # old-mmap reader survives repack).
+        with _swap_guard(path):
+            self._open(p)
+
+    def _open(self, p: Path) -> None:
         self.manifest = json.loads((p / "manifest.json").read_text())
         self._ids = _Blob(p, "ids")
         self._texts = _Blob(p, "texts")

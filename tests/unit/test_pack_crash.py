@@ -252,3 +252,34 @@ class TestSwapHealRace:
         assert reader.get("race-p").text == "parent race"
         # no debris from retried swaps
         assert not (tmp_path / "packed.old").exists()
+
+    def test_reader_load_survives_concurrent_repacks(self, tmp_path):
+        """Opening a PackedHierarchyStore touches ~15 files; the swap guard
+        must keep a repack from renaming the pack aside mid-open-sequence
+        (mixed old/new files or FileNotFoundError)."""
+        import threading
+
+        store = _pack(tmp_path, "load")
+        stop = threading.Event()
+        errors = []
+
+        def load_loop():
+            while not stop.is_set():
+                try:
+                    r = PackedHierarchyStore(tmp_path)
+                    assert r.get("load-p").text == "parent load"
+                except Exception as e:  # noqa: BLE001 — the test's assertion
+                    errors.append(repr(e))
+                    return
+
+        t = threading.Thread(target=load_loop)
+        t.start()
+        try:
+            for _ in range(30):
+                pack_index(
+                    tmp_path, store, list(store.leaf_ids), np.ones(4, bool)
+                )
+        finally:
+            stop.set()
+            t.join()
+        assert not errors, errors[:3]
