@@ -104,8 +104,13 @@ def load_engine_for_modules(
     for p in extra_index_paths or []:
         p = Path(p)
         if VectorIndex.is_valid(p):
+            # Key by scope dir + leaf ("{session_id}/index"): every scope
+            # index dir is named plain "index", so keying by p.name alone
+            # made a session's documents silently vanish whenever its
+            # project also had documents (dict overwrite).
+            name = f"{p.parent.name}/{p.name}"
             try:
-                indexes[p.name] = VectorIndex.load(p)
+                indexes[name] = VectorIndex.load(p)
             except Exception as e:
                 logger.error("document index %s unreadable, skipping: %s", p, e)
 

@@ -40,7 +40,23 @@ class ServiceContainer:
         from tensortruth_tpu.app.config import load_config
 
         self.config = load_config()
+        self.rebind_config()
         return self.config
+
+    def rebind_config(self) -> None:
+        """Point already-built singletons at the current config object.
+
+        Services capture ``config`` at construction; after a PATCH
+        /api/config only the container's reference changed, so new sessions
+        kept getting the OLD defaults (session_service) and engine hashing
+        used stale model defaults (rag_service) until process restart."""
+        for svc in (
+            self._rag_service, self._session_service, self._tool_service,
+        ):
+            if svc is not None:
+                svc.config = self.config
+        if self._rag_service is not None:
+            self._rag_service.chat_history_service.config = self.config
 
     def save_config(self):
         from tensortruth_tpu.app.config import save_config
@@ -147,13 +163,24 @@ class ServiceContainer:
     # -- MCP tools (lazy connect, cached until config change) ------------------
 
     _mcp_tools_cache: tuple | None = None
+    _mcp_load_lock = None  # asyncio.Lock, created lazily in a running loop
 
     async def get_mcp_tools(self) -> dict:
-        """name→ToolSpec from enabled MCP servers (agents/mcp_client.py)."""
-        if self._mcp_tools_cache is None:
-            from tensortruth_tpu.agents.mcp_client import load_mcp_tools
+        """name→ToolSpec from enabled MCP servers (agents/mcp_client.py).
 
-            self._mcp_tools_cache = await load_mcp_tools(self.mcp_service)
+        Single-flighted: two cold WS chats racing here would BOTH connect
+        every server (spawned stdio subprocesses / SSE sockets), and the
+        loser's clients would be orphaned for the life of the process."""
+        if self._mcp_tools_cache is None:
+            import asyncio
+
+            if self._mcp_load_lock is None:
+                self._mcp_load_lock = asyncio.Lock()
+            async with self._mcp_load_lock:
+                if self._mcp_tools_cache is None:
+                    from tensortruth_tpu.agents.mcp_client import load_mcp_tools
+
+                    self._mcp_tools_cache = await load_mcp_tools(self.mcp_service)
         return self._mcp_tools_cache[0]
 
     def mcp_connection_status(self) -> dict:

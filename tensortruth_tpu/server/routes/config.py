@@ -29,6 +29,7 @@ async def patch_config(request: web.Request):
 
     merged = merge(current, patch)
     services.config = TensorTruthTPUConfig.from_dict(merged)
+    services.rebind_config()  # already-built singletons hold their own ref
     save_config(services.config)
     if "providers" in patch:
         # get_instance no longer rebuilds on every call — a provider change

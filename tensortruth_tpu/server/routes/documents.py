@@ -74,8 +74,13 @@ async def list_documents(request: web.Request):
 
 async def delete_document(request: web.Request):
     services = request.app["services"]
-    removed = services.document_service.remove_document(
-        _scope_dir(request), request.match_info["doc_id"]
+    # executor like every other heavy handler here: a tombstone delete can
+    # trigger a compaction (re-save of the full matrix) — not event-loop work
+    removed = await asyncio.get_running_loop().run_in_executor(
+        None,
+        services.document_service.remove_document,
+        _scope_dir(request),
+        request.match_info["doc_id"],
     )
     if removed == 0:
         raise web.HTTPNotFound(reason="document not found")

@@ -23,9 +23,23 @@ async def list_sessions(request):
 
 async def create_session(request):
     body = await parse_body(request, SessionCreate)
+    params = dict(body.params or {})
+    modules = body.modules
+    if body.project_id:
+        # Inherit project params/modules at creation exactly like the
+        # project-sessions route: create_session pre-fills EVERY config
+        # default into the session, so a later query-time merge of project
+        # params would always lose to those defaults (silent no-op).
+        services = request.app["services"]
+        if services.project_service.get_project(body.project_id) is None:
+            raise web.HTTPNotFound(reason="project not found")
+        ctx = services.project_service.session_context(body.project_id)
+        params = {**ctx["params"], **params}
+        if modules is None:
+            modules = ctx["modules"]
     session = _svc(request).create_session(
-        modules=body.modules,
-        params=body.params,
+        modules=modules,
+        params=params,
         title=body.title,
         project_id=body.project_id,
     )

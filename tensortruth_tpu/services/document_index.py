@@ -45,12 +45,27 @@ class DocumentIndexBuilder:
         conversion_method: str = "builtin",
     ):
         self.index_dir = Path(index_dir)
-        self.embedder = embedder
+        # Accept a ready embedder OR a zero-arg factory. The factory stays
+        # uncalled until an operation actually needs the model (chunking
+        # wants its tokenizer, indexing its encode) — so delete/list on a
+        # cold server never pays the 568M-param model load.
+        if callable(embedder) and not hasattr(embedder, "encode"):
+            self._embedder_factory = embedder
+            self._embedder = None
+        else:
+            self._embedder_factory = None
+            self._embedder = embedder
         self.chunk_sizes = chunk_sizes or list(DEFAULT_SCOPE_CHUNK_SIZES)
         # Overlap must stay below the smallest level size (chunker invariant).
         self.chunk_overlap = min(chunk_overlap, max(1, min(self.chunk_sizes) // 4))
         self.conversion_method = conversion_method
         self._index: VectorIndex | None = None
+
+    @property
+    def embedder(self):
+        if self._embedder is None and self._embedder_factory is not None:
+            self._embedder = self._embedder_factory()
+        return self._embedder
 
     # -- staleness (reference document_index.py:583-622) ----------------------
 

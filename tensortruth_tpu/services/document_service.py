@@ -43,9 +43,11 @@ class DocumentService:
         self.chunk_overlap = chunk_overlap
 
     def _builder(self, scope_dir: Path) -> DocumentIndexBuilder:
+        # Pass the FACTORY: the builder loads the model lazily, so pure
+        # bookkeeping ops (delete/list) on a cold server skip the 568M load.
         return DocumentIndexBuilder(
             Path(scope_dir) / "index",
-            self._embedder_factory(),
+            self._embedder_factory,
             chunk_sizes=self.chunk_sizes,
             chunk_overlap=self.chunk_overlap,
         )
@@ -58,9 +60,13 @@ class DocumentService:
         scope_dir = Path(scope_dir)
         doc_id = make_doc_id(filename, data)
         (scope_dir / "pdfs").mkdir(parents=True, exist_ok=True)
-        (scope_dir / "pdfs" / f"{doc_id}.pdf").write_bytes(data)
+        pdf_path = scope_dir / "pdfs" / f"{doc_id}.pdf"
+        pdf_path.write_bytes(data)
         text = post_process_markdown(pdf_to_text(data))
         if not text.strip():
+            # nothing was indexed, so delete-document 404s for this id —
+            # keeping the file would orphan it with no API path to remove
+            pdf_path.unlink(missing_ok=True)
             return {
                 "doc_id": doc_id,
                 "status": "failed",
@@ -173,8 +179,31 @@ class DocumentService:
                 p.unlink()
         return removed
 
+    def _stored_metadata(self, scope_dir: Path) -> dict[str, dict]:
+        """Per-document metadata harvested from the EXISTING index nodes.
+
+        filename/source_url/arxiv_id live only in node metadata (written at
+        ingest by ``_index_text``); a rebuild that reads just the markdown
+        bodies would erase them permanently — blank names in the documents
+        panel, dead source links."""
+        from tensortruth_tpu.index.nodes import HierarchyStore
+        from tensortruth_tpu.index.store import HIER_FILE
+
+        hier = Path(scope_dir) / "index" / HIER_FILE
+        if not hier.exists():
+            return {}
+        meta: dict[str, dict] = {}
+        for n in HierarchyStore.load(hier).nodes():
+            if n.doc_id not in meta and n.metadata:
+                # doc_type is re-stamped by the chunker on rebuild
+                meta[n.doc_id] = {
+                    k: v for k, v in n.metadata.items() if k != "doc_type"
+                }
+        return meta
+
     def reindex(self, scope_dir: str | Path) -> int:
-        """Full rebuild from stored markdown (reference reindex endpoint)."""
+        """Full rebuild from stored markdown (reference reindex endpoint),
+        carrying each document's ingest metadata forward."""
         scope_dir = Path(scope_dir)
         md_dir = scope_dir / "markdown"
         docs = {
@@ -183,8 +212,9 @@ class DocumentService:
         } if md_dir.exists() else {}
         if not docs:
             return 0
+        metadata = self._stored_metadata(scope_dir)
         builder = self._builder(scope_dir)
-        builder.build_index(docs)
+        builder.build_index(docs, metadata)
         return len(docs)
 
     def index_path(self, scope_dir: str | Path) -> Path:

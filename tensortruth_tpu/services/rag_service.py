@@ -191,30 +191,31 @@ class RAGService:
                 modules, params, extra_index_paths=extra_index_paths,
                 config=self.config, **kw,
             )
-        with self._lock:
-            self._build_locks.pop(h, None)
-            existing = self._engines.get(h)
-            if existing is not None:
-                self._engines.move_to_end(h)
-                self._engine, self._engine_hash = existing, h
-                return existing
-            # A model swap means ModelManager just released the OLD models'
-            # HBM — cached engines still pinning those params would keep
-            # both models + both corpora resident (OOM near the capacity
-            # tier). Drop every cached engine built on different models.
-            new_key = self._model_key(engine)
-            for k in [
-                k for k, e in self._engines.items()
-                if not self._models_compatible(self._model_key(e), new_key)
-            ]:
-                self._engines.pop(k).retriever.clear_cache()
-            self._engines[h] = engine
-            while len(self._engines) > self._max_cached_engines:
-                _, evicted = self._engines.popitem(last=False)
-                if evicted is not self._engine:
-                    evicted.retriever.clear_cache()
-            self._engine, self._engine_hash = engine, h
-            return engine
+            # Publish BEFORE releasing build_lock: a waiter blocked on the
+            # build lock wakes the instant it is released, and if the cache
+            # insert lived in a separate critical section the waiter's
+            # re-check could land in between — re-running the GB-scale load
+            # the single-flight exists to prevent.
+            with self._lock:
+                self._build_locks.pop(h, None)
+                # A model swap means ModelManager just released the OLD
+                # models' HBM — cached engines still pinning those params
+                # would keep both models + both corpora resident (OOM near
+                # the capacity tier). Drop every cached engine built on
+                # different models.
+                new_key = self._model_key(engine)
+                for k in [
+                    k for k, e in self._engines.items()
+                    if not self._models_compatible(self._model_key(e), new_key)
+                ]:
+                    self._engines.pop(k).retriever.clear_cache()
+                self._engines[h] = engine
+                while len(self._engines) > self._max_cached_engines:
+                    _, evicted = self._engines.popitem(last=False)
+                    if evicted is not self._engine:
+                        evicted.retriever.clear_cache()
+                self._engine, self._engine_hash = engine, h
+                return engine
 
     def unload(self) -> None:
         """Detach the current engine. Cached engines stay resident (another
