@@ -84,6 +84,45 @@ async def test_project_lifecycle_and_session_inheritance(client):
     assert r.status == 200
 
 
+async def test_create_session_with_project_id_inherits_at_creation(client):
+    """POST /api/sessions with project_id must inherit project params/modules
+    exactly like the project-sessions route — create_session pre-fills every
+    config default, so a query-time merge would always lose (snapshot fix)."""
+    r = await client.post(
+        "/api/projects",
+        json={"name": "P2", "modules": ["jax"], "params": {"temperature": 0.31}},
+    )
+    pid = (await r.json())["id"]
+
+    r = await client.post("/api/sessions", json={"project_id": pid})
+    session = await r.json()
+    assert r.status == 200
+    assert session["project_id"] == pid
+    assert session["params"]["temperature"] == 0.31  # inherited, not default
+    assert session["modules"] == ["jax"]  # project modules adopted
+
+    # explicit caller values still win over the project's
+    r = await client.post(
+        "/api/sessions",
+        json={"project_id": pid, "modules": ["numpy"], "params": {"temperature": 0.9}},
+    )
+    s2 = await r.json()
+    assert s2["params"]["temperature"] == 0.9
+    assert s2["modules"] == ["numpy"]
+
+    r = await client.post("/api/sessions", json={"project_id": "nope"})
+    assert r.status == 404
+
+
+async def test_config_patch_rebinds_session_defaults(client):
+    """PATCH /api/config must affect sessions created afterwards — services
+    capture config at construction, so the route rebinds them (snapshot fix)."""
+    r = await client.patch("/api/config", json={"llm": {"default_temperature": 0.66}})
+    assert r.status == 200
+    r = await client.post("/api/sessions", json={})
+    assert (await r.json())["params"]["temperature"] == 0.66
+
+
 async def test_config_roundtrip(client):
     r = await client.get("/api/config")
     cfg = await r.json()
