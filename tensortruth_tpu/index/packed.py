@@ -57,23 +57,39 @@ PACK_VERSION = 1
 # lock covers the server's executor-vs-request threads; cross-process
 # (CLI rebuild vs running server on one module dir) an advisory flock on
 # ``packed.lock`` in the module dir extends the same exclusion.
+# VectorIndex.save/load reuse the same guard for the flat-matrix rename
+# phase, so the guard is REENTRANT per (thread, path): load → is_packed →
+# PackedHierarchyStore nest on one module dir without self-deadlock.
 import contextlib
 import threading
 
-_SWAP_LOCK = threading.Lock()
+_SWAP_LOCK = threading.RLock()
+_GUARD_DEPTH = threading.local()
 
 
 @contextlib.contextmanager
 def _swap_guard(path: str | Path):
     import os
 
+    key = os.path.realpath(os.fspath(path))
     with _SWAP_LOCK:
+        depths = getattr(_GUARD_DEPTH, "d", None)
+        if depths is None:
+            depths = _GUARD_DEPTH.d = {}
+        if depths.get(key, 0):
+            depths[key] += 1  # nested on the same dir: flock already held
+            try:
+                yield
+            finally:
+                depths[key] -= 1
+            return
         lockfile = Path(path) / (PACKED_DIR + ".lock")
         try:
             fd = os.open(lockfile, os.O_CREAT | os.O_RDWR, 0o644)
         except OSError:
             yield  # unwritable dir (read-only mount): in-process lock only
             return
+        depths[key] = 1
         try:
             try:
                 import fcntl
@@ -83,6 +99,7 @@ def _swap_guard(path: str | Path):
                 pass
             yield
         finally:
+            depths[key] = 0
             os.close(fd)  # releases the flock
 
 # VectorIndex.save switches to the packed format at this node count —
@@ -129,31 +146,90 @@ class _Blob:
         return self.raw(i).decode("utf-8")
 
 
+def stage_pack(path: str | Path, store: HierarchyStore, row_ids, alive):
+    """Stage the packed artifacts; return ``(commit, cleanup, abort)``.
+
+    Crash-atomic also when a ``packed/`` dir already exists: everything is
+    written into a per-call ``packed.tmp-<pid>-*/`` staging dir (concurrent
+    packers never clobber each other); ``commit()`` renames the old pack
+    aside to ``packed.old/`` (atomic) and the new pack in (atomic) under
+    the swap guard — reentrant, so a caller already holding the guard can
+    batch it with other renames; ``cleanup()`` deletes ``packed.old``
+    (call it OUTSIDE any guard — possibly multi-GB); ``abort()`` drops the
+    staging dir if the caller fails before committing. Every crash window
+    leaves either the old pack intact, the old pack recoverable from
+    ``packed.old`` (``is_packed`` renames it back), or the new pack
+    complete — never a valid-looking manifest over torn blobs."""
+    import os
+    import shutil
+    import tempfile
+
+    final = Path(path) / PACKED_DIR
+    old = Path(path) / (PACKED_DIR + ".old")
+    # Each packer stages into its OWN tmp dir (concurrent packers on one
+    # module dir — CLI rebuild racing a server reindex — must not clobber
+    # each other's half-written staging trees). Names carry the writer's
+    # PID so leftovers from crashed processes are swept here; a live
+    # process's staging dir is never touched.
+    tmp_prefix = PACKED_DIR + ".tmp"
+    for stale in Path(path).glob(tmp_prefix + "-*"):
+        try:
+            pid = int(stale.name[len(tmp_prefix) + 1 :].split("-", 1)[0])
+            os.kill(pid, 0)
+        except (ValueError, IndexError, PermissionError):
+            continue  # unparseable or alive-but-other-user: leave it
+        except ProcessLookupError:
+            shutil.rmtree(stale, ignore_errors=True)
+    legacy = Path(path) / tmp_prefix  # pre-unique-name crash leftover
+    if legacy.exists():
+        shutil.rmtree(legacy, ignore_errors=True)
+    out = Path(
+        tempfile.mkdtemp(prefix=f"{tmp_prefix}-{os.getpid()}-", dir=path)
+    )
+    try:
+        _write_pack(out, store, row_ids, alive)
+    except BaseException:
+        shutil.rmtree(out, ignore_errors=True)
+        raise
+
+    def commit() -> None:
+        try:
+            _swap_pack_in(path, out, final, old)
+        except BaseException:
+            shutil.rmtree(out, ignore_errors=True)
+            raise
+
+    def cleanup() -> None:
+        # packed/ now exists, so no heal can touch packed.old — the
+        # (possibly multi-GB) cleanup needs no lock and must not block
+        # readers: call AFTER releasing any outer guard.
+        if old.exists():
+            shutil.rmtree(old, ignore_errors=True)
+
+    def abort() -> None:
+        shutil.rmtree(out, ignore_errors=True)
+
+    return commit, cleanup, abort
+
+
 def pack_index(
     path: str | Path,
     store: HierarchyStore,
     row_ids: list[str],
     alive: np.ndarray,
 ) -> None:
-    """Write the packed artifacts for an in-memory hierarchy + row map.
+    """Stage + swap in one call — see ``stage_pack`` for the split form
+    (VectorIndex.save commits the pack and the matrix under ONE guard so
+    readers never see a mixed-generation file set)."""
+    commit, cleanup, _abort = stage_pack(path, store, row_ids, alive)
+    commit()
+    cleanup()
 
-    Crash-atomic also when a ``packed/`` dir already exists: everything is
-    written into ``packed.tmp/``, the old pack is renamed aside to
-    ``packed.old/`` (atomic), the new pack renamed in (atomic), then the
-    old one deleted. Every crash window leaves either the old pack intact,
-    the old pack recoverable from ``packed.old`` (``is_packed`` renames it
-    back), or the new pack complete — never a valid-looking manifest over
-    torn blobs."""
-    import os
-    import shutil
 
-    final = Path(path) / PACKED_DIR
-    out = Path(path) / (PACKED_DIR + ".tmp")
-    old = Path(path) / (PACKED_DIR + ".old")
-    if out.exists():
-        shutil.rmtree(out)
-    out.mkdir(parents=True)
-
+def _write_pack(
+    out: Path, store: HierarchyStore, row_ids: list[str], alive: np.ndarray
+) -> None:
+    """Write every packed artifact (incl. the manifest, last) into ``out``."""
     nodes = list(store.nodes())
     n = len(nodes)
     idx_of = {nd.node_id: i for i, nd in enumerate(nodes)}
@@ -223,31 +299,45 @@ def pack_index(
         "modules": mod_vocab,
     }
     (out / "manifest.json").write_text(json.dumps(manifest))
-    # The swap and is_packed's crash-heal (which renames packed.old BACK to
-    # packed/) race each other: a reader healing between the two renames
-    # below would make os.replace(out, final) hit a repopulated non-empty
-    # dir. The lock serializes them in-process (server: reindex executor
-    # thread vs request threads); the retry covers a heal from ANOTHER
-    # process between our renames.
+
+
+def _swap_pack_in(path: str | Path, out: Path, final: Path, old: Path) -> None:
+    """Atomically swap the staged pack ``out`` into place as ``final``.
+
+    The swap and is_packed's crash-heal (which renames packed.old BACK to
+    packed/) race each other: a reader healing between the two renames
+    below would make os.replace(out, final) hit a repopulated non-empty
+    dir. The lock serializes them in-process (server: reindex executor
+    thread vs request threads); the retry covers a heal from ANOTHER
+    process between our renames.
+    """
+    import os
+    import shutil
+
     with _swap_guard(path):
-        if old.exists():
-            shutil.rmtree(old)  # stale leftover from a crash after a prior swap
         for attempt in range(3):
-            if final.exists():
-                os.replace(final, old)  # atomic: old pack stays whole while aside
             try:
-                os.replace(out, final)  # atomic finish: manifest presence = valid
+                if final.exists():
+                    if old.exists():
+                        # Stale leftover, or a racing pack's post-guard
+                        # cleanup mid-delete (that cleanup runs OUTSIDE the
+                        # guard, see below) — tolerate entries vanishing
+                        # under the walk. Only cleared when ``final`` holds
+                        # a live pack: if ``old`` is the ONLY pack (crash
+                        # leftover) it stays heal-able until the new pack
+                        # lands.
+                        shutil.rmtree(old, ignore_errors=True)
+                    os.replace(final, old)  # atomic: old pack stays whole aside
+                os.replace(out, final)  # atomic finish: manifest = valid
                 break
             except OSError:
-                # belt-and-braces: the guard excludes concurrent heals, so
-                # this only fires on exotic filesystems — re-aside and retry
+                # ENOTEMPTY from a not-fully-cleared ``old``, or a heal from
+                # an exotic filesystem between our renames — re-clear, retry.
+                # A retry after final→old already succeeded skips the aside
+                # (final is gone) and just re-attempts the finish.
                 if attempt == 2:
                     raise
                 continue
-    # packed/ now exists, so no heal can touch packed.old — the (possibly
-    # multi-GB) cleanup needs no lock and must not block readers.
-    if old.exists():
-        shutil.rmtree(old, ignore_errors=True)
 
 
 def is_packed(path: str | Path) -> bool:

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import datetime
 import json
+import os
 from pathlib import Path
 
 import numpy as np
@@ -43,36 +44,99 @@ HIER_FILE = "hierarchy.jsonl"
 SHARD_ROWS = 250_000
 
 
-def _save_matrix(path: Path, emb: np.ndarray) -> None:
-    for old in path.glob("embeddings.shard*.npy"):
-        old.unlink()
-    if emb.shape[0] <= SHARD_ROWS:
-        np.save(path / EMB_FILE, emb)
-        manifest = path / EMB_MANIFEST
-        if manifest.exists():
-            manifest.unlink()
-        return
-    n_shards = -(-emb.shape[0] // SHARD_ROWS)
-    shards = []
-    for i in range(n_shards):
-        rows = emb[i * SHARD_ROWS : (i + 1) * SHARD_ROWS]
-        fname = f"embeddings.shard{i:04d}.npy"
-        np.save(path / fname, rows)
-        shards.append({"file": fname, "rows": int(rows.shape[0])})
-    (path / EMB_MANIFEST).write_text(
-        json.dumps(
-            {
-                "n_rows": int(emb.shape[0]),
-                "dim": int(emb.shape[1]),
-                "dtype": str(emb.dtype),
-                "shard_rows": SHARD_ROWS,
-                "shards": shards,
-            }
-        )
-    )
-    legacy = path / EMB_FILE
-    if legacy.exists():
-        legacy.unlink()
+def _stage_matrix(path: Path, emb: np.ndarray):
+    """Stage the matrix files; return ``(commit, abort)``.
+
+    ``np.save`` over an existing file truncates before writing, so a
+    concurrent load (CLI rebuild racing a running server on one module
+    dir) would mmap a torn file — everything is staged under PID-tagged
+    tmp names here, and ``commit()`` swaps them in with ``os.replace``
+    under the module's swap guard (the same — reentrant — flock the packed
+    hierarchy uses), which the load path also holds while opening the file
+    set. ``abort()`` unlinks the staged tmps if the caller fails before
+    committing. Stale tmp files from crashed savers are swept when their
+    PID is gone.
+    """
+    import os
+
+    from tensortruth_tpu.index.packed import _swap_guard
+
+    for stale in path.glob("embeddings*.tmp-*"):
+        try:
+            pid = int(stale.name.rsplit(".tmp-", 1)[1])
+            os.kill(pid, 0)
+        except (ValueError, IndexError, PermissionError):
+            continue  # unparseable or alive-but-other-user: leave it
+        except ProcessLookupError:
+            stale.unlink(missing_ok=True)
+
+    def _write_npy(tmp: Path, arr: np.ndarray) -> None:
+        with open(tmp, "wb") as f:  # explicit handle: tmp has no .npy suffix
+            np.save(f, arr)
+
+    renames, shards = [], []
+
+    def abort() -> None:
+        for tmp, _dst in renames:
+            tmp.unlink(missing_ok=True)
+
+    def stage(fname: str, write) -> None:
+        tmp = path / f"{fname}.tmp-{os.getpid()}"
+        renames.append((tmp, path / fname))  # pre-append: abort() unlinks
+        # a half-written tmp too when write() itself fails
+        write(tmp)
+
+    try:
+        if emb.shape[0] <= SHARD_ROWS:
+            stage(EMB_FILE, lambda t: _write_npy(t, emb))
+            keep: set[str] = set()
+            single = True
+        else:
+            single = False
+            n_shards = -(-emb.shape[0] // SHARD_ROWS)
+            for i in range(n_shards):
+                rows = emb[i * SHARD_ROWS : (i + 1) * SHARD_ROWS]
+                fname = f"embeddings.shard{i:04d}.npy"
+                stage(fname, lambda t, r=rows: _write_npy(t, r))
+                shards.append({"file": fname, "rows": int(rows.shape[0])})
+            stage(
+                EMB_MANIFEST,
+                lambda t: t.write_text(
+                    json.dumps(
+                        {
+                            "n_rows": int(emb.shape[0]),
+                            "dim": int(emb.shape[1]),
+                            "dtype": str(emb.dtype),
+                            "shard_rows": SHARD_ROWS,
+                            "shards": shards,
+                        }
+                    )
+                ),
+            )
+            keep = {s["file"] for s in shards}
+    except BaseException:
+        abort()
+        raise
+
+    def commit() -> None:
+        with _swap_guard(path):
+            # shards land before the manifest that lists them; extinct
+            # shard files and the other form's files go last
+            for tmp, dst in renames:
+                os.replace(tmp, dst)
+            for old in path.glob("embeddings.shard*.npy"):
+                if old.name not in keep:
+                    old.unlink()
+            if single:
+                manifest = path / EMB_MANIFEST
+                if manifest.exists():
+                    manifest.unlink()
+            else:
+                legacy = path / EMB_FILE
+                if legacy.exists():
+                    legacy.unlink()
+
+    return commit, abort
 
 
 class CorruptIndexError(RuntimeError):
@@ -361,50 +425,84 @@ class VectorIndex:
         """Persist. Large hierarchies (≥ PACK_THRESHOLD nodes, or
         ``packed=True``) switch to the mmap-backed packed format
         (index/packed.py) — O(1) loads and flat host RSS at the 10M-chunk
-        tier; small/mutable scopes stay on JSONL."""
-        from tensortruth_tpu.index.packed import PACK_THRESHOLD, pack_index
+        tier; small/mutable scopes stay on JSONL.
+
+        Two-phase vs readers: ALL artifacts (matrix, pack or JSONL
+        hierarchy, metadata) are staged first without any lock, then
+        renamed into place in ONE swap-guarded window — a concurrent
+        ``load`` (which opens under the same guard) sees either the whole
+        old generation or the whole new one, never a mix."""
+        from tensortruth_tpu.index.packed import (
+            PACK_THRESHOLD,
+            _swap_guard,
+            stage_pack,
+        )
 
         path = Path(path)
         path.mkdir(parents=True, exist_ok=True)
-        _save_matrix(path, self._emb)
+        commit_matrix, abort_matrix = _stage_matrix(path, self._emb)
         use_packed = packed if packed is not None else len(self.store) >= PACK_THRESHOLD
+        mtmp = path / (METADATA_FILE + f".tmp-{os.getpid()}")
+        mtmp.write_text(json.dumps(self.metadata, indent=2))
         if use_packed:
-            pack_index(path, self.store, self._row_ids, self._alive)
-            for stale in (path / ROWS_FILE, path / HIER_FILE):
-                if stale.exists():
-                    stale.unlink()
+            try:
+                commit_pack, cleanup_pack, abort_pack = stage_pack(
+                    path, self.store, self._row_ids, self._alive
+                )
+            except BaseException:
+                abort_matrix()
+                mtmp.unlink(missing_ok=True)
+                raise
+            try:
+                with _swap_guard(path):
+                    commit_matrix()
+                    commit_pack()
+                    for stale in (path / ROWS_FILE, path / HIER_FILE):
+                        if stale.exists():
+                            stale.unlink()
+                    mtmp.replace(path / METADATA_FILE)
+            except BaseException:
+                abort_pack()
+                raise
+            cleanup_pack()  # multi-GB packed.old rmtree: outside the guard
         else:
-            tmp = path / (ROWS_FILE + ".tmp")  # atomic (reference file_utils.py:10)
-            tmp.write_text(
+            rtmp = path / (ROWS_FILE + f".tmp-{os.getpid()}")
+            rtmp.write_text(
                 json.dumps(
                     {"row_ids": self._row_ids, "alive": self._alive.astype(int).tolist()}
                 )
             )
-            tmp.replace(path / ROWS_FILE)
-            self.store.save(path / HIER_FILE)
-        mtmp = path / (METADATA_FILE + ".tmp")
-        mtmp.write_text(json.dumps(self.metadata, indent=2))
-        mtmp.replace(path / METADATA_FILE)
+            with _swap_guard(path):
+                commit_matrix()
+                rtmp.replace(path / ROWS_FILE)
+                self.store.save(path / HIER_FILE)  # atomic internally (small)
+                mtmp.replace(path / METADATA_FILE)
 
     @classmethod
     def load(cls, path: str | Path) -> "VectorIndex":
-        from tensortruth_tpu.index.packed import is_packed
+        from tensortruth_tpu.index.packed import _swap_guard, is_packed
 
         path = Path(path)
-        if is_packed(path):
-            return PackedVectorIndex.load_packed(path)
-        if not (path / ROWS_FILE).exists():
-            # Embeddings + metadata present but no hierarchy at all (e.g. a
-            # crash wiped the pack and there never was a JSONL store):
-            # callers must see 'rebuild this index', not a FileNotFoundError.
-            raise CorruptIndexError(
-                f"index at {path} has embeddings but no hierarchy "
-                f"({ROWS_FILE} missing and no valid packed/ dir)"
-            )
-        emb = _load_matrix(path)
-        rows = json.loads((path / ROWS_FILE).read_text())
-        store = HierarchyStore.load(path / HIER_FILE)
-        meta = json.loads((path / METADATA_FILE).read_text())
+        # The whole open sequence runs under the module's swap guard: a
+        # save()'s rename phase (or a pack swap) landing mid-sequence would
+        # otherwise hand this reader a mix of old/new files. Once the
+        # mmaps/file contents are in hand, later replaces are harmless
+        # (POSIX keeps renamed-over data alive for open handles).
+        with _swap_guard(path):
+            if is_packed(path):
+                return PackedVectorIndex.load_packed(path)
+            if not (path / ROWS_FILE).exists():
+                # Embeddings + metadata present but no hierarchy at all (e.g.
+                # a crash wiped the pack and there never was a JSONL store):
+                # callers must see 'rebuild this index', not FileNotFoundError.
+                raise CorruptIndexError(
+                    f"index at {path} has embeddings but no hierarchy "
+                    f"({ROWS_FILE} missing and no valid packed/ dir)"
+                )
+            emb = _load_matrix(path)
+            rows = json.loads((path / ROWS_FILE).read_text())
+            store = HierarchyStore.load(path / HIER_FILE)
+            meta = json.loads((path / METADATA_FILE).read_text())
         return cls(
             emb,
             rows["row_ids"],
@@ -444,7 +542,13 @@ class PackedVectorIndex(VectorIndex):
         self.metadata = metadata or {}
         self._alive = np.asarray(alive, bool)
         self._compact_cache: tuple[np.ndarray, np.ndarray] | None = None
-        assert self._emb.shape[0] == len(self._row_nodes) == len(self._alive)
+        if not (self._emb.shape[0] == len(self._row_nodes) == len(self._alive)):
+            # Mixed-generation artifacts (matrix from one save, pack from
+            # another): a 'rebuild me' signal, not an internal bug.
+            raise CorruptIndexError(
+                f"matrix rows ({self._emb.shape[0]}) disagree with packed "
+                f"row map ({len(self._row_nodes)}) / alive ({len(self._alive)})"
+            )
 
     @classmethod
     def load_packed(cls, path: str | Path) -> "PackedVectorIndex":

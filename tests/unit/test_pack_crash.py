@@ -283,3 +283,154 @@ class TestSwapHealRace:
             stop.set()
             t.join()
         assert not errors, errors[:3]
+
+    def test_concurrent_packers_never_collide_on_cleanup(self, tmp_path):
+        """Two packers on one module dir (CLI rebuild racing a server
+        reindex): packer A's post-guard ``packed.old`` cleanup runs outside
+        the lock, so packer B's in-guard stale-clear can see the tree
+        half-deleted — the clear must tolerate vanishing entries and the
+        aside/finish must retry instead of surfacing ENOTEMPTY."""
+        import threading
+
+        store = _pack(tmp_path, "dual")
+        errors = []
+
+        def pack_loop():
+            try:
+                for _ in range(15):
+                    pack_index(
+                        tmp_path, store, list(store.leaf_ids),
+                        np.ones(4, bool),
+                    )
+            except Exception as e:  # noqa: BLE001 — the test's assertion
+                errors.append(repr(e))
+
+        threads = [threading.Thread(target=pack_loop) for _ in range(2)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors, errors[:3]
+        assert is_packed(tmp_path)
+        assert PackedHierarchyStore(tmp_path).get("dual-p").text == "parent dual"
+
+    def test_retry_preserves_asided_pack_when_finish_fails(
+        self, tmp_path, monkeypatch
+    ):
+        """If final→old succeeded but out→final failed once (exotic fs), the
+        retry must NOT clear the asided old pack — a crash mid-retry then
+        still heals to the previous pack instead of leaving nothing."""
+        import os as os_mod
+
+        import tensortruth_tpu.index.packed as packed_mod
+
+        _pack(tmp_path, "keep")
+        real_replace = os_mod.replace
+        state = {"fails": 0}
+
+        def flaky_replace(src, dst):
+            # fail the FIRST finish (dst == packed/) once, after the aside
+            if str(dst).endswith(packed_mod.PACKED_DIR) and state["fails"] == 0:
+                state["fails"] = 1
+                assert (tmp_path / "packed.old" / "manifest.json").exists()
+                raise OSError("injected transient finish failure")
+            return real_replace(src, dst)
+
+        monkeypatch.setattr(os_mod, "replace", flaky_replace)
+        new = _hierarchy("keep2")
+        pack_index(tmp_path, new, list(new.leaf_ids), np.ones(4, bool))
+        assert is_packed(tmp_path)
+        assert PackedHierarchyStore(tmp_path).get("keep2-p").text == "parent keep2"
+        assert not (tmp_path / "packed.old").exists()
+
+
+class TestMatrixSaveAtomicity:
+    """VectorIndex.save used to np.save over embeddings.npy in place
+    (truncate-then-write): a concurrent load — or a crash — saw a torn
+    matrix. Saves now stage to PID-tagged tmps and rename under the swap
+    guard, which load also holds while opening."""
+
+    @staticmethod
+    def _vi(tag, n=6, dim=8):
+        from tensortruth_tpu.index.store import VectorIndex
+
+        kids = [
+            Node(node_id=f"{tag}-k{i}", text=f"{tag} c{i}", doc_id="d",
+                 module="m", level=0)
+            for i in range(n)
+        ]
+        parent = Node(node_id=f"{tag}-p", text=f"parent {tag}", doc_id="d",
+                      module="m", level=1,
+                      child_ids=[k.node_id for k in kids])
+        rng = np.random.default_rng(1)
+        return VectorIndex.build(
+            [parent] + kids,
+            lambda t: rng.standard_normal((len(t), dim)).astype(np.float32),
+        )
+
+    def test_concurrent_save_load_never_sees_torn_matrix(self, tmp_path):
+        import threading
+
+        from tensortruth_tpu.index.store import VectorIndex
+
+        vi = self._vi("t")
+        vi.save(tmp_path)
+        stop = threading.Event()
+        errors = []
+
+        def load_loop():
+            while not stop.is_set():
+                try:
+                    r = VectorIndex.load(tmp_path)
+                    assert r.matrix()[0].shape[1] == 8
+                except Exception as e:  # noqa: BLE001 — the test's assertion
+                    errors.append(repr(e))
+                    return
+
+        t = threading.Thread(target=load_loop)
+        t.start()
+        try:
+            for _ in range(40):
+                vi.save(tmp_path)
+        finally:
+            stop.set()
+            t.join()
+        assert not errors, errors[:3]
+
+    def test_crash_mid_matrix_stage_keeps_old_matrix(self, tmp_path, monkeypatch):
+        import tensortruth_tpu.index.store as store_mod
+
+        vi = self._vi("keepm")
+        vi.save(tmp_path)
+        before = np.asarray(store_mod.VectorIndex.load(tmp_path).matrix()[0])
+
+        real_save = np.save
+        calls = {"n": 0}
+
+        def flaky_save(f, arr, **kw):
+            calls["n"] += 1
+            raise RuntimeError("injected crash mid-stage")
+
+        monkeypatch.setattr(np, "save", flaky_save)
+        vi2 = self._vi("newm")
+        with pytest.raises(RuntimeError):
+            vi2.save(tmp_path)
+        monkeypatch.setattr(np, "save", real_save)
+        after = np.asarray(store_mod.VectorIndex.load(tmp_path).matrix()[0])
+        np.testing.assert_array_equal(before, after)
+        # staged debris was aborted
+        assert not list(tmp_path.glob("embeddings*.tmp-*"))
+
+    def test_packed_save_commits_matrix_and_pack_in_one_window(self, tmp_path):
+        """After save(packed=True), matrix rows == packed row map length
+        (the single-guard commit), and repeated packed saves over the same
+        dir keep it loadable."""
+        from tensortruth_tpu.index.store import VectorIndex
+
+        vi = self._vi("both")
+        for _ in range(3):
+            vi.save(tmp_path, packed=True)
+        r = VectorIndex.load(tmp_path)
+        assert r.store.get("both-p").text == "parent both"
+        assert not list(tmp_path.glob("packed.tmp-*"))
+        assert not (tmp_path / "packed.old").exists()
