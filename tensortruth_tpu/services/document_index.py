@@ -74,16 +74,26 @@ class DocumentIndexBuilder:
 
     def stored_settings_hash(self) -> str | None:
         p = self.index_dir / SETTINGS_FILE
-        return json.loads(p.read_text())["hash"] if p.exists() else None
+        if not p.exists():
+            return None
+        try:
+            return json.loads(p.read_text())["hash"]
+        except (json.JSONDecodeError, KeyError, TypeError):
+            # torn/garbled marker (crash mid-write predating the atomic
+            # writer): treat as stale so the next build rewrites it, instead
+            # of surfacing a parse error on every staleness probe
+            return "<corrupt>"
 
     def is_stale(self) -> bool:
         stored = self.stored_settings_hash()
         return stored is not None and stored != self.current_settings_hash()
 
     def _write_settings(self) -> None:
+        from tensortruth_tpu.app.file_utils import atomic_write_json
+
         self.index_dir.mkdir(parents=True, exist_ok=True)
-        (self.index_dir / SETTINGS_FILE).write_text(
-            json.dumps({"hash": self.current_settings_hash()})
+        atomic_write_json(
+            self.index_dir / SETTINGS_FILE, {"hash": self.current_settings_hash()}
         )
 
     # -- index access -----------------------------------------------------------

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import hashlib
 import logging
+import os
 import re
 from pathlib import Path
 
@@ -133,7 +134,11 @@ class DocumentService:
     ) -> dict:
         md_dir = scope_dir / "markdown"
         md_dir.mkdir(parents=True, exist_ok=True)
-        (md_dir / f"{doc_id}.md").write_text(text, encoding="utf-8")
+        # tmp + rename: a crash mid-write must not leave a torn .md that a
+        # later settings-change reindex would silently ingest truncated
+        md_tmp = md_dir / f"{doc_id}.md.tmp-{os.getpid()}"
+        md_tmp.write_text(text, encoding="utf-8")
+        md_tmp.replace(md_dir / f"{doc_id}.md")
         meta = {"filename": filename, **(metadata or {})}
         builder = self._builder(scope_dir)
         n = builder.add_documents({doc_id: text}, {doc_id: meta})

@@ -255,3 +255,25 @@ def test_engine_publish_ordering_under_contention(tmp_path, monkeypatch):
         t.join()
     assert len(builds) == 1  # single-flight held through publication
     assert len({id(r) for r in results}) == 1  # everyone got the same engine
+
+
+class TestSettingsHashRobustness:
+    """A torn settings_hash.json (crash mid-write before the atomic writer)
+    must read as stale — not raise on every staleness probe."""
+
+    def test_corrupt_settings_file_reads_as_stale(self, tmp_path):
+        from tensortruth_tpu.services.document_index import DocumentIndexBuilder
+
+        b = DocumentIndexBuilder(tmp_path, embedder=None)
+        (tmp_path / "settings_hash.json").write_text('{"hash": "abc')  # torn
+        assert b.stored_settings_hash() == "<corrupt>"
+        assert b.is_stale()
+
+    def test_write_settings_is_atomic_and_round_trips(self, tmp_path):
+        from tensortruth_tpu.services.document_index import DocumentIndexBuilder
+
+        b = DocumentIndexBuilder(tmp_path, embedder=None)
+        b._write_settings()
+        assert b.stored_settings_hash() == b.current_settings_hash()
+        assert not b.is_stale()
+        assert not list(tmp_path.glob("*.tmp"))
