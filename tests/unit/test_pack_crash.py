@@ -434,3 +434,48 @@ class TestMatrixSaveAtomicity:
         assert r.store.get("both-p").text == "parent both"
         assert not list(tmp_path.glob("packed.tmp-*"))
         assert not (tmp_path / "packed.old").exists()
+
+
+class TestSwapGuardReentrancy:
+    """VectorIndex.save/load hold the swap guard around nested pack
+    operations (load → is_packed → PackedHierarchyStore), so the guard
+    must be reentrant per (thread, path) — and still exclude OTHER
+    threads while held."""
+
+    def test_nested_same_path_does_not_deadlock(self, tmp_path):
+        from tensortruth_tpu.index.packed import _swap_guard
+
+        with _swap_guard(tmp_path):
+            with _swap_guard(tmp_path):
+                with _swap_guard(tmp_path):
+                    pass  # would deadlock on a non-reentrant flock
+
+    def test_nested_distinct_paths_from_one_thread(self, tmp_path):
+        from tensortruth_tpu.index.packed import _swap_guard
+
+        a, b = tmp_path / "a", tmp_path / "b"
+        a.mkdir(), b.mkdir()
+        with _swap_guard(a):
+            with _swap_guard(b):  # different dir: fresh flock, no clash
+                with _swap_guard(a):
+                    pass
+
+    def test_other_thread_still_excluded_while_held(self, tmp_path):
+        import threading
+        import time
+
+        from tensortruth_tpu.index.packed import _swap_guard
+
+        order = []
+
+        def contender():
+            with _swap_guard(tmp_path):
+                order.append("contender")
+
+        with _swap_guard(tmp_path):
+            t = threading.Thread(target=contender)
+            t.start()
+            time.sleep(0.05)
+            order.append("holder")
+        t.join(5)
+        assert order == ["holder", "contender"]
