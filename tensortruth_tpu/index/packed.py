@@ -63,44 +63,76 @@ PACK_VERSION = 1
 import contextlib
 import threading
 
-_SWAP_LOCK = threading.RLock()
-_GUARD_DEPTH = threading.local()
+# One lock PER module dir (keyed by realpath), not one global lock: loads
+# and saves of unrelated modules must not serialize in-process (a server
+# loading 8 modules at startup would otherwise open them one at a time).
+_GUARD_LOCKS: dict[str, threading.RLock] = {}
+_GUARD_LOCKS_MU = threading.Lock()
+_GUARD_STATE = threading.local()
+
+
+def _lock_for(key: str) -> threading.RLock:
+    with _GUARD_LOCKS_MU:
+        lk = _GUARD_LOCKS.get(key)
+        if lk is None:
+            lk = _GUARD_LOCKS[key] = threading.RLock()
+        return lk
 
 
 @contextlib.contextmanager
-def _swap_guard(path: str | Path):
+def _swap_guard(path: str | Path, shared: bool = False):
+    """Guard a module dir's artifact-set against mid-sequence swaps.
+
+    ``shared=True`` (readers) takes ``LOCK_SH`` cross-process so concurrent
+    loaders of one module don't serialize on each other — only against a
+    writer's ``LOCK_EX`` rename window. Nested same-thread calls reuse the
+    outer lock; a nested EXCLUSIVE request under a shared outer (load →
+    ``is_packed`` crash-heal, which renames) upgrades the flock in place —
+    flock(2) may release in the interim, which is safe here because every
+    heal/commit re-checks its preconditions after acquiring.
+    """
     import os
 
     key = os.path.realpath(os.fspath(path))
-    with _SWAP_LOCK:
-        depths = getattr(_GUARD_DEPTH, "d", None)
-        if depths is None:
-            depths = _GUARD_DEPTH.d = {}
-        if depths.get(key, 0):
-            depths[key] += 1  # nested on the same dir: flock already held
+    states = getattr(_GUARD_STATE, "d", None)
+    if states is None:
+        states = _GUARD_STATE.d = {}
+    st = states.get(key)
+    if st is not None:  # nested on the same dir: outer holds lock + flock
+        st["depth"] += 1
+        if not shared and not st["exclusive"] and st["fd"] is not None:
             try:
-                yield
-            finally:
-                depths[key] -= 1
-            return
+                import fcntl
+
+                fcntl.flock(st["fd"], fcntl.LOCK_EX)
+            except ImportError:
+                pass
+            st["exclusive"] = True
+        try:
+            yield
+        finally:
+            st["depth"] -= 1
+        return
+    with _lock_for(key):
         lockfile = Path(path) / (PACKED_DIR + ".lock")
         try:
             fd = os.open(lockfile, os.O_CREAT | os.O_RDWR, 0o644)
         except OSError:
-            yield  # unwritable dir (read-only mount): in-process lock only
-            return
-        depths[key] = 1
+            fd = None  # unwritable dir (read-only mount): in-process only
+        st = states[key] = {"depth": 1, "fd": fd, "exclusive": not shared}
         try:
-            try:
-                import fcntl
+            if fd is not None:
+                try:
+                    import fcntl
 
-                fcntl.flock(fd, fcntl.LOCK_EX)
-            except ImportError:  # non-POSIX: in-process lock only
-                pass
+                    fcntl.flock(fd, fcntl.LOCK_SH if shared else fcntl.LOCK_EX)
+                except ImportError:  # non-POSIX: in-process lock only
+                    pass
             yield
         finally:
-            depths[key] = 0
-            os.close(fd)  # releases the flock
+            states.pop(key, None)
+            if fd is not None:
+                os.close(fd)  # releases the flock
 
 # VectorIndex.save switches to the packed format at this node count —
 # big enough that every session/project scope index stays JSONL-mutable,
@@ -186,6 +218,13 @@ def stage_pack(path: str | Path, store: HierarchyStore, row_ids, alive):
     out = Path(
         tempfile.mkdtemp(prefix=f"{tmp_prefix}-{os.getpid()}-", dir=path)
     )
+    # mkdtemp creates 0700 dirs; after os.replace this becomes the live
+    # packed/ dir, which must stay readable by other users (a CLI rebuild
+    # run as a different account than the serving process). Re-apply the
+    # umask-respecting mode an ordinary mkdir would have used.
+    umask = os.umask(0)
+    os.umask(umask)
+    os.chmod(out, 0o777 & ~umask)
     try:
         _write_pack(out, store, row_ids, alive)
     except BaseException:
@@ -379,8 +418,9 @@ class PackedHierarchyStore:
         # files (or a FileNotFoundError). The guard makes open atomic vs
         # swaps; once the mmaps are open, POSIX keeps the data alive even
         # if the files are later renamed/unlinked by a repack (tested:
-        # old-mmap reader survives repack).
-        with _swap_guard(path):
+        # old-mmap reader survives repack). SHARED: readers only exclude
+        # the writer's rename window, not each other.
+        with _swap_guard(path, shared=True):
             self._open(p)
 
     def _open(self, p: Path) -> None:

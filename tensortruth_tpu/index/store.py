@@ -61,14 +61,16 @@ def _stage_matrix(path: Path, emb: np.ndarray):
 
     from tensortruth_tpu.index.packed import _swap_guard
 
-    for stale in path.glob("embeddings*.tmp-*"):
-        try:
-            pid = int(stale.name.rsplit(".tmp-", 1)[1])
-            os.kill(pid, 0)
-        except (ValueError, IndexError, PermissionError):
-            continue  # unparseable or alive-but-other-user: leave it
-        except ProcessLookupError:
-            stale.unlink(missing_ok=True)
+    sweep = ("embeddings*.tmp-*", f"{ROWS_FILE}.tmp-*", f"{METADATA_FILE}.tmp-*")
+    for pattern in sweep:
+        for stale in path.glob(pattern):
+            try:
+                pid = int(stale.name.rsplit(".tmp-", 1)[1])
+                os.kill(pid, 0)
+            except (ValueError, IndexError, PermissionError):
+                continue  # unparseable or alive-but-other-user: leave it
+            except ProcessLookupError:
+                stale.unlink(missing_ok=True)
 
     def _write_npy(tmp: Path, arr: np.ndarray) -> None:
         with open(tmp, "wb") as f:  # explicit handle: tmp has no .npy suffix
@@ -276,7 +278,15 @@ class VectorIndex:
         metadata: dict | None = None,
         alive: np.ndarray | None = None,
     ):
-        assert emb.ndim == 2 and len(row_ids) == emb.shape[0]
+        if emb.ndim != 2 or len(row_ids) != emb.shape[0]:
+            # Mixed-generation artifacts (a crash between the matrix commit
+            # and the rows.json rename leaves the new matrix beside the old
+            # row map): a 'rebuild me' signal, not an internal bug — and
+            # unlike an assert, it still fires under ``python -O``.
+            raise CorruptIndexError(
+                f"matrix shape {emb.shape} disagrees with row map "
+                f"({len(row_ids)} row ids)"
+            )
         self._emb = np.ascontiguousarray(emb, dtype=np.float32)
         self._row_ids = list(row_ids)
         self._row_of = {nid: i for i, nid in enumerate(row_ids)}
@@ -463,20 +473,31 @@ class VectorIndex:
                     mtmp.replace(path / METADATA_FILE)
             except BaseException:
                 abort_pack()
+                abort_matrix()  # unlinks whatever tmps weren't renamed yet
+                mtmp.unlink(missing_ok=True)
                 raise
             cleanup_pack()  # multi-GB packed.old rmtree: outside the guard
         else:
             rtmp = path / (ROWS_FILE + f".tmp-{os.getpid()}")
-            rtmp.write_text(
-                json.dumps(
-                    {"row_ids": self._row_ids, "alive": self._alive.astype(int).tolist()}
+            try:
+                rtmp.write_text(
+                    json.dumps(
+                        {
+                            "row_ids": self._row_ids,
+                            "alive": self._alive.astype(int).tolist(),
+                        }
+                    )
                 )
-            )
-            with _swap_guard(path):
-                commit_matrix()
-                rtmp.replace(path / ROWS_FILE)
-                self.store.save(path / HIER_FILE)  # atomic internally (small)
-                mtmp.replace(path / METADATA_FILE)
+                with _swap_guard(path):
+                    commit_matrix()
+                    rtmp.replace(path / ROWS_FILE)
+                    self.store.save(path / HIER_FILE)  # atomic internally
+                    mtmp.replace(path / METADATA_FILE)
+            except BaseException:
+                abort_matrix()
+                rtmp.unlink(missing_ok=True)
+                mtmp.unlink(missing_ok=True)
+                raise
 
     @classmethod
     def load(cls, path: str | Path) -> "VectorIndex":
@@ -487,8 +508,12 @@ class VectorIndex:
         # save()'s rename phase (or a pack swap) landing mid-sequence would
         # otherwise hand this reader a mix of old/new files. Once the
         # mmaps/file contents are in hand, later replaces are harmless
-        # (POSIX keeps renamed-over data alive for open handles).
-        with _swap_guard(path):
+        # (POSIX keeps renamed-over data alive for open handles). Readers
+        # take the guard SHARED so concurrent loads of one module don't
+        # serialize on each other cross-process — only against a writer's
+        # exclusive rename window (is_packed's crash-heal upgrades to
+        # exclusive in place if it needs to rename).
+        with _swap_guard(path, shared=True):
             if is_packed(path):
                 return PackedVectorIndex.load_packed(path)
             if not (path / ROWS_FILE).exists():

@@ -217,3 +217,58 @@ def test_artifact_roundtrip_preserves_tombstones_and_retrieval(tmp_path, tiny_to
         assert [x.node_id for x in a] == [x.node_id for x in b]
         # no tombstoned doc ever comes back
         assert all("doc1" != x.node.doc_id for x in b)
+
+
+class TestSaveFailureHygiene:
+    """ADVICE r4: the non-packed save path must clean its staged tmps on
+    failure, sweep dead-PID debris for ALL artifacts, and surface
+    mixed-generation row-count mismatches as CorruptIndexError."""
+
+    def test_row_count_mismatch_raises_typed_error(self, tiny_tokenizer, sample_text, tmp_path):
+        import json
+
+        from tensortruth_tpu.index.store import ROWS_FILE, CorruptIndexError
+
+        idx = _build(tiny_tokenizer, sample_text)
+        idx.save(tmp_path / "mod")
+        rows_path = tmp_path / "mod" / ROWS_FILE
+        rows = json.loads(rows_path.read_text())
+        rows["row_ids"] = rows["row_ids"][:-1]  # crash-torn generation mix
+        rows["alive"] = rows["alive"][:-1]
+        rows_path.write_text(json.dumps(rows))
+        with pytest.raises(CorruptIndexError):
+            VectorIndex.load(tmp_path / "mod")
+
+    def test_failed_jsonl_save_leaves_no_tmps_and_old_generation_intact(
+        self, tiny_tokenizer, sample_text, tmp_path, monkeypatch
+    ):
+        idx = _build(tiny_tokenizer, sample_text)
+        idx.save(tmp_path / "mod")
+        before = VectorIndex.load(tmp_path / "mod").n_rows
+
+        def boom(_path):
+            raise OSError("disk full")
+
+        monkeypatch.setattr(type(idx.store), "save", lambda self, p: boom(p))
+        with pytest.raises(OSError):
+            idx.save(tmp_path / "mod")
+        assert not list((tmp_path / "mod").glob("*.tmp-*"))
+        assert VectorIndex.load(tmp_path / "mod").n_rows == before
+
+    def test_dead_pid_debris_swept_for_all_artifacts(
+        self, tiny_tokenizer, sample_text, tmp_path
+    ):
+        from tensortruth_tpu.index.store import METADATA_FILE, ROWS_FILE
+
+        mod = tmp_path / "mod"
+        mod.mkdir()
+        dead = 2**22 + 12345  # beyond pid_max defaults: guaranteed dead
+        for name in (
+            f"embeddings.npy.tmp-{dead}",
+            f"{ROWS_FILE}.tmp-{dead}",
+            f"{METADATA_FILE}.tmp-{dead}",
+        ):
+            (mod / name).write_text("debris")
+        idx = _build(tiny_tokenizer, sample_text)
+        idx.save(mod)
+        assert not list(mod.glob("*.tmp-*"))

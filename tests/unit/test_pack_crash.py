@@ -479,3 +479,96 @@ class TestSwapGuardReentrancy:
             order.append("holder")
         t.join(5)
         assert order == ["holder", "contender"]
+
+
+class TestSwapGuardSharedMode:
+    """ADVICE r4: readers take the guard SHARED — concurrent loaders of one
+    module must not serialize cross-process; only a writer's exclusive
+    rename window excludes them."""
+
+    HOLDER = (
+        "import sys, time\n"
+        "from tensortruth_tpu.index.packed import _swap_guard\n"
+        "with _swap_guard(sys.argv[1], shared=(sys.argv[2] == 'shared')):\n"
+        "    print('held', flush=True)\n"
+        "    time.sleep(float(sys.argv[3]))\n"
+    )
+
+    def _spawn_holder(self, path, mode, hold_s):
+        import subprocess
+        import sys
+
+        proc = subprocess.Popen(
+            [sys.executable, "-c", self.HOLDER, str(path), mode, str(hold_s)],
+            stdout=subprocess.PIPE,
+            text=True,
+        )
+        assert proc.stdout.readline().strip() == "held"
+        return proc
+
+    def test_shared_readers_do_not_serialize_cross_process(self, tmp_path):
+        import time
+
+        from tensortruth_tpu.index.packed import _swap_guard
+
+        proc = self._spawn_holder(tmp_path, "shared", 3.0)
+        try:
+            t0 = time.monotonic()
+            with _swap_guard(tmp_path, shared=True):
+                pass
+            # a shared reader must get in while the other shared holder
+            # sleeps — serializing would take the full 3 s hold
+            assert time.monotonic() - t0 < 1.5
+        finally:
+            proc.wait(10)
+
+    def test_writer_excluded_while_shared_reader_holds(self, tmp_path):
+        import time
+
+        from tensortruth_tpu.index.packed import _swap_guard
+
+        proc = self._spawn_holder(tmp_path, "shared", 1.0)
+        try:
+            t0 = time.monotonic()
+            with _swap_guard(tmp_path):  # exclusive: must wait out the reader
+                waited = time.monotonic() - t0
+            assert waited > 0.4
+        finally:
+            proc.wait(10)
+
+    def test_nested_exclusive_under_shared_upgrades(self, tmp_path):
+        # load() holds SHARED; is_packed's crash-heal nests an EXCLUSIVE
+        # request on the same dir — must upgrade in place, not deadlock.
+        from tensortruth_tpu.index.packed import _swap_guard
+
+        with _swap_guard(tmp_path, shared=True):
+            with _swap_guard(tmp_path):
+                with _swap_guard(tmp_path, shared=True):
+                    pass
+
+
+def test_staged_pack_dir_honors_umask(tmp_path, tiny_tokenizer, sample_text):
+    """ADVICE r4 (medium): mkdtemp stages the pack 0700; after the swap the
+    live packed/ dir must carry umask-respecting perms so a serving process
+    under a different account can still read a CLI rebuild's output."""
+    import os
+    import stat
+
+    from tensortruth_tpu.index.chunker import hierarchical_chunk
+    from tensortruth_tpu.index.store import VectorIndex
+
+    nodes = hierarchical_chunk(
+        sample_text, tiny_tokenizer, "doc1", chunk_sizes=[128, 32], chunk_overlap=8
+    )
+    import numpy as np
+
+    idx = VectorIndex.build(
+        nodes, lambda ts: np.ones((len(ts), 4), np.float32), embedding_model="t"
+    )
+    old_umask = os.umask(0o022)
+    try:
+        idx.save(tmp_path / "mod", packed=True)
+    finally:
+        os.umask(old_umask)
+    mode = stat.S_IMODE((tmp_path / "mod" / "packed").stat().st_mode)
+    assert mode == 0o755, oct(mode)
