@@ -17,7 +17,9 @@ Mirrors reference services/orchestrator_service.py:646-1345:
 from __future__ import annotations
 
 import asyncio
+import contextlib
 import logging
+import threading
 from typing import AsyncIterator
 
 from tensortruth_tpu.agents.function_agent import FunctionAgent
@@ -31,22 +33,21 @@ CHARS_PER_TOKEN = 4
 BUDGET_SYSTEM, BUDGET_HISTORY, BUDGET_USER, BUDGET_RESPONSE = 0.12, 0.18, 0.18, 0.50
 MAX_ITERATIONS = 10
 
-ORCHESTRATOR_SYSTEM_PROMPT = (
-    "You are the research orchestrator of a document-intelligence "
-    "assistant. Decide which tools answer the user's request, call them "
-    "(several in parallel when independent), then stop calling tools and "
-    "reply once you have enough evidence.\n\n"
-    "{date_context}\n\n"
-    "Routing rules:\n"
-    "1. Questions about the attached knowledge modules ({modules}) go to "
-    "`rag_query` FIRST.\n"
-    "2. Current events, library versions, or anything outside the modules: "
-    "`search_web`, then `fetch_page` on the most promising results.\n"
-    "3. Academic papers: `search_arxiv`.\n"
-    "4. Do not repeat a tool call with identical arguments.\n"
-    "5. After the final tool round, answer concisely — a synthesis stage "
-    "will write the full cited answer from complete tool outputs.\n\n"
-    "Available tools:\n{tool_list}\n"
+# Tools the routing-rule text already explains; everything else (MCP tools)
+# gets its own "Additional tools" section with per-tool descriptions.
+_BUILTIN_TOOL_NAMES = frozenset(
+    {
+        "rag_query",
+        "search_web",
+        "fetch_page",
+        "fetch_pages_batch",
+        "search_arxiv",
+        "get_arxiv_paper",
+        "add_arxiv_paper",
+    }
+)
+_MCP_MGMT_TOOL_NAMES = frozenset(
+    {"list_mcp_servers", "get_mcp_presets", "manage_mcp_server"}
 )
 
 
@@ -195,29 +196,118 @@ class OrchestratorService:
     def _system_prompt(
         self, modules: list[str], tools: dict, params=None,
         project_prompt: str | None = None,
-    ) -> str:
-        tool_list = "\n".join(
-            f"- {t.name}: {t.description}" for t in tools.values()
-        )
-        descs = load_module_descriptions(modules, self.config, params=params)
-        if descs:
-            module_block = "; ".join(
-                f"{d['display_name']} ({d['doc_type']})" if d["doc_type"] != "unknown"
-                else d["display_name"]
-                for d in descs
-            )
-        else:
-            module_block = "none"
-        base = ORCHESTRATOR_SYSTEM_PROMPT.format(
-            date_context=current_date_context(),
-            modules=module_block,
-            tool_list=tool_list,
-        )
+        max_iterations: int = MAX_ITERATIONS,
+    ) -> tuple[str, str]:
+        """Sectioned prompt composition (reference :391-553).
+
+        Returns ``(trimmable, protected)``: guidance sections the budget
+        guard may truncate, and the explicit tool-name list it must NEVER
+        cut — a severed tool list silently breaks function calling with
+        many MCP servers attached (r4 verdict item 6).
+        """
+        sections: list[str] = []
         if project_prompt:
             # Project-level instructions prefix the role prompt (reference
             # chat.py:119-215 project system prompt composition).
-            return f"{project_prompt}\n\n{base}"
-        return base
+            sections.append(project_prompt)
+        sections.append(current_date_context())
+        sections.append(
+            "You are the research orchestrator of a local-first "
+            "document-intelligence assistant. You answer questions, find "
+            "information, and complete tasks for the user. Decide which of "
+            "your tools the request needs, call them, and stop calling "
+            "tools once you have enough evidence."
+        )
+
+        descs = load_module_descriptions(modules, self.config, params=params)
+        if descs:
+            module_lines = "\n".join(
+                f"- {d['name']}: {d['display_name']}"
+                + (f" ({d['doc_type']})" if d["doc_type"] != "unknown" else "")
+                for d in descs
+            )
+            sections.append(
+                "Attached knowledge modules (searchable with rag_query):\n"
+                f"{module_lines}\n"
+                "When the user's question plausibly touches these topics, "
+                "call rag_query FIRST — indexed sources beat the open web."
+            )
+
+        routing = [
+            "Tool routing:",
+            "- Questions about the attached modules: rag_query.",
+            "- Current events, library versions, or anything outside the "
+            "modules: search_web. IMPORTANT: search_web returns only titles "
+            "and URLs, never page text — always follow it with "
+            "fetch_pages_batch on the promising URLs before answering.",
+            "- Prefer one fetch_pages_batch call with a URL list over "
+            "repeated fetch_page calls.",
+            "- Fetched pages end with a 'Discovered links' section. Follow a "
+            "link ONLY when the fetched content is clearly insufficient and "
+            "the link looks decisive; never re-fetch a URL you already have.",
+            "- Academic papers: search_arxiv, then get_arxiv_paper for the "
+            "interesting hits.",
+            "- Plain conversation (greetings, clarifications, opinions): "
+            "reply directly with no tools.",
+            "- If a tool errors, diagnose it: bad input → correct and retry "
+            "once; internal failure → report it and continue with other "
+            "tools. Never repeat a call with identical arguments.",
+        ]
+        sections.append("\n".join(routing))
+
+        if any(n in tools for n in _MCP_MGMT_TOOL_NAMES):
+            sections.append(
+                "MCP server management:\n"
+                "- list_mcp_servers shows the current configuration; "
+                "get_mcp_presets lists known presets (presets auto-fill "
+                "command/args — only name and summary are needed).\n"
+                "- For a server NOT in the presets, research the install "
+                "command first (search_web for its npm package or GitHub "
+                "repo, fetch the README), and only then call "
+                "manage_mcp_server with the concrete command and args "
+                "(stdio adds require command + args, e.g. command='npx', "
+                "args=['-y', '<package>']).\n"
+                "- The user approves changes inline; the tool blocks and "
+                "applies them — just report the result. If it fails, fix "
+                "the cause before any retry; never retry with the same "
+                "arguments."
+            )
+
+        extra = [
+            (n, t)
+            for n, t in tools.items()
+            if n not in _BUILTIN_TOOL_NAMES and n not in _MCP_MGMT_TOOL_NAMES
+        ]
+        if extra:
+            lines = [
+                f"- {n}: {(t.description or '')[:200]}" for n, t in extra
+            ]
+            sections.append("Additional tools:\n" + "\n".join(lines))
+
+        sections.append(
+            "PARALLEL TOOL CALLS: independent tools called in one response "
+            "run simultaneously and together cost ONE iteration — after a "
+            "search returns 5 results, fetch all 5 in a single response "
+            "rather than one per turn. You have a budget of "
+            f"{max_iterations} iterations; each response counts as one "
+            "regardless of how many tool calls it carries, so batch "
+            "independent calls."
+        )
+        sections.append(
+            "When ALL tool calls are finished, reply with AT MOST one or "
+            "two short sentences summarizing what you found — a separate "
+            "synthesis stage writes the full cited answer from the complete "
+            "tool outputs, and any detailed final text you produce is "
+            "DISCARDED. Between tool calls, however, DO reason about "
+            "results to pick parameters for the next call."
+        )
+
+        tool_names = ", ".join(tools.keys())
+        protected = (
+            f"You have access to ONLY these tools: {tool_names}. "
+            "Never call a tool that is not in this list."
+        )
+        return "\n\n".join(sections), protected
 
     async def execute(
         self,
@@ -251,17 +341,22 @@ class OrchestratorService:
         all_tools = dict(extra_tools)
         all_tools.update(self.tool_service.tools)
         ctx_window = params.get("context_window", 8192)
-        # User text caps at its 18% share. The system prompt carries the
-        # tool list (truncating it breaks function calling), so it only
-        # caps at 2× its nominal share as a runaway guard; between nominal
-        # and 2×, budget_history absorbs the overage from history's share.
-        system_prompt = budget_prompt(
-            self._system_prompt(
-                modules, all_tools, params=params,
-                project_prompt=project_prompt,
-            ),
-            ctx_window, 2 * BUDGET_SYSTEM,
+        max_iterations = params.get("max_iterations", MAX_ITERATIONS)
+        # User text caps at its 18% share. The system prompt caps at 2× its
+        # nominal share as a runaway guard (between nominal and 2×,
+        # budget_history absorbs the overage from history's share) — but the
+        # guard trims ONLY the guidance sections: the explicit tool list is
+        # appended whole afterwards, because a severed tool list silently
+        # breaks function calling (r4 verdict item 6).
+        trimmable, tool_guard = self._system_prompt(
+            modules, all_tools, params=params,
+            project_prompt=project_prompt, max_iterations=max_iterations,
         )
+        limit = int(ctx_window * CHARS_PER_TOKEN * 2 * BUDGET_SYSTEM)
+        head_limit = max(0, limit - len(tool_guard) - 2)
+        if len(trimmable) > head_limit:
+            trimmable = trimmable[: max(0, head_limit - 15)] + "\n...[truncated]"
+        system_prompt = f"{trimmable}\n\n{tool_guard}" if trimmable else tool_guard
         prompt = budget_prompt(prompt, ctx_window, BUDGET_USER)
         agent = FunctionAgent(
             context={
@@ -280,7 +375,7 @@ class OrchestratorService:
                 ),
                 "images": images or [],
             },
-            max_iterations=params.get("max_iterations", MAX_ITERATIONS),
+            max_iterations=max_iterations,
         )
         agent.system_prompt = system_prompt
 
@@ -309,18 +404,52 @@ class OrchestratorService:
             synthesis_llm or llm,
             context_window=params.get("context_window", 8192),
         )
+        # Per-chunk pump (same discipline as the direct path,
+        # server/routes/chat.py drain_and_send): the provider generator runs
+        # on an executor thread and each delta crosses to the event loop as
+        # it arrives, so `token` events flow DURING generation — collecting
+        # the deltas first would hold first-token latency hostage to the
+        # whole synthesis (reference streams too, synthesis_service.py:264-371).
         parts: list[str] = []
         loop = asyncio.get_running_loop()
-        deltas = await loop.run_in_executor(
-            None,
-            lambda: list(
-                synthesis.synthesize(prompt, tool_outputs, sources, agent_answer)
-            ),
-        )
-        for d in deltas:
-            if d.thinking:
-                yield {"type": "thinking", "content": d.thinking}
-            if d.text:
-                parts.append(d.text)
-                yield {"type": "token", "content": d.text}
+        queue: asyncio.Queue = asyncio.Queue()
+        DONE = object()
+        cancel = threading.Event()
+
+        def pump():
+            gen = synthesis.synthesize(prompt, tool_outputs, sources, agent_answer)
+            while True:
+                if cancel.is_set():
+                    # Consumer gone (Stop button / dropped socket): close the
+                    # generator so GeneratorExit aborts the provider stream.
+                    gen.close()
+                    loop.call_soon_threadsafe(queue.put_nowait, (DONE, None))
+                    return
+                try:
+                    d = next(gen)
+                except StopIteration:
+                    loop.call_soon_threadsafe(queue.put_nowait, (DONE, None))
+                    return
+                except Exception as e:  # surface synthesis errors upstream
+                    loop.call_soon_threadsafe(queue.put_nowait, (DONE, e))
+                    return
+                loop.call_soon_threadsafe(queue.put_nowait, d)
+
+        task = loop.run_in_executor(None, pump)
+        try:
+            while True:
+                item = await queue.get()
+                if isinstance(item, tuple) and item[0] is DONE:
+                    if item[1] is not None:
+                        raise item[1]
+                    break
+                if item.thinking:
+                    yield {"type": "thinking", "content": item.thinking}
+                if item.text:
+                    parts.append(item.text)
+                    yield {"type": "token", "content": item.text}
+        finally:
+            cancel.set()  # unblocks the pump if we exited early
+            with contextlib.suppress(Exception):
+                await task
         yield {"type": "done", "content": "".join(parts)}

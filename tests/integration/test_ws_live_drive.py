@@ -264,3 +264,68 @@ async def test_done_content_renders_math_and_code(client):
     assert "$$" not in html  # no raw TeX delimiters leak into the DOM
     # thinking + token branches carried the same turn
     assert seen["thinking"] and seen["token"]
+
+
+async def test_orchestrator_synthesis_streams_on_the_wire(client):
+    """r4 verdict item 1: the orchestrator path must stream its synthesized
+    answer DURING generation — the stub blocks mid-stream until the client
+    has received the first token frame over the real socket, so collecting
+    deltas before the first send (the old defect) deadlocks-and-fails here
+    instead of passing on frame counts alone."""
+    import threading
+
+    from tensortruth_tpu.core.providers import ChatDelta, ProviderRegistry
+
+    gate = threading.Event()
+    state = {"late": False}
+
+    class SlowSynthLLM:
+        def __init__(self):
+            self.turns = 0
+
+        def complete(self, prompt):
+            return "standalone"
+
+        def chat_with_tools(self, messages, tools, system=None):
+            self.turns += 1
+            if self.turns == 1:
+                return "", [{"name": "rag_query",
+                             "arguments": {"query": "mxu"}}]
+            return "found it", []
+
+        def stream_chat(self, messages, system=None):
+            yield ChatDelta(text="first-chunk ")
+            if not gate.wait(15):
+                state["late"] = True
+            yield ChatDelta(text="second-chunk")
+
+    services = client.server.app["services"]
+    services.rag_service._llm_factory = lambda params: SlowSynthLLM()
+    services.config.providers[0].default_capabilities = ["tools"]
+    services.config.providers[0].models = [{"name": "fake-model"}]
+    ProviderRegistry.reset_instance()
+
+    r = await client.post("/api/sessions", json={})
+    sid = (await r.json())["id"]
+    await client.post(
+        f"/api/sessions/{sid}/documents",
+        json={"filename": "m.md", "text": "MXU systolic array details. " * 120},
+    )
+    await client.patch(
+        f"/api/sessions/{sid}",
+        json={"params": {"orchestrator_enabled": True, "model": "fake-model"}},
+    )
+    ws = await client.ws_connect(f"/ws/chat/{sid}")
+    await ws.send_json({"message": "what is the MXU?"})
+    tokens_before_done = 0
+    while True:
+        msg = await ws.receive_json(timeout=60)
+        if msg["type"] == "token":
+            tokens_before_done += 1
+            gate.set()  # only reachable if the frame crossed mid-generation
+        if msg["type"] in ("done", "error"):
+            assert msg["type"] == "done", msg
+            break
+    await ws.close()
+    assert not state["late"], "first token frame never arrived mid-generation"
+    assert tokens_before_done >= 2

@@ -231,3 +231,152 @@ class TestSourceReference:
         assert '[2] "Blog post" (web, score: 0.41) - https://b.org/p' in ref
         assert ref.startswith("--- Source Reference ---")
         assert build_source_reference([]) == ""
+
+
+def _spec(name, description="does things " * 30):
+    from tensortruth_tpu.services.tool_service import ToolSpec
+
+    async def fn(**kw):
+        return "ok"
+
+    return ToolSpec(
+        name=name,
+        description=description,
+        parameters={"type": "object", "properties": {}},
+        fn=fn,
+    )
+
+
+class TestPromptComposition:
+    """Sectioned system-prompt contract (reference
+    tests/unit/test_orchestrator_service.py::TestSystemPromptComposition)."""
+
+    def _orch(self):
+        return OrchestratorService(FakeRAGService(), OfflineToolService())
+
+    def test_base_prompt_always_present(self):
+        head, guard = self._orch()._system_prompt([], {"rag_query": _spec("rag_query")})
+        assert "research orchestrator" in head
+        assert "Tool routing:" in head
+        assert "PARALLEL TOOL CALLS" in head
+        assert "DISCARDED" in head  # synthesis-handoff contract
+        assert "ONLY these tools: rag_query" in guard
+
+    def test_no_modules_section_when_empty(self):
+        head, _ = self._orch()._system_prompt([], {})
+        assert "knowledge modules" not in head
+
+    def test_modules_appear_with_descriptions(self, tmp_path):
+        import json
+
+        mod = tmp_path / "bge-m3" / "papers_numpy"
+        mod.mkdir(parents=True)
+        (mod / "index_metadata.json").write_text(
+            json.dumps({"display_name": "NumPy Papers", "doc_type": "papers"})
+        )
+        orch = OrchestratorService(FakeRAGService(), OfflineToolService())
+        from tensortruth_tpu.services import orchestrator_service as mod_
+
+        descs = mod_.load_module_descriptions(
+            ["numpy"], indexes_dir=tmp_path, params={"embedding_model": "BAAI/bge-m3"}
+        )
+        # splice via the same composition path the service uses
+        import unittest.mock as mock
+
+        with mock.patch.object(
+            mod_, "load_module_descriptions", return_value=descs
+        ):
+            head, _ = orch._system_prompt(["numpy"], {})
+        assert "- numpy: NumPy Papers (papers)" in head
+        assert "rag_query FIRST" in head
+
+    def test_project_prompt_prefixes_role(self):
+        head, _ = self._orch()._system_prompt(
+            [], {}, project_prompt="Answer in French."
+        )
+        assert head.startswith("Answer in French.")
+
+    def test_mcp_management_guidance_gated_on_tools(self):
+        orch = self._orch()
+        without, _ = orch._system_prompt([], {"rag_query": _spec("rag_query")})
+        assert "MCP server management" not in without
+        with_mgmt, _ = orch._system_prompt(
+            [], {"manage_mcp_server": _spec("manage_mcp_server")}
+        )
+        assert "MCP server management" in with_mgmt
+        assert "never retry with the same" in with_mgmt
+
+    def test_mcp_tools_get_descriptions_capped_at_200(self):
+        tools = {
+            "search_web": _spec("search_web"),
+            "github_search": _spec("github_search", "x" * 500),
+        }
+        head, guard = self._orch()._system_prompt([], tools)
+        assert "Additional tools:\n- github_search: " + "x" * 200 in head
+        assert "- search_web:" not in head  # builtins live in routing rules
+        assert "github_search" in guard and "search_web" in guard
+
+    def test_iteration_budget_reflects_param(self):
+        head, _ = self._orch()._system_prompt([], {}, max_iterations=7)
+        assert "budget of 7 iterations" in head
+
+
+class RecordingLLM:
+    """No tool calls — records the system prompt the agent composed."""
+
+    def __init__(self):
+        self.system = None
+
+    def chat_with_tools(self, messages, tools, system=None):
+        self.system = system
+        return "direct answer", []
+
+
+async def test_tool_list_survives_tiny_context_window():
+    """r4 verdict item 6: with 50 MCP tools at context_window=2048 the
+    budget guard must trim guidance, never the explicit tool list."""
+    llm = RecordingLLM()
+    orch = OrchestratorService(FakeRAGService(), OfflineToolService())
+    extra = {f"mcp_tool_{i:02d}": _spec(f"mcp_tool_{i:02d}") for i in range(50)}
+    events = await _collect(
+        orch.execute(
+            "hello", llm, modules=["numpy"], params={"context_window": 2048},
+            extra_tools=extra,
+        )
+    )
+    assert events[-1]["type"] == "done"
+    assert "[truncated]" in llm.system  # the guard DID engage...
+    for name in list(extra) + ["rag_query"]:
+        assert name in llm.system, f"{name} severed from tool list"
+
+
+class GatedSynthesisLLM(ToolCallingLLM):
+    """Synthesis stream that blocks mid-generation until the consumer has
+    SEEN the first token — proves deltas cross the executor boundary as
+    they are produced, not collected up front (r4 verdict item 1)."""
+
+    def __init__(self, gate):
+        super().__init__()
+        self.gate = gate
+        self.late = False
+
+    def stream_chat(self, messages, system=None):
+        yield ChatDelta(text="first ")
+        if not self.gate.wait(10):
+            self.late = True
+        yield ChatDelta(text="second")
+
+
+async def test_synthesis_streams_during_generation():
+    import threading
+
+    gate = threading.Event()
+    llm = GatedSynthesisLLM(gate)
+    orch = OrchestratorService(FakeRAGService(), OfflineToolService())
+    tokens = []
+    async for e in orch.execute("what is broadcasting?", llm, modules=["numpy"]):
+        if e["type"] == "token":
+            tokens.append(e["content"])
+            gate.set()  # only reachable if the first delta streamed out
+    assert not llm.late, "first token never reached the consumer mid-generation"
+    assert tokens == ["first ", "second"]
