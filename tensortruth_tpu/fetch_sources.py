@@ -33,15 +33,20 @@ def cmd_list(sources: dict) -> int:
 
 
 def cmd_validate(sources: dict) -> int:
+    """Reference exit-code semantics (utils/validation.py:253-263): schema
+    errors fail; modules missing docs are incomplete, not an error."""
     report = validate_sources(sources, get_library_docs_dir())
-    ok = True
+    for e in report["errors"]:
+        print(f"[ERR] {e}")
+    for w in report["warnings"]:
+        print(f"[WRN] {w}")
     for module, status in report["modules"].items():
-        mark = "OK " if status["ok"] else "ERR"
+        mark = "OK " if status["ok"] else "---"
         print(f"[{mark}] {module}" + (f" — {status['error']}" if status["error"] else ""))
-        ok &= status["ok"]
     for d in report["orphaned_dirs"]:
         print(f"[???] orphaned docs dir: {d}")
-    return 0 if ok else 1
+    print(report["summary"])
+    return 0 if report["ok"] else 1
 
 
 def cmd_add(sources: dict, args) -> int:

@@ -58,9 +58,9 @@ def test_validate_sources_flags_orphans(tmp_path):
 
 def test_validate_library_config():
     assert validate_library_config({"doc_type": "sphinx"})
-    assert validate_library_config({"doc_type": "sphinx", "inventory_url": "u"}) is None
+    assert validate_library_config({"doc_type": "sphinx", "inventory_url": "https://numpy.org/doc/objects.inv"}) is None
     assert validate_library_config({"doc_type": "doxygen"})
-    assert validate_library_config({"doc_type": "doxygen", "doc_root": "u"}) is None
+    assert validate_library_config({"doc_type": "doxygen", "doc_root": "https://docs.opencv.org/4.x/"}) is None
 
 
 # ------------------------------------------------------------------- build_db

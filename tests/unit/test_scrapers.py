@@ -85,9 +85,9 @@ def test_html_to_markdown_structure():
 
 
 def test_validate_library_config():
-    assert validate_library_config({"inventory_url": "u"}) is None
+    assert validate_library_config({"inventory_url": "https://numpy.org/doc/objects.inv"}) is None
     assert validate_library_config({}) is not None
-    assert validate_library_config({"doc_type": "doxygen", "doc_root": "u"}) is None
+    assert validate_library_config({"doc_type": "doxygen", "doc_root": "https://docs.opencv.org/4.x/"}) is None
     assert validate_library_config({"doc_type": "doxygen"}) is not None
 
 
@@ -115,8 +115,15 @@ def test_fetch_sources_cli_list_add_validate(tmp_path, monkeypatch, capsys):
     assert main(["list"]) == 0
     out = capsys.readouterr().out
     assert "numpy" in out
-    # validate fails: docs not fetched yet
+    # docs not fetched yet: incomplete, NOT an error (reference exit-code
+    # semantics — the fix is to fetch, not to edit config)
+    assert main(["validate"]) == 0
+    out = capsys.readouterr().out
+    assert "docs directory missing" in out
+    # a schema error DOES fail validation
+    assert main(["add", "books", "bad", "--config", "{}"]) == 0
     assert main(["validate"]) == 1
+    assert "books.bad" in capsys.readouterr().out
 
 
 def test_llm_metadata_extraction():
