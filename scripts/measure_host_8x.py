@@ -135,6 +135,53 @@ def measure(n_rows: int) -> None:
             report["projected_v5e8_qps"] = round(
                 n_q / (max(total, DEVICE_BUDGET_MS) / 1e3), 1
             )
+
+    # -- worker-pool sweep (r4 verdict item 5): the REAL feeding path ------
+    # HostFeeder.hydrate_and_tokenize runs hydrate -> pair-build -> tokenize
+    # end-to-end inside each worker, then score_tokenized_async does
+    # bucket/pad + (stubbed) dispatch. Host total per worker count is what
+    # the BASELINE.md host-feeding table records; run this on the serving
+    # host to size rag.host_feed_workers (this VM exposes one core, so the
+    # local sweep validates structure/overhead, not multi-core speedup).
+    from tensortruth_tpu.services.feeder import HostFeeder
+
+    n_q, per_q = 256, 10
+    n_pairs = n_q * per_q
+    queries = [f"how does component {i} interact with the engine" for i in range(n_q)]
+    sweep = {}
+    for workers in (1, 2, 4, 8):
+        feeder = HostFeeder(workers)
+        rows = rng.choice(n_rows, n_pairs, replace=False)
+
+        def one(rows):
+            t0 = time.perf_counter()
+            ids, mask = feeder.hydrate_and_tokenize(
+                rr.tokenizer,
+                query_of=lambda i: queries[i // per_q],
+                hydrate=lambda i: idx.node_of_row(int(rows[i])).text,
+                n_pairs=n_pairs, max_length=rr.max_length,
+            )
+            t1 = time.perf_counter()
+            rr.score_tokenized_async(ids, mask)()
+            t2 = time.perf_counter()
+            return (t1 - t0) * 1e3, (t2 - t1) * 1e3
+
+        one(rows)  # warm
+        iters = 5
+        feed = pad = 0.0
+        for _ in range(iters):
+            rows = rng.choice(n_rows, n_pairs, replace=False)
+            f_ms, p_ms = one(rows)
+            feed += f_ms
+            pad += p_ms
+        feeder.close()
+        sweep[f"w{workers}"] = {
+            "hydrate_pair_tokenize_ms": round(feed / iters, 1),
+            "bucket_pad_ms": round(pad / iters, 1),
+            "host_total_ms": round((feed + pad) / iters, 1),
+        }
+    report["worker_sweep_b256"] = sweep
+    report["host_cores"] = os.cpu_count()
     print(json.dumps(report))
 
 

@@ -116,6 +116,12 @@ class RAGConfig:
     query_batching: bool = True
     query_batching_max_wait_ms: float = 8.0
     query_batching_max_batch: int = 32
+    # Worker-pool host feeding for the rerank tokenize stage
+    # (services/feeder.py): -1 = auto (one worker per host core), 0/1 =
+    # single-threaded. The 8-chip DP serving shape needs the host term
+    # sharded across cores to stay inside the device budget (BASELINE.md
+    # host-feeding table).
+    host_feed_workers: int = -1
 
     def get_embedding_model_config(self, model_name: str) -> EmbeddingModelConfig:
         if model_name in self.embedding_model_configs:

@@ -113,7 +113,7 @@ class Reranker:
         """
         return self.score_pairs_async(pairs)()
 
-    def score_pairs_async(self, pairs: Sequence[tuple[str, str]]):
+    def score_pairs_async(self, pairs: Sequence[tuple[str, str]], feeder=None):
         """Two-phase scoring: dispatch every device batch NOW, return a
         ``finish() -> (N,) np.float32`` that performs the (blocking)
         device→host conversion.
@@ -122,12 +122,27 @@ class Reranker:
         runs only after batch B+1's work is dispatched, so the device never
         idles across batch boundaries and the conversion RTT of B overlaps
         the compute of B+1 (services/batcher.py two-phase protocol).
+
+        ``feeder`` (services/feeder.py HostFeeder) shards the host tokenize
+        stage across a worker pool — the 8-chip DP deployment's host term
+        (r4 verdict item 5); None keeps the single-threaded path.
         """
         if not pairs:
             return lambda: np.zeros((0,), dtype=np.float32)
-        ids, mask = self.tokenizer.encode_batch(
-            [q for q, _ in pairs], self.max_length, pair=[d for _, d in pairs]
-        )
+        if feeder is not None:
+            ids, mask = feeder.tokenize_pairs(self.tokenizer, pairs, self.max_length)
+        else:
+            ids, mask = self.tokenizer.encode_batch(
+                [q for q, _ in pairs], self.max_length, pair=[d for _, d in pairs]
+            )
+        return self.score_tokenized_async(ids, mask)
+
+    def score_tokenized_async(self, ids: np.ndarray, mask: np.ndarray):
+        """Bucket/pad + device dispatch over pre-tokenized pair rows —
+        the stage after the (possibly worker-pooled) host tokenize."""
+        n_pairs = ids.shape[0]
+        if n_pairs == 0:
+            return lambda: np.zeros((0,), dtype=np.float32)
         lengths = mask.sum(axis=1)
         order = np.argsort(-lengths, kind="stable")  # longest first
 
@@ -216,7 +231,7 @@ class Reranker:
         )
 
         def finish() -> np.ndarray:
-            out = np.empty((len(pairs),), dtype=np.float32)
+            out = np.empty((n_pairs,), dtype=np.float32)
             host = np.asarray(fused, dtype=np.float32)
             off = 0
             for sel, probs, n in pending:

@@ -123,6 +123,10 @@ class RAGService:
         self._build_locks: dict[str, threading.Lock] = {}
         self.last_timings: dict = {}  # stage timings of the latest query
         self._batcher = None  # services/batcher.py micro-batching (optional)
+        # Worker-pool host feeding for the rerank tokenize stage
+        # (services/feeder.py): the 8-chip host term. Built lazily; worker
+        # count from rag.host_feed_workers (0 = keep single-threaded).
+        self._feeder = None
         # injectable for tests; default = provider-backed factory
         self._llm_factory = llm_factory
 
@@ -304,9 +308,24 @@ class RAGService:
             ]
 
         if pairs and hasattr(reranker, "score_pairs_async"):
-            finish_scores = reranker.score_pairs_async(pairs)
+            finish_scores = reranker.score_pairs_async(pairs, feeder=self._get_feeder())
             return lambda: apply_scores(finish_scores())
         return apply_scores(reranker.score_pairs(pairs) if pairs else [])
+
+    def _get_feeder(self):
+        """Lazy worker-pool host feeder (services/feeder.py). Worker count:
+        ``rag.host_feed_workers`` config (0 disables), default = cpu count
+        — on a multi-core serving host the rerank tokenize stage shards
+        across cores instead of serializing on one."""
+        if self._feeder is None:
+            from tensortruth_tpu.services.feeder import HostFeeder, default_workers
+
+            n = getattr(self.config.rag, "host_feed_workers", None)
+            n = default_workers() if n in (None, -1) else int(n)
+            if n <= 1:
+                return None
+            self._feeder = HostFeeder(n)
+        return self._feeder
 
     # -- retrieval core shared by query() and retrieve() ----------------------
 

@@ -1,9 +1,11 @@
 // Scope-aware documents panel (reference components/documents/
-// DocumentPanel.tsx + DocumentUploader.tsx: one panel serves BOTH scope
-// types): list/delete, file upload with progress, URL ingestion (with a
+// DocumentPanel.tsx + DocumentList.tsx + DocumentUploader.tsx: one panel
+// serves BOTH scope types): per-document rows with chunk badges,
+// confirm-and-busy delete with error surfacing, a corpus summary line,
+// multi-file upload queue with per-file progress, URL ingestion (with a
 // pre-flight probe of the content type/handler), pasted-text ingestion,
-// arXiv-id ingestion, full reindex — against the current session OR any
-// project, selected in the scope dropdown.
+// arXiv-id ingestion, full reindex with progress feedback — against the
+// current session OR any project, selected in the scope dropdown.
 
 import {arxivLookup} from "../api/arxiv.js";
 import {
@@ -59,65 +61,106 @@ function applyScopeSelect() {
   scope = {kind, id, label: opt && opt.dataset.label};
 }
 
+function docRow(doc) {
+  const row = rowItem(doc.filename || doc.id, doc.id, [
+    ["Delete", "danger", async ev => {
+      if (!confirm(`Remove ${doc.filename || doc.id} from this index?`)) return;
+      ev.target.textContent = "…";
+      ev.target.disabled = true;
+      try {
+        const r = await deleteDocument(scope, doc.id);
+        if (r && r.error) throw new Error(r.error);
+        toast(`removed ${doc.filename || doc.id} (${r.chunks_removed ?? "?"} chunks)`);
+      } catch (e) {
+        toast(`delete failed: ${e.message || e}`, true);
+        ev.target.textContent = "Delete";
+        ev.target.disabled = false;
+        return;
+      }
+      reloadList();
+    }],
+  ]);
+  const chunks = el("span", "badge" + ((doc.chunks ?? 0) > 0 ? " on" : " err"),
+    (doc.chunks ?? 0) > 0 ? `${doc.chunks} chunks` : "0 chunks");
+  if ((doc.chunks ?? 0) === 0) chunks.title = "No leaf chunks indexed — reindex or remove";
+  row.insertBefore(chunks, row.children[1]);
+  return row;
+}
+
+function renderList(docs) {
+  const box = $("documents-list"); box.innerHTML = "";
+  const summary = $("documents-summary");
+  if (!docs.length) {
+    box.appendChild(el("div", "dim", "No documents yet."));
+    if (summary) summary.textContent = "";
+    return;
+  }
+  if (summary) {
+    const total = docs.reduce((a, d) => a + (d.chunks || 0), 0);
+    summary.textContent = `${docs.length} document${docs.length === 1 ? "" : "s"} · ${total} chunks indexed`;
+  }
+  for (const doc of docs) box.appendChild(docRow(doc));
+}
+
 export async function loadDocumentsPanel() {
   await refreshScopeSelect();
-  const label = $("documents-session-label");
-  const box = $("documents-list"); box.innerHTML = "";
-  label.textContent = describeScope();
+  $("documents-session-label").textContent = describeScope();
+  $("documents-list").innerHTML = "";
   if (!scope) return;
   const data = await listDocuments(scope);
-  if (!(data.documents || []).length) box.appendChild(el("div", "dim", "No documents yet."));
-  for (const doc of data.documents || []) {
-    box.appendChild(rowItem(doc.filename || doc.id, `${doc.chunks ?? "?"} chunks`, [
-      ["Delete", "danger", async () => {
-        await deleteDocument(scope, doc.id);
-        reloadList();
-      }],
-    ]));
-  }
+  renderList(data.documents || []);
 }
 
 // List-only refresh: the scope select keeps the user's pick (a full
 // loadDocumentsPanel re-resolves the dropdown, which is only needed when
 // sessions/projects changed).
 async function reloadList() {
-  const box = $("documents-list"); box.innerHTML = "";
   $("documents-session-label").textContent = describeScope();
+  $("documents-list").innerHTML = "";
   if (!scope) return;
   const data = await listDocuments(scope);
-  if (!(data.documents || []).length) box.appendChild(el("div", "dim", "No documents yet."));
-  for (const doc of data.documents || []) {
-    box.appendChild(rowItem(doc.filename || doc.id, `${doc.chunks ?? "?"} chunks`, [
-      ["Delete", "danger", async () => {
-        await deleteDocument(scope, doc.id);
-        reloadList();
-      }],
-    ]));
-  }
+  renderList(data.documents || []);
+}
+
+// Sequential multi-file upload queue (reference DocumentUploader): one
+// XHR at a time so per-file progress is meaningful on the statusline, and
+// one failure doesn't abort the remaining files.
+function uploadQueue(files) {
+  const queue = [...files];
+  let done = 0, failed = 0;
+  const next = () => {
+    const file = queue.shift();
+    if (!file) {
+      $("statusline").textContent = "";
+      toast(`uploaded ${done}/${done + failed} file${done + failed === 1 ? "" : "s"}`,
+        failed > 0);
+      reloadList();
+      return;
+    }
+    const pos = `${done + failed + 1}/${done + failed + queue.length + 1}`;
+    $("statusline").textContent = `uploading ${file.name} (${pos})…`;
+    uploadDocumentXHR(scope, file, {
+      onProgress: pct => { $("statusline").textContent = `uploading ${file.name} (${pos}) ${pct}%`; },
+      onIndexing: () => { $("statusline").textContent = `indexing ${file.name} (${pos})…`; },
+      onDone: (status, data) => {
+        if (status < 300) { done++; toast(`indexed ${file.name} (${data.chunks} chunks)`); }
+        else { failed++; toast(`${file.name}: ${data.error || data.detail || status}`, true); }
+        next();
+      },
+      onError: () => { failed++; toast(`${file.name}: upload failed`, true); next(); },
+    });
+  };
+  next();
 }
 
 export function wireDocumentsPanel() {
   $("doc-scope").onchange = () => { applyScopeSelect(); reloadList(); };
   $("doc-upload-btn").onclick = () => $("doc-file-input").click();
   $("doc-file-input").onchange = ev => {
-    const file = ev.target.files[0];
+    const files = [...ev.target.files];
     ev.target.value = "";
-    if (!file || !scope) return;
-    $("statusline").textContent = `uploading ${file.name}…`;
-    uploadDocumentXHR(scope, file, {
-      onProgress: pct => { $("statusline").textContent = `uploading ${file.name} ${pct}%`; },
-      onIndexing: () => { $("statusline").textContent = `indexing ${file.name}…`; },
-      onDone: (status, data) => {
-        $("statusline").textContent = "";
-        if (status < 300) toast(`indexed ${file.name} (${data.chunks} chunks)`);
-        else toast(`upload failed: ${data.error || data.detail || status}`, true);
-        reloadList();
-      },
-      onError: () => {
-        $("statusline").textContent = "";
-        toast("upload failed", true);
-      },
-    });
+    if (!files.length || !scope) return;
+    uploadQueue(files);
   };
   $("doc-url-form").onsubmit = async ev => {
     ev.preventDefault();
@@ -129,7 +172,8 @@ export function wireDocumentsPanel() {
     const info = await fileUrlInfo(url).catch(() => null);
     if (info && info.handler)
       toast(`ingesting via ${info.handler}`);
-    await addUrlDocument(scope, url);
+    const r = await addUrlDocument(scope, url).catch(e => ({error: String(e)}));
+    if (r && r.error) { toast(`URL ingest failed: ${r.error}`, true); return; }
     ev.target.reset();
     reloadList();
   };
@@ -137,7 +181,9 @@ export function wireDocumentsPanel() {
     ev.preventDefault();
     if (!scope) return;
     const f = new FormData(ev.target);
-    await addTextDocument(scope, f.get("filename") || "pasted.md", f.get("text"));
+    const r = await addTextDocument(scope, f.get("filename") || "pasted.md", f.get("text"))
+      .catch(e => ({error: String(e)}));
+    if (r && r.error) { toast(`ingest failed: ${r.error}`, true); return; }
     ev.target.reset();
     reloadList();
   };
@@ -159,9 +205,17 @@ export function wireDocumentsPanel() {
   };
   $("docs-reindex").onclick = async ev => {
     if (!scope) return;
-    await reindexDocuments(scope);
-    ev.target.textContent = "Reindexed ✓";
-    setTimeout(() => ev.target.textContent = "Reindex all", 1500);
+    ev.target.textContent = "Reindexing…";
+    ev.target.disabled = true;
+    try {
+      const r = await reindexDocuments(scope);
+      ev.target.textContent = `Reindexed ${r.documents ?? ""} ✓`;
+    } catch (e) {
+      toast(`reindex failed: ${e}`, true);
+      ev.target.textContent = "Reindex all";
+    }
+    ev.target.disabled = false;
+    setTimeout(() => { ev.target.textContent = "Reindex all"; }, 2000);
     reloadList();
   };
 }

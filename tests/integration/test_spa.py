@@ -797,3 +797,115 @@ def test_reset_stream_removes_reasoning_box():
     body = JS["chat/stream.js"].split("export function resetStream")[1]
     assert "clearReasoning()" in body
     assert "reasoningBox = null" not in body  # removal owns the reference
+
+
+# -- r5 panel depth (VERDICT r4 item 2) ---------------------------------------
+
+
+def test_config_field_specs_cover_real_paths():
+    """Every FIELD_SPECS path must name a real config field — specs rot
+    silently otherwise — and the validation machinery must be wired."""
+    cfg_js = JS["panels/config.js"]
+    for feature in ["FIELD_SPECS", "validateNumber(", "markInvalid(",
+                    "selectInput(", "listInput(", "reset section",
+                    "cfg-input.invalid"]:
+        assert feature in cfg_js, f"missing: {feature}"
+    import re as _re
+
+    from tensortruth_tpu.app.config import TensorTruthTPUConfig
+
+    cfg = TensorTruthTPUConfig.default().to_dict()
+    paths = _re.findall(r'"([a-z_]+\.[a-z_]+)": \{', cfg_js)
+    assert len(paths) >= 20, "typed widget coverage regressed"
+    for p in paths:
+        sec, key = p.split(".")
+        assert sec in cfg and key in cfg[sec], f"FIELD_SPECS names ghost path {p}"
+
+
+def test_config_save_surfaces_422_detail_list():
+    cfg_js = JS["panels/config.js"]
+    assert "Array.isArray(body.detail)" in cfg_js  # schemas.py 422 shape
+    assert "fix the highlighted fields first" in cfg_js  # invalid gate on Save
+
+
+def test_providers_panel_feedback_states():
+    p = JS["panels/providers.js"]
+    for feature in ["Testing…", "probeCache", "discoveryBanner(",
+                    "validateProviderForm(", "reachBadge(", "Edit URL",
+                    "confirm(`Delete provider"]:
+        assert feature in p, f"missing: {feature}"
+    assert ".badge.err" in CSS
+
+
+def test_provider_form_validation_rules():
+    p = JS["panels/providers.js"]
+    assert "id must be a slug" in p
+    assert "openai_compatible providers need a base URL" in p
+    assert "https?:\\/\\/" in p or "^https?:" in p
+
+
+def test_documents_panel_per_doc_affordances():
+    d = JS["panels/documents.js"]
+    for feature in ["uploadQueue(", "documents-summary", "chunks_removed",
+                    "confirm(`Remove", "Reindexing…", "docRow("]:
+        assert feature in d, f"missing: {feature}"
+    assert 'id="documents-summary"' in HTML
+    assert "multiple" in HTML.split('id="doc-file-input"')[1].split(">")[0] or \
+        "multiple" in HTML.split('id="doc-file-input"')[0].rsplit("<input", 1)[1]
+
+
+async def test_config_patch_error_body_shape_matches_js_reader(client):
+    """The JS reads Array detail of {loc, msg}; the server must keep that
+    contract for invalid patches."""
+    r = await client.patch("/api/config", json={"not_a_section": {}})
+    assert r.status == 422
+    body = await r.json()
+    assert isinstance(body["detail"], list)
+    assert {"loc", "msg"} <= set(body["detail"][0].keys())
+
+
+async def test_providers_panel_route_surface(client):
+    """Drive every route the providers panel calls, including the failure
+    states its badges render from."""
+    r = await client.post("/api/providers", json={
+        "id": "drive-ollama", "type": "ollama",
+        "base_url": "http://127.0.0.1:1", "api_key": ""})
+    assert r.status == 200
+    r = await client.get("/api/providers")
+    ids = [p["id"] for p in (await r.json())["providers"]]
+    assert "drive-ollama" in ids
+    # test: unreachable provider must report ok=False + error (the ✗ state)
+    r = await client.post("/api/providers/test", json={
+        "type": "ollama", "base_url": "http://127.0.0.1:1", "api_key": ""})
+    body = await r.json()
+    assert body["ok"] is False and body.get("error")
+    # patch (Edit URL), then delete
+    r = await client.patch("/api/providers/drive-ollama",
+                           json={"base_url": "http://127.0.0.1:2"})
+    assert r.status == 200
+    r = await client.delete("/api/providers/drive-ollama")
+    assert r.status == 200
+    r = await client.delete("/api/providers/drive-ollama")
+    assert r.status == 404  # delete feedback path
+
+
+async def test_documents_panel_route_surface(client):
+    """Drive the per-doc affordance routes: list shape with chunks, delete
+    with chunks_removed, 404 surfacing, reindex count."""
+    r = await client.post("/api/sessions", json={})
+    sid = (await r.json())["id"]
+    r = await client.post(f"/api/sessions/{sid}/documents",
+                          json={"filename": "a.md", "text": "alpha " * 200})
+    assert r.status == 200
+    doc_id = (await r.json())["doc_id"]
+    r = await client.get(f"/api/sessions/{sid}/documents")
+    docs = (await r.json())["documents"]
+    assert docs and {"id", "filename", "chunks"} <= set(docs[0].keys())
+    assert docs[0]["chunks"] > 0
+    r = await client.post(f"/api/sessions/{sid}/documents/reindex")
+    assert (await r.json())["documents"] >= 1
+    r = await client.delete(f"/api/sessions/{sid}/documents/{doc_id}")
+    body = await r.json()
+    assert body["chunks_removed"] > 0
+    r = await client.delete(f"/api/sessions/{sid}/documents/{doc_id}")
+    assert r.status == 404  # the JS surfaces this as a delete-failed toast
