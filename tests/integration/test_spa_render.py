@@ -9,9 +9,12 @@ no JS runtime in this image, so the gate is three-layered:
    big-operator, accent, alphabet maps), keyword tables, and command lists are
    parsed out of the JS and compared key-for-key/value-for-value, so the twin
    cannot silently drift from what the browser actually runs.
-3. If a JS runtime (node/bun/qjs) ever appears on PATH, run the REAL JS
-   against the same cases (static/conformance.html does the same in a
-   browser via the verify-skill live drive).
+3. Execute the REAL JS in-process on jsrt, the in-repo ES-subset runtime
+   (tensortruth_tpu/jsrt, tests/integration/test_spa_exec.py) — every
+   golden case runs through the actual lib/markdown.js+tex.js+highlight.js,
+   and stores/ws-handlers run under a DOM shim. The node/bun/qjs path below
+   additionally cross-checks on a native engine if one ever appears on
+   PATH (static/conformance.html does the same in a browser).
 
 Reference parity: the reference renders math with katex + rehype-katex and
 code with rehype-highlight (reference frontend/package.json:37,48-49,
