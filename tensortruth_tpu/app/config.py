@@ -18,6 +18,10 @@ from pathlib import Path
 
 logger = logging.getLogger(__name__)
 
+# Behavioral constant reproduced verbatim from the reference's
+# history-cleaning contract (reference config_schema.py:190-198): these
+# exact regexes define which filler openers the cleaner strips, and
+# diverging from them would change cleaned-history parity.
 DEFAULT_FILLER_PHRASES = [
     r"(?i)^(great|good|excellent)\s+(question|point)[!.]*\s*",
     r"(?i)^i['']?d be happy to help[!.]*\s*",

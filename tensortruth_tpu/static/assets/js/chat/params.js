@@ -9,7 +9,7 @@ import {currentSessionId} from "../stores/session.js";
 
 export function fillParamsDrawer(params) {
   const d = $("params-drawer");
-  for (const inp of d.querySelectorAll("input[name], select[name]")) {
+  for (const inp of d.querySelectorAll("input[name], select[name], textarea[name]")) {
     const v = params[inp.name];
     if (v !== undefined && v !== null) inp.value = String(v);
   }
@@ -35,14 +35,15 @@ async function saveParams() {
   if (!currentSessionId()) return;
   const d = $("params-drawer");
   const params = {};
-  for (const inp of d.querySelectorAll("input[name], select[name]")) {
+  for (const inp of d.querySelectorAll("input[name], select[name], textarea[name]")) {
     // Empty = "use config default": send an explicit null so the server
     // DELETES the key — a merge-only patch could never un-set a saved
     // value (e.g. orchestrator_enabled back to auto after saving "off").
     if (inp.value === "") { params[inp.name] = null; continue; }
     let v = inp.value;
-    if (["temperature", "confidence_cutoff"].includes(inp.name)) v = parseFloat(v);
-    else if (["context_window", "reranker_top_n"].includes(inp.name)) v = parseInt(v, 10);
+    if (["temperature", "confidence_cutoff", "confidence_cutoff_hard"].includes(inp.name)) v = parseFloat(v);
+    else if (["context_window", "reranker_top_n", "max_tokens",
+              "max_iterations", "max_history_turns"].includes(inp.name)) v = parseInt(v, 10);
     else if (v === "true") v = true;
     else if (v === "false") v = false;
     params[inp.name] = v;

@@ -296,7 +296,10 @@ def test_params_drawer_fields_match_session_params():
     fields = set(re.findall(r'name="(\w+)"', drawer))
     expected = {"model", "temperature", "context_window", "reranker_top_n",
                 "use_reranker", "confidence_cutoff", "corpus_dtype",
-                "orchestrator_enabled", "thinking"}
+                "orchestrator_enabled", "thinking", "max_tokens",
+                "max_iterations", "max_history_turns",
+                "confidence_cutoff_hard", "reranker_model",
+                "custom_instructions"}
     assert fields == expected, fields ^ expected
 
     pkg = Path(__file__).resolve().parents[2] / "tensortruth_tpu"

@@ -286,3 +286,88 @@ def _collect_text(el) -> str:
 
     walk(el)
     return " ".join(out)
+
+
+class TestMcpPanelExecuted:
+    """The REAL panels/mcp.js runs: list rendering with connection badges,
+    env parsing, per-transport validation, preset auto-fill, submit."""
+
+    def setup_panel(self):
+        rt, shim = spa_runtime()
+        # canned API responses the panel fetches
+        routes = shim["fetchRoutes"]
+        from tensortruth_tpu.jsrt.builtins import set_member
+
+        set_member(routes, "/api/mcp-servers", to_js({"servers": [
+            {"name": "good", "transport": "stdio", "command": "npx", "args": [],
+             "enabled": True, "connection": {"status": "connected", "n_tools": 4}},
+            {"name": "bad", "transport": "sse", "url": "http://x",
+             "enabled": True, "connection": {"status": "error", "error": "refused"}},
+        ]}))
+        set_member(routes, "/api/mcp-servers/presets", to_js({"presets": [
+            {"name": "filesystem", "transport": "stdio", "command": "npx",
+             "args": ["-y", "@modelcontextprotocol/server-filesystem"],
+             "env": {"ROOT": "/data"}},
+        ]}))
+        mod = rt.load_module(JS / "panels" / "mcp.js")
+        # markup shell analog: the form's named controls
+        form = rt.interp.call_any(shim["getById"], ["mcp-form"])
+        controls = {}
+        for name in ("name", "transport", "command", "args", "url", "env"):
+            inp = rt.run_script(
+                f"let out = document.createElement('input');"
+            ).get("out")
+            controls[name] = inp
+        from tensortruth_tpu.jsrt.interp import JSObject
+
+        set_member(form, "elements", JSObject(controls))
+        return rt, shim, mod, form, controls
+
+    def test_env_parsing_and_validation_logic(self):
+        rt, shim, mod, *_ = self.setup_panel()
+        parse = mod["parseEnvLines"]
+        ok = from_js(rt.interp.call_any(parse, ["A=1\nB=two words\n\n"]))
+        assert ok == {"env": {"A": "1", "B": "two words"}, "error": None}
+        bad = from_js(rt.interp.call_any(parse, ["NOEQUALS"]))
+        assert "KEY=VALUE" in bad["error"]
+
+        validate = mod["validateMcpForm"]
+        assert from_js(rt.interp.call_any(validate, [to_js(
+            {"name": "x", "transport": "stdio", "command": "npx"})])) is None
+        assert "need a command" in rt.interp.call_any(validate, [to_js(
+            {"name": "x", "transport": "stdio", "command": ""})])
+        assert "http(s) url" in rt.interp.call_any(validate, [to_js(
+            {"name": "x", "transport": "sse", "url": "not-a-url"})])
+        assert "slug" in rt.interp.call_any(validate, [to_js(
+            {"name": "bad name!", "transport": "stdio", "command": "c"})])
+
+    def test_load_renders_connection_badges(self):
+        rt, shim, mod, *_ = self.setup_panel()
+        rt.interp.call_any(mod["loadMcpPanel"], [])
+        rt.drain_jobs()
+        box = rt.interp.call_any(shim["getById"], ["mcp-list"])
+        text = _collect_text(box)
+        assert "good" in text and "✓ 4 tools" in text
+        assert "bad" in text and "⚠ refused" in text
+        badges = rt.interp.call_any(
+            _class_method(rt, box, "querySelectorAll"), [".badge"])
+        labels = [b.props.get("_text") for b in badges]
+        assert "connected" in labels and "error" in labels
+
+    def test_preset_autofills_form(self):
+        rt, shim, mod, form, controls = self.setup_panel()
+        rt.interp.call_any(mod["loadMcpPanel"], [])
+        rt.interp.call_any(mod["wireMcpPanel"], [])
+        rt.drain_jobs()
+        sel = rt.interp.call_any(shim["getById"], ["mcp-preset-select"])
+        # user picks the preset
+        from tensortruth_tpu.jsrt.builtins import set_member
+        from tensortruth_tpu.jsrt.interp import JSObject
+
+        set_member(sel, "value", "filesystem")
+        handler = sel.props.get("onchange")
+        rt.interp.call_any(handler, [JSObject({"target": sel})])
+        rt.drain_jobs()
+        assert controls["command"].props.get("value") == "npx"
+        assert "server-filesystem" in controls["args"].props.get("value")
+        assert controls["env"].props.get("value") == "ROOT=/data"
