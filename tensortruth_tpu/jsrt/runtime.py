@@ -421,6 +421,10 @@ def make_globals(rt: Runtime) -> Env:
         "isFinite": lambda v=UNDEF: _math.isfinite(B.to_number(v)),
         "setTimeout": set_timeout,
         "clearTimeout": clear_timeout,
+        # intervals fire ONCE under the virtual clock: a real repeat would
+        # make drain_jobs spin forever; one tick exercises the callback
+        "setInterval": set_timeout,
+        "clearInterval": clear_timeout,
         "queueMicrotask": lambda fn=UNDEF: (
             rt.microtasks.append(lambda: rt.interp.call_any(fn, [])), UNDEF)[1],
         "encodeURIComponent": lambda s="": __import__("urllib.parse", fromlist=["quote"]).quote(

@@ -116,6 +116,14 @@ class Element {
     return out;
   }
   addEventListener(type, fn) { this["on" + type] = fn; }
+  closest(sel) {
+    let cur = this;
+    while (cur) {
+      if (cur.matches && cur.matches(sel)) { return cur; }
+      cur = cur.parentNode;
+    }
+    return null;
+  }
   focus() { }
   click() { if (this.onclick) { this.onclick({target: this, preventDefault: () => {}}); } }
   scrollIntoView() { }
@@ -141,13 +149,28 @@ const documentShim = {
     return byId.get(id);
   },
   querySelector: sel => {
-    if (sel.startsWith("#")) { return documentShim.getElementById(sel.slice(1)); }
+    // "#id" and the "#id .cls" descendant form app.js uses
+    const parts = sel.split(/\s+/);
+    if (parts[0].startsWith("#")) {
+      const root = documentShim.getElementById(parts[0].slice(1));
+      if (parts.length === 1) { return root; }
+      return root.querySelector(parts.slice(1).join(" "));
+    }
     return null;
   },
-  querySelectorAll: () => [],
+  querySelectorAll: sel => {
+    const parts = sel.split(/\s+/);
+    if (parts.length === 2 && parts[0].startsWith("#")) {
+      return documentShim.getElementById(parts[0].slice(1))
+        .querySelectorAll(parts[1]);
+    }
+    return [];
+  },
   body: new Element("body"),
   documentElement: new Element("html"),
-  addEventListener: () => {},
+  listeners: {},
+  addEventListener: function(type, fn) { documentShim.listeners[type] = fn; },
+  createRange: () => ({selectNodeContents: () => {}, }),
 };
 
 class FakeWebSocket {

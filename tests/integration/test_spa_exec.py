@@ -371,3 +371,80 @@ class TestMcpPanelExecuted:
         assert controls["command"].props.get("value") == "npx"
         assert "server-filesystem" in controls["args"].props.get("value")
         assert controls["env"].props.get("value") == "ROOT=/data"
+
+
+class TestAppBootExecuted:
+    """The WHOLE SPA boots on jsrt: app.js wires every panel/view/chat
+    module, runs the initial data load, and opens the first session — the
+    executed analog of the reference's App.tsx render test."""
+
+    BOOT_ROUTES = {
+        "/api/startup/status": {"index_count": 2,
+                                "modules_configured": ["numpy"],
+                                "indexes_present": True},
+        "/api/system/devices": {"backend": "tpu", "devices": []},
+        "/api/sessions": {"sessions": [
+            {"id": "s1", "title": "First", "params": {},
+             "updated_at": "2026-08-20"}]},
+        "/api/modules": {"modules": [{"module": "numpy", "doc_type": "library"}]},
+        "/api/projects": {"projects": []},
+        "/api/sessions/s1": {"id": "s1", "title": "First", "params": {},
+                             "messages": []},
+        "/api/commands": {"commands": []},
+        "/api/providers/discover": {},
+        "/api/config/model-capabilities": {"capabilities": []},
+        "/api/system/memory": {"ram": {}, "devices": []},
+    }
+
+    def boot(self, overrides=None):
+        from tensortruth_tpu.jsrt.builtins import set_member
+
+        rt, shim = spa_runtime()
+        routes = dict(self.BOOT_ROUTES)
+        routes.update(overrides or {})
+        for path, body in routes.items():
+            set_member(shim["fetchRoutes"], path, to_js(body))
+        rt.load_module(JS / "app.js")
+        rt.drain_jobs()
+        return rt, shim
+
+    def test_boot_loads_and_opens_first_session(self):
+        rt, shim = self.boot()
+        status = rt.interp.call_any(shim["getById"], ["status-bar"])
+        assert status.props.get("_text") == "tpu · 2 indexes · 1 modules"
+        sessions = rt.interp.call_any(shim["getById"], ["sessions"])
+        assert len(sessions.props.get("children", [])) == 1
+        fetched = {e["path"] for e in from_js(shim["fetchLog"])}
+        # the boot data load hit every primary surface, including opening
+        # the existing session (the auto-click path)
+        for path in ("/api/startup/status", "/api/system/devices",
+                     "/api/sessions", "/api/modules", "/api/projects",
+                     "/api/sessions/s1"):
+            assert path in fetched, f"boot never fetched {path}"
+        assert rt.console_lines == [], rt.console_lines
+
+    def test_boot_wires_every_panel(self):
+        rt, shim = self.boot()
+        for el_id in ("config-save", "provider-form", "mcp-form",
+                      "doc-upload-btn", "extensions-reload", "params-save",
+                      "stop-btn", "theme-btn"):
+            el = rt.interp.call_any(shim["getById"], [el_id])
+            handlers = [el.props.get(h) for h in
+                        ("onclick", "onsubmit", "onchange")]
+            assert any(h is not None and h is not False and
+                       not isinstance(h, type(None)) and str(h) != "undefined"
+                       for h in handlers if h is not None) or any(
+                h is not None for h in handlers
+            ), f"{el_id} was never wired"
+
+    def test_fresh_install_shows_wizard(self):
+        rt, shim = self.boot(overrides={
+            "/api/startup/status": {"index_count": 0,
+                                    "modules_configured": [],
+                                    "indexes_present": False},
+            "/api/sessions": {"sessions": []},
+        })
+        wizard = rt.interp.call_any(shim["getById"], ["wizard"])
+        style = wizard.props.get("style")
+        display = style.props.get("display") if hasattr(style, "props") else None
+        assert display not in (None, "none"), "wizard not shown on fresh install"
