@@ -105,6 +105,26 @@ export function renderWelcome() {
 // (failed / skipped / filtered) the way the reference greys them out.
 const STATUS_BADGES = {failed: "failed", skipped: "skipped", filtered: "filtered"};
 
+// Doc-type glyph + per-score confidence level (reference SourceCard
+// renderIcon + getConfidenceBadgeVariant thresholds: ≥0.7 high,
+// 0.4–0.7 medium, else low).
+const TYPE_ICONS = {
+  paper: "📄", book: "📚", web: "🌐", uploaded_pdf: "📑",
+  library_doc: "📦", library: "📦",
+};
+
+export function scoreConfidence(score) {
+  if (score == null) return null;
+  return score >= 0.7 ? "high" : score >= 0.4 ? "medium" : "low";
+}
+
+// "pdf_544414ce_elms-eye-tracking.pdf" → "elms-eye-tracking.pdf"
+// (reference SourceCard filename cleanup: internal doc-id prefixes are
+// implementation noise, not something the reader should parse)
+export function cleanSourceName(name) {
+  return String(name || "").replace(/^(pdf|doc|url|text|arxiv)_[0-9a-f]{6,12}_/, "");
+}
+
 export function renderSources(container, sources) {
   if (!sources || !sources.length) return;
   const det = el("details", "sources");
@@ -112,10 +132,26 @@ export function renderSources(container, sources) {
   for (const s of sources) {
     const item = el("div", "source-item");
     const score = el("span", "score", s.score != null ? s.score.toFixed(2) : "—");
+    const level = scoreConfidence(s.score);
+    if (level) {
+      score.classList.add("conf-" + level);
+      score.title = {high: "strong match (≥0.70)",
+                     medium: "moderate match (0.40–0.70)",
+                     low: "weak match (<0.40)"}[level];
+    }
     item.appendChild(score);
+    const docType = s.metadata?.doc_type || s.type;
+    const icon = TYPE_ICONS[docType];
+    if (icon) item.appendChild(el("span", "src-icon", icon + " "));
+    const name = cleanSourceName(
+      s.metadata?.display_name || s.title || s.metadata?.filename || s.id || "source");
     item.appendChild(document.createTextNode(
-      (s.title || s.metadata?.filename || s.id || "source") +
-      (s.metadata?.module ? ` · ${s.metadata.module}` : "")));
+      name + (s.metadata?.module ? ` · ${s.metadata.module}` : "")));
+    // authors + page metadata line (reference SourceCard metadata rows)
+    const meta = [];
+    if (s.metadata?.authors) meta.push(String(s.metadata.authors));
+    if (s.metadata?.page != null) meta.push(`p. ${s.metadata.page}`);
+    if (meta.length) item.appendChild(el("span", "src-meta", " — " + meta.join(" · ")));
     // source-type chip (reference SourceCard type badges): web sources
     // read differently from indexed chunks in a mixed orchestrator answer
     if (s.type && s.type !== "library_doc")
@@ -161,21 +197,38 @@ export function renderMetrics(container, metrics, confidence) {
   }
   det.appendChild(sum);
   const grid = el("div", "mgrid");
-  const put = (k, v) => {
+  const put = (k, v, tip) => {
     const d = el("div", "", k + " ");
     const b = el("b", "", v == null ? "—" : String(v));
     d.appendChild(b);
+    if (tip) { d.title = tip; d.classList.add("has-tip"); }
     grid.appendChild(d);
   };
   const f2 = x => x == null ? null : (+x).toFixed(2);
-  put("score mean", f2(sd.mean)); put("median", f2(sd.median));
-  put("min", f2(sd.min)); put("max", f2(sd.max)); put("std", f2(sd.std));
-  put("unique sources", dv.unique_sources); put("doc types", dv.unique_doc_types);
-  put("entropy", f2(dv.source_entropy));
-  put("chunks", cv.total_chunks); put("chars", cv.total_chars);
-  put("est tokens", cv.estimated_tokens);
-  put("high-score ratio", f2(ql.high_score_ratio));
-  put("low-score ratio", f2(ql.low_score_ratio));
+  // Per-metric interpretation tooltips (reference SourceCard
+  // getMedianTooltip/getIQRTooltip/… reduced to their guidance line).
+  put("score mean", f2(sd.mean),
+      "Average source relevance; below ~0.4 means the corpus barely covers this query.");
+  put("median", f2(sd.median),
+      "Middle relevance score — half the sources score above, half below.");
+  put("min", f2(sd.min)); put("max", f2(sd.max));
+  put("std", f2(sd.std),
+      "Score spread: low = uniform quality, high = a few strong hits over noise.");
+  put("unique sources", dv.unique_sources,
+      "Distinct documents behind the chunks — breadth of evidence.");
+  put("doc types", dv.unique_doc_types,
+      "Distinct source kinds (papers, docs, web) contributing context.");
+  put("entropy", f2(dv.source_entropy),
+      "How evenly chunks spread across documents: 0 = one doc dominates.");
+  put("chunks", cv.total_chunks,
+      "Passages retrieved for context — more is broader but slower.");
+  put("chars", cv.total_chars);
+  put("est tokens", cv.estimated_tokens,
+      "Approximate context budget these sources consume.");
+  put("high-score ratio", f2(ql.high_score_ratio),
+      "Fraction scoring ≥0.7 — strong matches.");
+  put("low-score ratio", f2(ql.low_score_ratio),
+      "Fraction scoring <0.4 — noise; high values suggest narrowing the query.");
   det.appendChild(grid);
   container.appendChild(det);
 }

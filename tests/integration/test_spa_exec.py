@@ -448,3 +448,68 @@ class TestAppBootExecuted:
         style = wizard.props.get("style")
         display = style.props.get("display") if hasattr(style, "props") else None
         assert display not in (None, "none"), "wizard not shown on fresh install"
+
+
+class TestSourceCardsExecuted:
+    """The REAL chat/messages.js source-card rendering: confidence levels,
+    doc-type icons, filename cleanup, metadata rows (reference
+    SourceCard.tsx parity)."""
+
+    def render(self, sources):
+        rt, shim = spa_runtime()
+        mod = rt.load_module(JS / "chat" / "messages.js")
+        container = rt.run_script("let out = document.createElement('div');").get("out")
+        rt.interp.call_any(mod["renderSources"], [container, to_js(sources)])
+        return rt, mod, container
+
+    def test_confidence_levels_and_cleanup(self):
+        rt, mod, box = self.render([
+            {"id": "a", "score": 0.91, "title": "Strong",
+             "metadata": {"module": "numpy", "doc_type": "paper",
+                          "authors": "A. One", "page": 7}},
+            {"id": "b", "score": 0.55, "metadata": {
+                "filename": "pdf_544414ce_elms-eye-tracking.pdf"}},
+            {"id": "c", "score": 0.12, "title": "Weak", "metadata": {}},
+        ])
+        scores = rt.interp.call_any(_class_method(rt, box, "querySelectorAll"), [".score"])
+        classes = [s.props.get("_cls") for s in scores]
+        assert any("conf-high" in c for c in classes)
+        assert any("conf-medium" in c for c in classes)
+        assert any("conf-low" in c for c in classes)
+        text = _collect_text(box)
+        assert "elms-eye-tracking.pdf" in text
+        assert "pdf_544414ce_" not in text  # internal id prefix stripped
+        assert "A. One" in text and "p. 7" in text  # metadata row
+        assert "📄" in text  # paper icon
+
+    def test_clean_source_name_contract(self):
+        rt, mod, _ = self.render([])
+        clean = mod["cleanSourceName"]
+        for raw, want in [
+            ("pdf_544414ce_paper.pdf", "paper.pdf"),
+            ("url_ab12cd34_page.md", "page.md"),
+            ("plain-name.md", "plain-name.md"),
+            ("pdf_nothex!!_x", "pdf_nothex!!_x"),
+        ]:
+            assert rt.interp.call_any(clean, [raw]) == want
+
+    def test_metrics_tooltips_present(self):
+        rt, shim = spa_runtime()
+        mod = rt.load_module(JS / "chat" / "messages.js")
+        container = rt.run_script("let out = document.createElement('div');").get("out")
+        metrics = {
+            "score_distribution": {"mean": 0.6, "median": 0.62, "min": 0.2,
+                                   "max": 0.9, "std": 0.2},
+            "diversity": {"unique_sources": 3, "unique_doc_types": 2,
+                          "source_entropy": 1.1},
+            "coverage": {"total_chunks": 5, "total_chars": 4000,
+                         "estimated_tokens": 1000},
+            "quality": {"high_score_ratio": 0.4, "low_score_ratio": 0.2},
+        }
+        rt.interp.call_any(mod["renderMetrics"],
+                           [container, to_js(metrics), "normal"])
+        tips = rt.interp.call_any(
+            _class_method(rt, container, "querySelectorAll"), [".has-tip"])
+        assert len(tips) >= 8
+        titles = [t.props.get("title") for t in tips]
+        assert any("relevance" in (t or "") for t in titles)
