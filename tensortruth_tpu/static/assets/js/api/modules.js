@@ -4,6 +4,12 @@
 
 import {api} from "./client.js";
 
-export function listModules() { return api("/modules"); }
+export function listModules(embeddingModel) {
+  // reference ModuleSelector filters modules by the embedding model whose
+  // index dir they live in; the route accepts ?embedding_model=
+  return api(embeddingModel
+    ? `/modules?embedding_model=${encodeURIComponent(embeddingModel)}`
+    : "/modules");
+}
 export function listEmbeddingModels() { return api("/embedding-models"); }
 export function listRerankers() { return api("/rerankers"); }

@@ -103,11 +103,10 @@ async function onThinkingPick() {
 
 export function wireComposer() {
   $("thinking-select").onchange = onThinkingPick;
-  $("attach-btn").onclick = () => $("image-input").click();
-  $("image-input").onchange = ev => {
-    const file = ev.target.files[0];
-    ev.target.value = "";
-    if (!file) return;
+  // One attach path for picker, clipboard paste, and drag-drop (reference
+  // useImageAttachment.ts: handleFileSelect / handlePaste / handleDrop).
+  const attachFile = file => {
+    if (!file || !file.type || !file.type.startsWith("image/")) return false;
     const reader = new FileReader();
     reader.onload = () => {
       pendingDataUrls.push(String(reader.result));
@@ -115,7 +114,33 @@ export function wireComposer() {
       renderAttachRow();
     };
     reader.readAsDataURL(file);
+    return true;
   };
+  $("attach-btn").onclick = () => $("image-input").click();
+  $("image-input").onchange = ev => {
+    const files = [...ev.target.files];
+    ev.target.value = "";
+    for (const f of files) attachFile(f);
+  };
+  $("input").addEventListener("paste", ev => {
+    const items = ev.clipboardData && ev.clipboardData.items;
+    for (const it of items || []) {
+      if (it.type && it.type.startsWith("image/") && attachFile(it.getAsFile()))
+        ev.preventDefault();  // keep the image out of the textarea as text
+    }
+  });
+  const comp = $("composer");
+  comp.addEventListener("dragover", ev => {
+    ev.preventDefault();
+    comp.classList.add("dragging");
+  });
+  comp.addEventListener("dragleave", () => comp.classList.remove("dragging"));
+  comp.addEventListener("drop", ev => {
+    ev.preventDefault();
+    comp.classList.remove("dragging");
+    const files = (ev.dataTransfer && ev.dataTransfer.files) || [];
+    for (const f of files) attachFile(f);
+  });
 
   $("composer").onsubmit = ev => {
     ev.preventDefault();

@@ -912,3 +912,19 @@ async def test_documents_panel_route_surface(client):
     assert body["chunks_removed"] > 0
     r = await client.delete(f"/api/sessions/{sid}/documents/{doc_id}")
     assert r.status == 404  # the JS surfaces this as a delete-failed toast
+
+
+def test_image_paste_and_drop_wired():
+    """Clipboard-paste and drag-drop images reach the same attach path as
+    the picker (reference useImageAttachment.ts parity)."""
+    comp = JS["chat/composer.js"]
+    for feature in ["attachFile", 'addEventListener("paste"', "clipboardData",
+                    '"dragover"', '"drop"', "dataTransfer",
+                    'startsWith("image/")']:
+        assert feature in comp, f"missing: {feature}"
+    assert "#composer.dragging" in CSS
+
+
+def test_modules_client_supports_model_filter():
+    mods = JS["api/modules.js"]
+    assert "embedding_model=" in mods  # reference ModuleSelector filter
