@@ -513,3 +513,105 @@ class TestSourceCardsExecuted:
         assert len(tips) >= 8
         titles = [t.props.get("title") for t in tips]
         assert any("relevance" in (t or "") for t in titles)
+
+
+class TestWizardExecuted:
+    """The REAL wizard/wizard.js runs its 5-step first-run flow: env check,
+    provider test + auto-add, knowledge build with task polling, finish
+    marks completion (reference components/startup flow)."""
+
+    ROUTES = {
+        "/api/system/devices": {"backend": "tpu",
+                                "devices": [{"kind": "TPU v5e"}]},
+        "/api/system/memory": {"ram": {"total": 8 * 2**30,
+                                       "available": 6 * 2**30}},
+        "/api/providers/test": {"ok": True, "models": [
+            {"name": "llama3"}, {"name": "qwen"}]},
+        "/api/providers": {"status": "ok"},
+        "/api/startup/status": {"indexes_present": False, "index_count": 0,
+                                "modules_configured": ["numpy"],
+                                "default_embedding_model": "tiny"},
+        "/api/startup/available-indexes": {"indexes": []},
+        "/api/startup/download-indexes": {"task_id": "t1"},
+        "/api/tasks/t1": {"status": "completed", "stage": "built numpy",
+                          "progress": 1, "total": 1},
+        "/api/modules": {"modules": []},
+    }
+
+    def boot_wizard(self):
+        from tensortruth_tpu.jsrt.builtins import set_member
+
+        rt, shim = spa_runtime()
+        for path, body in self.ROUTES.items():
+            set_member(shim["fetchRoutes"], path, to_js(body))
+        mod = rt.load_module(JS / "wizard" / "wizard.js")
+        rt.interp.call_any(mod["wireWizard"], [])
+        rt.interp.call_any(mod["wizardShow"], [True])
+        rt.drain_jobs()
+        return rt, shim, mod
+
+    def el(self, rt, shim, el_id):
+        return rt.interp.call_any(shim["getById"], [el_id])
+
+    def click(self, rt, node):
+        rt.interp.call_any(_class_method(rt, node, "click"), [])
+        rt.drain_jobs()
+
+    def test_full_flow_to_finish(self):
+        rt, shim, mod = self.boot_wizard()
+        title = self.el(rt, shim, "wizard-title")
+        assert title.props.get("_text") == "Welcome (1/5)"
+        body = self.el(rt, shim, "wizard-body")
+        assert "✓ environment OK" in _collect_text(body)
+        assert "tpu" in _collect_text(body)
+
+        nxt = self.el(rt, shim, "wizard-next")
+        self.click(rt, nxt)  # -> Provider
+        assert title.props.get("_text") == "Provider (2/5)"
+        url = self.el(rt, shim, "wiz-purl")
+        from tensortruth_tpu.jsrt.builtins import set_member
+
+        set_member(url, "value", "http://localhost:11434")
+        test_btn = rt.interp.call_any(
+            _class_method(rt, body, "querySelector"), ["button"])
+        self.click(rt, test_btn)
+        assert "✓ reachable — 2 models" in _collect_text(body)
+        posts = [e for e in from_js(shim["fetchLog"])
+                 if e["path"] == "/api/providers" and e["opts"]]
+        assert posts, "provider was not auto-added after a successful test"
+
+        self.click(rt, nxt)  # -> Knowledge
+        assert title.props.get("_text") == "Knowledge (3/5)"
+        build_btn = rt.interp.call_any(
+            _class_method(rt, body, "querySelector"), ["button"])
+        assert "Build 1 configured module" in build_btn.props.get("_text")
+        self.click(rt, build_btn)
+        assert "completed" in _collect_text(body)  # watchTask polled t1
+
+        self.click(rt, nxt)  # -> Model
+        self.click(rt, nxt)  # -> Done
+        assert title.props.get("_text") == "Done (5/5)"
+        assert "sessions can still upload documents" in _collect_text(body)
+        assert nxt.props.get("_text") == "Finish"
+        self.click(rt, nxt)  # Finish
+        wizard = self.el(rt, shim, "wizard")
+        style = wizard.props.get("style")
+        assert style.props.get("display") == "none"
+        # completion persisted: the boot path must not reopen the wizard
+        ls = rt.globals.get("localStorage")
+        from tensortruth_tpu.jsrt.builtins import get_member
+
+        get_item = get_member(ls, "getItem", rt.interp)
+        assert rt.interp.call_any(get_item, ["tt_wizard_done"]) == "1"
+
+    def test_back_and_skip(self):
+        rt, shim, mod = self.boot_wizard()
+        nxt = self.el(rt, shim, "wizard-next")
+        back = self.el(rt, shim, "wizard-back")
+        title = self.el(rt, shim, "wizard-title")
+        self.click(rt, nxt)
+        self.click(rt, back)
+        assert title.props.get("_text") == "Welcome (1/5)"
+        self.click(rt, self.el(rt, shim, "wizard-skip"))
+        wizard = self.el(rt, shim, "wizard")
+        assert wizard.props.get("style").props.get("display") == "none"
