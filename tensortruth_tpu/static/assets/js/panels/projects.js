@@ -4,7 +4,7 @@
 import {listModules} from "../api/modules.js";
 import {
   addCatalogModule, createProject, createProjectSession, deleteProject,
-  listProjects, patchIndexingConfig, removeCatalogModule,
+  listProjects, patchIndexingConfig, patchProject, removeCatalogModule,
 } from "../api/projects.js";
 import {$, el} from "../lib/dom.js";
 import {openSession, loadProjects} from "../views/sidebar.js";
@@ -15,13 +15,32 @@ export async function loadProjectsPanel() {
   const box = $("projects-list"); box.innerHTML = "";
   if (!projects.projects.length) box.appendChild(el("div", "dim", "No projects yet."));
   for (const pr of projects.projects) {
-    const row = rowItem(pr.name, `modules: ${(pr.modules || []).join(", ") || "none"}`, [
+    const sysPrompt = (pr.config || {}).system_prompt || pr.system_prompt || "";
+    const row = rowItem(pr.name,
+      `modules: ${(pr.modules || []).join(", ") || "none"}` +
+      (sysPrompt ? ` · prompt: ${sysPrompt.slice(0, 60)}` : ""), [
       ["+ Session", "primary", async () => {
         const s = await createProjectSession(pr.id);
         showManage(false);
         await openSession(s.id);
       }],
+      ["Rename", "", async () => {
+        // reference ProjectConfigPanel name editing
+        const name = prompt(`Rename project "${pr.name}" to:`, pr.name);
+        if (name === null || !name.trim() || name === pr.name) return;
+        await patchProject(pr.id, {name: name.trim()});
+        loadProjectsPanel(); loadProjects();
+      }],
+      ["Prompt", "", async () => {
+        // reference ProjectConfigPanel system-prompt editing; empty clears
+        const sp = prompt(
+          `System prompt for "${pr.name}" (empty clears):`, sysPrompt);
+        if (sp === null) return;
+        await patchProject(pr.id, {system_prompt: sp.trim() || null});
+        loadProjectsPanel();
+      }],
       ["Delete", "danger", async () => {
+        if (!confirm(`Delete project ${pr.name} and its scope index?`)) return;
         await deleteProject(pr.id);
         loadProjectsPanel(); loadProjects();
       }],

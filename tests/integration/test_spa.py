@@ -928,3 +928,25 @@ def test_image_paste_and_drop_wired():
 def test_modules_client_supports_model_filter():
     mods = JS["api/modules.js"]
     assert "embedding_model=" in mods  # reference ModuleSelector filter
+
+
+async def test_projects_panel_rename_and_prompt_routes(client):
+    """The Rename/Prompt buttons PATCH name/system_prompt (reference
+    ProjectConfigPanel editing); drive the exact payload shapes the JS sends."""
+    r = await client.post("/api/projects", json={"name": "alpha"})
+    pid = (await r.json())["id"]
+    r = await client.patch(f"/api/projects/{pid}", json={"name": "beta"})
+    assert r.status == 200
+    r = await client.patch(f"/api/projects/{pid}",
+                           json={"system_prompt": "answer in haiku"})
+    assert r.status == 200
+    r = await client.get(f"/api/projects/{pid}")
+    body = await r.json()
+    assert body["name"] == "beta"
+    sp = (body.get("config") or {}).get("system_prompt") or body.get("system_prompt")
+    assert sp == "answer in haiku"
+    # clearing via null (the JS sends null for an emptied prompt)
+    r = await client.patch(f"/api/projects/{pid}", json={"system_prompt": None})
+    assert r.status == 200
+    r = await client.delete(f"/api/projects/{pid}")
+    assert r.status == 200
