@@ -615,3 +615,91 @@ class TestWizardExecuted:
         self.click(rt, self.el(rt, shim, "wizard-skip"))
         wizard = self.el(rt, shim, "wizard")
         assert wizard.props.get("style").props.get("display") == "none"
+
+
+def test_every_spa_module_parses_on_jsrt():
+    """Every JS file in the SPA must stay inside jsrt's ES subset — a
+    module we never execute in a scenario still gets parsed, so new syntax
+    that CI could not run fails HERE, not silently in the browser-only
+    path."""
+    from tensortruth_tpu.jsrt import parse
+
+    files = sorted(JS.rglob("*.js"))
+    assert len(files) >= 30
+    for f in files:
+        parse(f.read_text(encoding="utf-8"), str(f))  # raises on drift
+
+
+class TestComposerSendExecuted:
+    """The REAL composer -> send.js -> ws.js round trip: submit renders the
+    user message and puts the payload on the wire; mid-stream submits are
+    blocked; slash-command autocomplete filters and accepts."""
+
+    def setup_chat(self):
+        from tensortruth_tpu.jsrt.builtins import set_member
+
+        rt, shim = spa_runtime()
+        set_member(shim["fetchRoutes"], "/api/commands", to_js({"commands": [
+            {"name": "help", "description": "list commands"},
+            {"name": "web", "description": "web research"},
+        ]}))
+        session = rt.load_module(JS / "stores" / "session.js")
+        rt.interp.call_any(session["sessionStore"].props["set"],
+                           [to_js({"current": "s1"})])
+        ws_mod = rt.load_module(JS / "chat" / "ws.js")
+        comp_mod = rt.load_module(JS / "chat" / "composer.js")
+        rt.interp.call_any(comp_mod["wireComposer"], [])
+        rt.interp.call_any(ws_mod["connectWS"], [])
+        rt.drain_jobs()
+        sock = rt.interp.call_any(shim["lastSocket"], [])
+        return rt, shim, sock
+
+    def submit(self, rt, shim, text):
+        from tensortruth_tpu.jsrt.builtins import set_member
+        from tensortruth_tpu.jsrt.interp import JSObject
+
+        inp = rt.interp.call_any(shim["getById"], ["input"])
+        set_member(inp, "value", text)
+        form = rt.interp.call_any(shim["getById"], ["composer"])
+        handler = form.props.get("onsubmit")
+        rt.interp.call_any(handler, [JSObject({"preventDefault": lambda: None})])
+        rt.drain_jobs()
+        return inp
+
+    def test_submit_sends_payload_and_renders_user_message(self):
+        rt, shim, sock = self.setup_chat()
+        inp = self.submit(rt, shim, "what is the MXU?")
+        sent = [json.loads(s) for s in from_js(sock.props.get("sent"))]
+        assert {"message": "what is the MXU?"} in sent
+        msgs = rt.interp.call_any(shim["getById"], ["messages"])
+        assert "what is the MXU?" in _collect_text(msgs)
+        assert inp.props.get("value") == ""  # cleared only on success
+
+    def test_midstream_submit_blocked(self):
+        rt, shim, sock = self.setup_chat()
+        # a token puts the stream into streaming state
+        rt.interp.call_any(_class_method(rt, sock, "receive"),
+                           [to_js({"type": "token", "content": "partial"})])
+        rt.drain_jobs()
+        inp = self.submit(rt, shim, "too early")
+        sent = [json.loads(s) for s in from_js(sock.props.get("sent"))]
+        assert {"message": "too early"} not in sent
+        assert inp.props.get("value") == "too early"  # preserved, not dropped
+
+    def test_command_autocomplete_filters_and_accepts(self):
+        from tensortruth_tpu.jsrt.builtins import set_member
+        from tensortruth_tpu.jsrt.interp import JSObject
+
+        rt, shim, sock = self.setup_chat()
+        inp = rt.interp.call_any(shim["getById"], ["input"])
+        set_member(inp, "value", "/he")
+        rt.interp.call_any(inp.props.get("oninput"), [JSObject({})])
+        rt.drain_jobs()
+        menu = rt.interp.call_any(shim["getById"], ["cmd-menu"])
+        text = _collect_text(menu)
+        assert "help" in text and "web" not in text  # prefix-filtered
+        # Tab accepts the selected command into the input
+        rt.interp.call_any(inp.props.get("onkeydown"), [JSObject({
+            "key": "Tab", "preventDefault": lambda: None})])
+        rt.drain_jobs()
+        assert inp.props.get("value") == "/help "
