@@ -3,6 +3,7 @@
 import {api, del, patch, post} from "./client.js";
 
 export function listProjects() { return api("/projects"); }
+export function getProject(id) { return api(`/projects/${id}`); }
 export function createProject(body) { return post("/projects", body); }
 export function patchProject(id, body) { return patch(`/projects/${id}`, body); }
 export function deleteProject(id) { return del(`/projects/${id}`); }

@@ -8,6 +8,7 @@ import {startupStatus} from "./api/startup.js";
 import {systemDevices} from "./api/system.js";
 import {wireComposer} from "./chat/composer.js";
 import {wireModelSelect} from "./chat/modelselect.js";
+import {wireModulePicker} from "./chat/modulepicker.js";
 import {wireParamsDrawer} from "./chat/params.js";
 import {stopStreaming} from "./chat/ws.js";
 import {$, toast} from "./lib/dom.js";
@@ -94,6 +95,7 @@ wireSidebar();
 wireManage();
 wireComposer();
 wireModelSelect();
+wireModulePicker();
 wireMemstrip();
 wireParamsDrawer();
 wireWizard();

@@ -11,7 +11,7 @@ import {
 } from "../api/projects.js";
 import {
   createSession, deleteSession, getSession, listSessions as listSessionsApi,
-  imageUrl, patchSession, patchSessionRaw,
+  imageUrl, patchSession,
 } from "../api/sessions.js";
 import {$, el, toast} from "../lib/dom.js";
 import {renderMarkdown} from "../lib/markdown.js";
@@ -21,6 +21,7 @@ import {
   renderWelcome,
 } from "../chat/messages.js";
 import {refreshModelSelect} from "../chat/modelselect.js";
+import {syncModulePicker} from "../chat/modulepicker.js";
 import {fillParamsDrawer} from "../chat/params.js";
 import {syncThinkingSelect} from "../chat/composer.js";
 import {closeWS, connectWS} from "../chat/ws.js";
@@ -45,20 +46,13 @@ export async function loadProjects() {
   sessionStore.set({});  // re-render groups
 }
 
+// Module catalog preload (badge + welcome card use the count; the picker
+// itself refetches filtered by the session's embedding model on open).
+export let moduleCatalog = [];
+
 export async function loadModules() {
   const data = await listModules();
-  const sel = $("modules-select"); sel.innerHTML = "";
-  for (const m of data.modules) {
-    const opt = el("option", "", `${m.module} (${m.doc_type})`);
-    opt.value = m.id;
-    sel.appendChild(opt);
-  }
-  sel.size = Math.min(4, Math.max(1, data.modules.length));
-  $("modules-row").style.display = data.modules.length ? "block" : "none";
-}
-
-export function selectedModules() {
-  return [...$("modules-select").selectedOptions].map(o => o.value);
+  moduleCatalog = data.modules || [];
 }
 
 // Long-session hygiene (reference virtualizes with react-virtuoso): opening
@@ -110,9 +104,7 @@ export async function openSession(id, opts) {
   fillParamsDrawer(session.params || {});
   syncThinkingSelect(session.params || {});
   refreshModelSelect(session.params || {});
-  // reflect the session's modules in the sidebar picker
-  const mset = new Set(session.modules || []);
-  for (const opt of $("modules-select").options) opt.selected = mset.has(opt.value);
+  syncModulePicker(session);  // composer badge reflects the saved modules
   connectWS();
   loadSessions();
 }
@@ -234,22 +226,16 @@ export function wireSidebar() {
   });
 
   $("new-session").onclick = async () => {
-    const s = await createSession({modules: selectedModules()});
+    // modules are picked per-session afterwards via the composer's module
+    // picker (reference: ModuleSelector lives in ChatInput, not the sidebar)
+    const s = await createSession({});
     await openSession(s.id);
   };
   $("new-project").onclick = async () => {
     const name = prompt("Project name?");
     if (!name) return;
-    await createProject({name, modules: selectedModules()});
+    await createProject({name});
     loadProjects();
-  };
-  // live per-session module editing: changing the picker with a session
-  // open re-scopes THAT session (engine reloads on its next message)
-  $("modules-select").onchange = async () => {
-    if (!currentSessionId()) return;
-    const r = await patchSessionRaw(currentSessionId(), {modules: selectedModules()});
-    if (r.ok) toast("modules updated — engine reloads on next message");
-    else toast(`module update failed (${r.status})`, true);
   };
   $("upload-btn").onclick = () => $("file-input").click();
   $("file-input").onchange = ev => {

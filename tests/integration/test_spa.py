@@ -718,13 +718,13 @@ def test_project_grouped_sessions():
     """Sidebar groups sessions under their project with collapse state
     persisted (reference ProjectSessionList.tsx): project header rows carry
     new-session and delete actions; flat list holds only project-less
-    sessions; per-session module edits PATCH the open session."""
+    sessions; opening a session hands it to the module picker."""
     sb = JS["views/sidebar.js"]
     assert "s.project_id === pr.id" in sb      # nested under the right project
     assert "!s.project_id" in sb               # flat list excludes project sessions
     assert "tt-collapsed" in sb                # collapse persistence
     assert "createProjectSession" in sb and "deleteProject" in sb
-    assert '{modules: selectedModules()}' in sb  # live module PATCH body
+    assert "syncModulePicker(session)" in sb   # composer badge tracks the session
     assert "project-head" in CSS and ".session.nested" in CSS
 
 

@@ -703,3 +703,171 @@ class TestComposerSendExecuted:
             "key": "Tab", "preventDefault": lambda: None})])
         rt.drain_jobs()
         assert inp.props.get("value") == "/help "
+
+
+class TestModulePickerExecuted:
+    """The REAL chat/modulepicker.js (reference ModuleSelector.tsx): staged
+    selection, doc-type grouping, Apply/Cancel, the outside-dismiss guard,
+    and locked project modules — all executed on jsrt."""
+
+    MODULES = {"modules": [
+        {"id": "library_numpy", "module": "numpy", "doc_type": "library_doc",
+         "n_chunks": 1200},
+        {"id": "book_deep_learning", "module": "deep_learning",
+         "doc_type": "book", "n_chunks": 3400},
+        {"id": "papers_attention", "module": "attention", "doc_type": "paper",
+         "n_chunks": 210},
+    ]}
+
+    def setup_picker(self, session=None, project=None):
+        from tensortruth_tpu.jsrt.builtins import set_member
+
+        rt, shim = spa_runtime()
+        routes = shim["fetchRoutes"]
+        sess = session or {"id": "s1", "modules": ["library_numpy"], "params": {}}
+        set_member(routes, "/api/sessions/s1", to_js(sess))
+        set_member(routes, "/api/config",
+                   to_js({"rag": {"default_embedding_model": "BAAI/bge-m3"}}))
+        set_member(routes, "/api/modules?embedding_model=BAAI%2Fbge-m3",
+                   to_js(self.MODULES))
+        set_member(routes, "/api/sessions/s1/documents",
+                   to_js({"documents": [{"doc_id": "d1", "filename": "paper.pdf"}]}))
+        if project is not None:
+            set_member(routes, "/api/projects/p1", to_js(project))
+        session_mod = rt.load_module(JS / "stores" / "session.js")
+        rt.interp.call_any(session_mod["sessionStore"].props["set"],
+                           [to_js({"current": "s1"})])
+        picker = rt.load_module(JS / "chat" / "modulepicker.js")
+        rt.interp.call_any(picker["wireModulePicker"], [])
+        return rt, shim, picker
+
+    def open_picker(self, rt, picker):
+        rt.interp.call_any(picker["openPicker"], [])
+        rt.drain_jobs()
+
+    def rows(self, rt, shim):
+        pop = rt.interp.call_any(shim["getById"], ["module-picker"])
+        return rt.interp.call_any(
+            _class_method(rt, pop, "querySelectorAll"), [".mp-row"])
+
+    def find_button(self, rt, shim, label):
+        pop = rt.interp.call_any(shim["getById"], ["module-picker"])
+        for b in pop.props.get("children", []):
+            for c in b.props.get("children", []):
+                if c.props.get("_text") == label:
+                    return c
+        return None
+
+    def test_helpers_contract(self):
+        rt, _, picker = self.setup_picker()
+        assert rt.interp.call_any(picker["displayName"],
+                                  ["book_deep_learning"]) == "Deep Learning"
+        assert rt.interp.call_any(picker["shortModelId"],
+                                  ["BAAI/bge-m3"]) == "bge-m3"
+        dt = from_js(rt.interp.call_any(picker["inferDocType"], ["papers_x"]))
+        assert dt == {"doc_type": "paper", "sort_order": 2}
+
+    def test_open_renders_groups_and_session_docs(self):
+        rt, shim, picker = self.setup_picker()
+        self.open_picker(rt, picker)
+        pop = rt.interp.call_any(shim["getById"], ["module-picker"])
+        text = _collect_text(pop)
+        # doc-type group labels in book -> paper -> library order
+        assert text.index("Books") < text.index("Papers") < text.index("Library Docs")
+        assert "Deep Learning" in text and "Attention" in text and "Numpy" in text
+        assert "1200 chunks" in text
+        assert "paper.pdf" in text          # session documents section
+        assert "bge-m3" in text             # embedding model in the header
+        assert "1 module selected" in text  # footer count
+
+    def test_toggle_is_staged_then_apply_patches(self):
+        rt, shim, picker = self.setup_picker()
+        self.open_picker(rt, picker)
+        # toggle "Deep Learning" on via its row onclick
+        for row in from_js_rows(self.rows(rt, shim)):
+            if "Deep Learning" in _collect_text(row):
+                rt.interp.call_any(row.props["onclick"], [])
+                break
+        # nothing PATCHed yet — selection is staged
+        log = [e["path"] for e in from_js(shim["fetchLog"])]
+        assert not any("/api/sessions/s1" == p and False for p in log)
+        state = from_js(rt.interp.call_any(picker["pickerState"], []))
+        assert sorted(state["local"]) == ["book_deep_learning", "library_numpy"]
+        assert state["applied"] == ["library_numpy"]
+        # Apply persists exactly the staged list
+        apply_btn = self.find_button(rt, shim, "✓ Apply")
+        assert apply_btn is not None and not apply_btn.props.get("disabled")
+        rt.interp.call_any(apply_btn.props["onclick"], [])
+        rt.drain_jobs()
+        patches = [e for e in from_js(shim["fetchLog"])
+                   if e["path"] == "/api/sessions/s1" and e.get("opts")
+                   and e["opts"].get("method") == "PATCH"]
+        assert patches, "Apply must PATCH the session"
+        body = json.loads(patches[-1]["opts"]["body"])
+        assert sorted(body["modules"]) == ["book_deep_learning", "library_numpy"]
+
+    def test_cancel_reverts_and_apply_disabled_without_changes(self):
+        rt, shim, picker = self.setup_picker()
+        self.open_picker(rt, picker)
+        apply_btn = self.find_button(rt, shim, "✓ Apply")
+        assert apply_btn.props.get("disabled")  # no staged changes yet
+        for row in from_js_rows(self.rows(rt, shim)):
+            if "Attention" in _collect_text(row):
+                rt.interp.call_any(row.props["onclick"], [])
+                break
+        cancel = self.find_button(rt, shim, "Cancel")
+        rt.interp.call_any(cancel.props["onclick"], [])
+        state = from_js(rt.interp.call_any(picker["pickerState"], []))
+        assert state["local"] == ["library_numpy"]  # staged edit reverted
+        assert state["open"] is False
+
+    def test_outside_click_guard_with_staged_changes(self):
+        from tensortruth_tpu.jsrt.interp import JSObject
+
+        rt, shim, picker = self.setup_picker()
+        self.open_picker(rt, picker)
+        for row in from_js_rows(self.rows(rt, shim)):
+            if "Attention" in _collect_text(row):
+                rt.interp.call_any(row.props["onclick"], [])
+                break
+        doc_click = rt.globals.get("document").props["listeners"].props["click"]
+        outside = JSObject({"target": JSObject({"closest": lambda sel: None})})
+        rt.interp.call_any(doc_click, [outside])
+        state = from_js(rt.interp.call_any(picker["pickerState"], []))
+        assert state["open"] is True   # refused: staged changes pending
+        # drop the staged change -> outside click now closes
+        for row in from_js_rows(self.rows(rt, shim)):
+            if "Attention" in _collect_text(row):
+                rt.interp.call_any(row.props["onclick"], [])
+                break
+        rt.interp.call_any(doc_click, [outside])
+        state = from_js(rt.interp.call_any(picker["pickerState"], []))
+        assert state["open"] is False
+
+    def test_project_context_locks_catalog_modules(self):
+        rt, shim, picker = self.setup_picker(
+            session={"id": "s1", "modules": [], "params": {}, "project_id": "p1"},
+            project={"id": "p1", "catalog_modules": {"library_numpy": {}}})
+        self.open_picker(rt, picker)
+        pop = rt.interp.call_any(shim["getById"], ["module-picker"])
+        text = _collect_text(pop)
+        assert "Project Modules" in text and "(locked)" in text
+        assert "Additional Modules" in text
+        assert "0 locked + 0 additional" not in text  # locked count is 1
+        assert "1 locked + 0 additional" in text
+        # locked rows don't toggle: numpy row has no staging effect
+        for row in from_js_rows(self.rows(rt, shim)):
+            if "(locked)" in _collect_text(row):
+                assert row.props.get("onclick") is None
+        # stale saved module pruning happened against the available set
+        state = from_js(rt.interp.call_any(picker["pickerState"], []))
+        assert state["locked"] == ["library_numpy"]
+
+
+def from_js_rows(arr):
+    """Unwrap a shim querySelectorAll result (JSArray-ish) to a Python list
+    of element JSObjects."""
+    items = getattr(arr, "elements", None)
+    if items is None:
+        items = arr.props.get("items") if hasattr(arr, "props") else list(arr)
+    return list(items)
