@@ -124,6 +124,13 @@ class FunctionAgent(Agent):
             yield {
                 "type": "tool_phase",
                 "tools": [c["name"] for c in calls],
+                # per-call params so the client's live timeline can show
+                # what each parallel call is doing (reference ToolSteps.tsx
+                # paramsSummary; useWebSocket.ts tool_phase handler)
+                "calls": [
+                    {"tool": c["name"], "params": c.get("arguments") or {}}
+                    for c in calls
+                ],
                 "iteration": iteration + 1,
             }
 
@@ -150,6 +157,13 @@ class FunctionAgent(Agent):
                     "type": "tool_progress",
                     "tool": name,
                     "message": text_result[:200],
+                    # completion status + expandable output for the live
+                    # step timeline (reference ToolStepWithStatus)
+                    "phase": (
+                        "failed" if text_result.startswith("ERROR:")
+                        else "completed"
+                    ),
+                    "output": text_result[:2000],
                 }
                 # Scratchpad gets a summary; synthesis sees full output.
                 messages.append(

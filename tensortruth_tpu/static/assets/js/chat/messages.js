@@ -6,6 +6,7 @@
 import {deleteMessage} from "../api/sessions.js";
 import {$, el, scrollMessages, toast} from "../lib/dom.js";
 import {safeUrl} from "../lib/markdown.js";
+import {renderToolTimeline} from "./progress.js";
 import {currentSessionId} from "../stores/session.js";
 import {resendMessage} from "./send.js";
 
@@ -245,17 +246,11 @@ export function renderStats(container, stats) {
   container.appendChild(el("div", "gen-stats", bits.join(" · ")));
 }
 
+// Persisted-history tool steps: same timeline renderer as the live stream
+// (chat/progress.js), collapsed with completed/failed counts.
 export function renderToolSteps(container, steps) {
   if (!steps || !steps.length) return;
-  const det = el("details", "toolsteps");
-  det.appendChild(el("summary", "", `${steps.length} tool steps`));
-  for (const s of steps) {
-    const d = el("div", "toolstep");
-    d.appendChild(el("span", "tname", s.tool || "tool"));
-    d.appendChild(document.createTextNode(" — " + (s.message || s.phase || "")));
-    det.appendChild(d);
-  }
-  container.appendChild(det);
+  renderToolTimeline(container, steps, {live: false});
 }
 
 export function renderThinking(container, text, opts) {

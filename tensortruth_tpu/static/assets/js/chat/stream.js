@@ -10,6 +10,7 @@ import {addMessage} from "./messages.js";
 export const stream = {
   assistant: null, body: null, thinkingText: "", thinkingBox: null, toolSteps: [],
   reasoningText: "", reasoningBox: null, // ephemeral agent phase-1 reasoning
+  phaseBox: null,    // in-message pipeline-phase indicator (chat/progress.js)
   raw: "",           // accumulated assistant text, re-rendered incrementally
   renderTimer: 0,    // pending throttled markdown repaint (ws.js token handler)
   repaint: null,     // per-message memoized block renderer (lib/mdstream.js)
@@ -54,6 +55,8 @@ export function resetStream() {
   // reasoning box still attached — nulling the reference without removing
   // the node would orphan the never-persisted box in the message DOM
   clearReasoning();
+  if (stream.phaseBox) stream.phaseBox.remove();
+  stream.phaseBox = null;
   stream.assistant = stream.body = stream.thinkingBox = stream.repaint = null;
   stream.thinkingText = "";
   stream.reasoningText = "";

@@ -10,8 +10,12 @@ import {renderMarkdown} from "../lib/markdown.js";
 import {currentSessionId} from "../stores/session.js";
 import {loadSessions} from "../views/sidebar.js";
 import {
-  renderMetrics, renderSources, renderStats, renderThinking, renderToolSteps,
+  renderMetrics, renderSources, renderStats, renderThinking,
 } from "./messages.js";
+import {
+  beginToolCalls, removePhaseBox, renderToolTimeline, resolveToolCall,
+  showPhaseBox,
+} from "./progress.js";
 import {clearReasoning, ensureAssistant, resetStream, stream} from "./stream.js";
 
 let ws = null;
@@ -19,14 +23,27 @@ let ws = null;
 export function getWS() { return ws; }
 
 const WS_HANDLERS = {
-  status(msg) { $("statusline").textContent = (msg.status || "") + "…"; },
+  status(msg) {
+    $("statusline").textContent = (msg.status || "") + "…";
+    // In-message phase box with a playful per-status label (reference
+    // StreamingIndicator.tsx); removed when the first answer token lands.
+    ensureAssistant();
+    showPhaseBox(stream, msg.status);
+  },
   tool_phase(msg) {
     $("statusline").textContent = "tools: " + (msg.tools || []).join(", ");
+    ensureAssistant();
+    // every dispatched call appears immediately as a spinner row in the
+    // live timeline (reference ToolSteps with status "calling")
+    beginToolCalls(stream.toolSteps, msg);
+    renderToolTimeline(stream.assistant, stream.toolSteps, {live: true});
+    showPhaseBox(stream, "tool_call", "running " + (msg.tools || []).join(", "));
   },
   tool_progress(msg) {
     $("statusline").textContent = msg.message || msg.tool || "";
     ensureAssistant();
-    stream.toolSteps.push({tool: msg.tool, message: msg.message, phase: msg.phase});
+    resolveToolCall(stream.toolSteps, msg);
+    renderToolTimeline(stream.assistant, stream.toolSteps, {live: true});
   },
   reasoning(msg) {
     // Agent phase-1 reasoning deltas (orchestrator show_orchestrator_reasoning,
@@ -55,6 +72,7 @@ const WS_HANDLERS = {
   token(msg) {
     ensureAssistant();
     clearReasoning();
+    removePhaseBox(stream);
     // Incremental markdown: accumulate raw text and repaint at most every
     // 120 ms. The repaint is block-memoized (lib/mdstream.js ≡ reference
     // MemoizedMarkdown.tsx): finished blocks keep their DOM; only the open
@@ -78,11 +96,13 @@ const WS_HANDLERS = {
   done(msg) {
     ensureAssistant();
     clearReasoning();
+    removePhaseBox(stream);
     $("statusline").textContent = "";
     stream.body.classList.add("md");
     stream.body.innerHTML = renderMarkdown(msg.content || stream.raw);
     if (stream.thinkingBox) stream.thinkingBox.open = false;
-    renderToolSteps(stream.assistant, stream.toolSteps);
+    // re-render the live timeline collapsed, with final counts
+    renderToolTimeline(stream.assistant, stream.toolSteps, {live: false});
     renderMetrics(stream.assistant, msg.metrics, msg.confidence);
     renderStats(stream.assistant, msg.stats);
     resetStream();
@@ -90,6 +110,7 @@ const WS_HANDLERS = {
   error(msg) {
     ensureAssistant();
     clearReasoning();
+    removePhaseBox(stream);
     $("statusline").textContent = "";
     stream.body.textContent = stream.raw + "⚠ " + msg.error;
     toast(msg.error, true);

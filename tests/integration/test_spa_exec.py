@@ -871,3 +871,124 @@ def from_js_rows(arr):
     if items is None:
         items = arr.props.get("items") if hasattr(arr, "props") else list(arr)
     return list(items)
+
+
+class TestLiveProgressExecuted:
+    """The REAL chat/progress.js driven through ws.js over a fake socket
+    (reference ToolSteps + StreamingIndicator + ToolPhaseIndicator):
+    dispatched calls appear as calling rows the moment `tool_phase` lands,
+    resolve to completed/failed on `tool_progress`, and the phase box
+    appears on `status` and disappears on the first token."""
+
+    def drive(self, messages):
+        rt, shim = spa_runtime()
+        session = rt.load_module(JS / "stores" / "session.js")
+        rt.interp.call_any(session["sessionStore"].props["set"],
+                           [to_js({"current": "s1"})])
+        ws_mod = rt.load_module(JS / "chat" / "ws.js")
+        rt.interp.call_any(ws_mod["connectWS"], [])
+        rt.drain_jobs()
+        sock = rt.interp.call_any(shim["lastSocket"], [])
+        for msg in messages:
+            rt.interp.call_any(_class_method(rt, sock, "receive"), [to_js(msg)])
+            rt.drain_jobs()
+        return rt, shim, sock
+
+    def timeline(self, rt, shim):
+        messages = rt.interp.call_any(shim["getById"], ["messages"])
+        boxes = rt.interp.call_any(
+            _class_method(rt, messages, "querySelectorAll"), [".timeline"])
+        return list(boxes)[-1] if list(boxes) else None
+
+    def test_tool_phase_renders_calling_rows_with_params(self):
+        rt, shim, _ = self.drive([
+            {"type": "tool_phase", "tools": ["rag_query", "web_search"],
+             "calls": [
+                 {"tool": "rag_query", "params": {"query": "pallas tiling"}},
+                 {"tool": "web_search", "params": {"queries": ["tpu kernels"]}},
+             ], "iteration": 1},
+        ])
+        tl = self.timeline(rt, shim)
+        assert tl is not None
+        text = _collect_text(tl)
+        assert "Steps (2)" in text and "2 running" in text
+        assert "rag_query" in text and "query: pallas tiling" in text
+        rows = rt.interp.call_any(_class_method(rt, tl, "querySelectorAll"),
+                                  [".calling"])
+        assert len(list(rows)) >= 2  # both rows carry spinner state
+
+    def test_progress_resolves_to_completed_and_failed(self):
+        rt, shim, _ = self.drive([
+            {"type": "tool_phase", "tools": ["rag_query", "web_search"],
+             "calls": [{"tool": "rag_query", "params": {"query": "q"}},
+                       {"tool": "web_search", "params": {}}], "iteration": 1},
+            {"type": "tool_progress", "tool": "rag_query",
+             "message": "found 5 chunks", "phase": "completed",
+             "output": "[1] chunk text …"},
+            {"type": "tool_progress", "tool": "web_search",
+             "message": "ERROR: rate limited", "phase": "failed",
+             "output": "ERROR: rate limited"},
+        ])
+        tl = self.timeline(rt, shim)
+        text = _collect_text(tl)
+        assert "1 completed | 1 failed" in text
+        assert "ERROR: rate limited" in text  # failed output is expandable
+        assert not list(rt.interp.call_any(
+            _class_method(rt, tl, "querySelectorAll"), [".tl-dot.calling"]))
+
+    def test_parallel_same_tool_calls_resolve_in_order(self):
+        rt, shim, _ = self.drive([
+            {"type": "tool_phase", "tools": ["fetch_page", "fetch_page"],
+             "calls": [{"tool": "fetch_page", "params": {"url": "a.com"}},
+                       {"tool": "fetch_page", "params": {"url": "b.com"}}],
+             "iteration": 1},
+            {"type": "tool_progress", "tool": "fetch_page",
+             "message": "got a", "phase": "completed", "output": "content A"},
+        ])
+        tl = self.timeline(rt, shim)
+        rows = list(rt.interp.call_any(
+            _class_method(rt, tl, "querySelectorAll"), [".tl-row"]))
+        # positional pairing: FIRST fetch_page resolved, second still calling
+        assert "completed" in rows[0].props["_cls"]
+        assert "calling" in rows[1].props["_cls"]
+
+    def test_phase_box_lifecycle(self):
+        rt, shim, sock = self.drive([
+            {"type": "status", "status": "retrieving"},
+        ])
+        messages = rt.interp.call_any(shim["getById"], ["messages"])
+        boxes = list(rt.interp.call_any(
+            _class_method(rt, messages, "querySelectorAll"), [".phase-box"]))
+        assert len(boxes) == 1
+        # a later status REUSES the box (no stacking)
+        rt.interp.call_any(_class_method(rt, sock, "receive"),
+                           [to_js({"type": "status", "status": "reranking"})])
+        rt.drain_jobs()
+        boxes = list(rt.interp.call_any(
+            _class_method(rt, messages, "querySelectorAll"), [".phase-box"]))
+        assert len(boxes) == 1
+        assert "⚖" in _collect_text(boxes[0])
+        # first token removes it
+        rt.interp.call_any(_class_method(rt, sock, "receive"),
+                           [to_js({"type": "token", "content": "Hi"})])
+        rt.drain_jobs()
+        boxes = list(rt.interp.call_any(
+            _class_method(rt, messages, "querySelectorAll"), [".phase-box"]))
+        assert not boxes
+
+    def test_done_collapses_timeline_with_counts(self):
+        rt, shim, _ = self.drive([
+            {"type": "tool_phase", "tools": ["rag_query"],
+             "calls": [{"tool": "rag_query", "params": {"query": "q"}}],
+             "iteration": 1},
+            {"type": "tool_progress", "tool": "rag_query", "message": "ok",
+             "phase": "completed", "output": "chunks"},
+            {"type": "done", "content": "answer"},
+        ])
+        tl = self.timeline(rt, shim)
+        text = _collect_text(tl)
+        assert "1 completed" in text and "running" not in text
+        # collapsed after done: the list is hidden until the header toggles
+        lists = list(rt.interp.call_any(
+            _class_method(rt, tl, "querySelectorAll"), [".tl-list"]))
+        assert lists[0].props["style"].props.get("display") == "none"

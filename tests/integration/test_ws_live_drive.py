@@ -33,23 +33,46 @@ from tensortruth_tpu.utils import mdrender
 
 pytestmark = pytest.mark.integration
 
-WS_JS = (
+_JS_DIR = (
     Path(__file__).resolve().parents[2]
-    / "tensortruth_tpu" / "static" / "assets" / "js" / "chat" / "ws.js"
-).read_text()
+    / "tensortruth_tpu" / "static" / "assets" / "js" / "chat"
+)
+WS_JS = (_JS_DIR / "ws.js").read_text()
+PROGRESS_JS = (_JS_DIR / "progress.js").read_text()
 
 # Fields a handler reads but the server legitimately omits sometimes
 # (guarded with `||` fallbacks in the JS).
 OPTIONAL_FIELDS = {
-    "tool_progress": {"phase"},          # JS stores undefined; timeline omits it
+    # the /web pipeline emits bare {tool, message} progress; phase/output
+    # ride only the agent path (`resolveToolCall` `||` fallbacks)
+    "tool_progress": {"phase", "output"},
+    "tool_phase": {"calls"},             # legacy emitters send only `tools`
     "confirmation_request": {"message"},  # `msg.message || msg.description`
     "done": {"content"},                 # `msg.content || stream.raw`
     "status": set(),
 }
 
 
+def _parse_helper_reads() -> dict[str, set[str]]:
+    """progress.js helper → the msg.<field> names its body reads, so a
+    ws.js handler that delegates (beginToolCalls(…, msg)) still counts as
+    reading those fields for the drift gate."""
+    helpers: dict[str, set[str]] = {}
+    name = None
+    for line in PROGRESS_JS.splitlines():
+        m = re.match(r"export function (\w+)\(", line)
+        if m:
+            name = m.group(1)
+            helpers[name] = set()
+        elif name is not None:
+            helpers[name].update(re.findall(r"msg\.(\w+)", line))
+    return helpers
+
+
 def _parse_handlers() -> dict[str, set[str]]:
-    """WS_HANDLERS entries → the msg.<field> names each body reads."""
+    """WS_HANDLERS entries → the msg.<field> names each body reads
+    (directly, or via a progress.js helper the body calls with msg)."""
+    helpers = _parse_helper_reads()
     block = WS_JS[WS_JS.index("const WS_HANDLERS = {"):]
     block = block[: block.index("\n};")]
     handlers: dict[str, set[str]] = {}
@@ -61,6 +84,9 @@ def _parse_handlers() -> dict[str, set[str]]:
             handlers[name] = set()
         elif name:
             handlers[name].update(re.findall(r"msg\.(\w+)", line))
+            for helper, fields in helpers.items():
+                if re.search(rf"\b{helper}\([^)]*\bmsg\b", line):
+                    handlers[name].update(fields)
     return handlers
 
 

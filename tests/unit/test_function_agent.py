@@ -109,6 +109,12 @@ async def test_parallel_tool_calls_same_iteration():
     assert sorted(calls_seen) == ["t1", "t2"]
     phase = next(e for e in events if e["type"] == "tool_phase")
     assert phase["tools"] == ["t1", "t2"]
+    # per-call params ride the event for the live step timeline
+    assert phase["calls"] == [{"tool": "t1", "params": {}},
+                              {"tool": "t2", "params": {}}]
+    progress = [e for e in events if e["type"] == "tool_progress"]
+    assert [p["phase"] for p in progress] == ["completed", "completed"]
+    assert progress[1]["output"] == '{"k": 2}'
     # non-str result json-serialized for the scratchpad
     assert agent.full_outputs[1]["output"] == '{"k": 2}'
 
@@ -124,10 +130,14 @@ async def test_unknown_tool_and_tool_exception_become_error_results():
         ]
     )
     agent = FunctionAgent(context={"extra_tools": {"boom": spec("boom", boom)}})
-    await collect(agent, "q", {"llm": llm})
+    events = await collect(agent, "q", {"llm": llm})
     outs = {o["tool"]: o["output"] for o in agent.full_outputs}
     assert outs["ghost"].startswith("ERROR: unknown tool")
     assert "kaput" in outs["boom"]
+    # error results surface as phase="failed" on the wire (live timeline ✗)
+    progress = {e["tool"]: e for e in events if e["type"] == "tool_progress"}
+    assert progress["ghost"]["phase"] == "failed"
+    assert progress["boom"]["phase"] == "failed"
 
 
 async def test_transient_error_retries_once_then_succeeds(monkeypatch):
