@@ -7,7 +7,10 @@ export function getProject(id) { return api(`/projects/${id}`); }
 export function createProject(body) { return post("/projects", body); }
 export function patchProject(id, body) { return patch(`/projects/${id}`, body); }
 export function deleteProject(id) { return del(`/projects/${id}`); }
-export function createProjectSession(id) { return post(`/projects/${id}/sessions`, {}); }
+export function createProjectSession(id, body) {
+  return post(`/projects/${id}/sessions`, body || {});
+}
+export function listProjectSessions(id) { return api(`/projects/${id}/sessions`); }
 // catalog modules + indexing config (reference api/projects.ts + documents.ts)
 export function addCatalogModule(id, moduleName) {
   return post(`/projects/${id}/catalog-modules`, {module_name: moduleName});

@@ -21,6 +21,7 @@ import {wireProvidersPanel} from "./panels/providers.js";
 import {wireSystemPanel} from "./panels/system.js";
 import {sessionStore} from "./stores/session.js";
 import {showManage, wireManage} from "./views/manage.js";
+import {showProjectView} from "./views/project.js";
 import {wireMemstrip} from "./views/memstrip.js";
 import {loadModules, loadProjects, loadSessions, wireSidebar} from "./views/sidebar.js";
 import {wireWizard, wizardShow} from "./wizard/wizard.js";
@@ -66,6 +67,7 @@ function wireChrome() {
     } else if (ev.key === "Escape") {
       if ($("params-drawer").style.display === "block")
         $("params-drawer").style.display = "none";
+      else if ($("project-view").style.display === "flex") showProjectView(false);
       else if ($("manage").style.display === "flex") showManage(false);
     }
   });

@@ -23,3 +23,15 @@ export function sendUserMessage(text, images) {
 export function resendMessage(text) {
   sendUserMessage(text, null);
 }
+
+// First message of a freshly-opened session (project view's "Start chat"):
+// the socket may still be CONNECTING right after connectWS — defer the
+// send to its open event (reference: chatStore.pendingUserMessage drained
+// by useChat once the WS is up).
+export function sendWhenOpen(text) {
+  const ws = getWS();
+  if (!ws) return false;
+  if (ws.readyState === 1) return sendUserMessage(text, null);
+  ws.onopen = () => sendUserMessage(text, null);
+  return true;
+}

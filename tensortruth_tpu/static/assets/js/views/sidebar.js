@@ -25,6 +25,7 @@ import {syncModulePicker} from "../chat/modulepicker.js";
 import {fillParamsDrawer} from "../chat/params.js";
 import {syncThinkingSelect} from "../chat/composer.js";
 import {closeWS, connectWS} from "../chat/ws.js";
+import {openProjectView} from "./project.js";
 
 let projects = [];            // [{id, name, ...}] for grouped rendering
 const collapsed = new Set(    // persisted collapsed project groups
@@ -184,7 +185,13 @@ function renderSessionLists(st) {
     const head = el("div", "project-head");
     const caret = el("span", "caret", collapsed.has(pr.id) ? "▸" : "▾");
     head.appendChild(caret);
-    head.appendChild(el("span", "pname", pr.name));
+    const nameEl = el("span", "pname", pr.name);
+    nameEl.title = "Open project page";
+    nameEl.onclick = ev => {  // reference: project rows navigate to the view
+      ev.stopPropagation();
+      openProjectView(pr.id);
+    };
+    head.appendChild(nameEl);
     const add = el("span", "padd", "+");
     add.title = "New session in this project";
     add.onclick = async ev => {

@@ -992,3 +992,123 @@ class TestLiveProgressExecuted:
         lists = list(rt.interp.call_any(
             _class_method(rt, tl, "querySelectorAll"), [".tl-list"]))
         assert lists[0].props["style"].props.get("display") == "none"
+
+
+class TestProjectViewExecuted:
+    """The REAL views/project.js (reference ProjectViewPage +
+    ProjectConfigPanel + CatalogModuleItem): heading, config column,
+    catalog modules with attach/detach, and the start-chat composer that
+    creates a project session and puts the first message on the wire."""
+
+    PROJECT = {
+        "id": "p1", "name": "TPU Research", "description": "kernel notes",
+        "system_prompt": "be terse", "params": {"temperature": 0.3},
+        "catalog_modules": {"library_jax": {"status": "indexed"}},
+        "documents": [],
+    }
+
+    def setup_view(self, project=None):
+        from tensortruth_tpu.jsrt.builtins import set_member
+
+        rt, shim = spa_runtime()
+        routes = shim["fetchRoutes"]
+        set_member(routes, "/api/projects/p1", to_js(project or self.PROJECT))
+        set_member(routes, "/api/models", to_js({"models": [
+            {"provider_id": "ollama", "model": "llama3.1:8b"},
+        ]}))
+        set_member(routes, "/api/modules", to_js({"modules": [
+            {"id": "library_jax", "module": "jax", "doc_type": "library_doc",
+             "n_chunks": 900},
+            {"id": "book_dl", "module": "dl", "doc_type": "book", "n_chunks": 50},
+        ]}))
+        set_member(routes, "/api/projects/p1/sessions",
+                   to_js({"id": "ns1", "sessions": [
+                       {"id": "old1", "title": "Earlier chat", "project_id": "p1"},
+                   ]}))
+        set_member(routes, "/api/projects/p1/documents",
+                   to_js({"documents": [{"doc_id": "d1", "filename": "spec.pdf",
+                                         "chunks": 12}]}))
+        set_member(routes, "/api/sessions/ns1",
+                   to_js({"id": "ns1", "messages": [], "params": {},
+                          "modules": []}))
+        set_member(routes, "/api/sessions", to_js({"sessions": []}))
+        pv = rt.load_module(JS / "views" / "project.js")
+        rt.interp.call_any(pv["openProjectView"], ["p1"])
+        rt.drain_jobs()
+        return rt, shim, pv
+
+    def view_el(self, rt, shim):
+        return rt.interp.call_any(shim["getById"], ["project-view"])
+
+    def test_renders_heading_config_knowledge_sessions(self):
+        rt, shim, _ = self.setup_view()
+        text = _collect_text(self.view_el(rt, shim))
+        assert "TPU Research" in text and "kernel notes" in text
+        assert "Configuration" in text and "Knowledge" in text
+        assert "Jax" in text and "indexed" in text     # catalog module row
+        assert "spec.pdf" in text and "12 chunks" in text
+        assert "Earlier chat" in text                  # sessions column
+        assert "1 module loaded." in text
+        assert "1 document available." in text
+
+    def test_context_window_options_match_reference(self):
+        rt, shim, pv = self.setup_view()
+        opts = from_js(pv["CONTEXT_WINDOW_OPTIONS"])
+        assert opts == [2048, 4096, 8192, 16384, 32768, 65536, 131072]
+        view = self.view_el(rt, shim)
+        ctx = rt.interp.call_any(_class_method(rt, view, "querySelectorAll"),
+                                 [".pv-ctx"])
+        assert len(list(ctx)) == 1
+        assert list(ctx)[0].props.get("value") == "8192"  # default fallback
+
+    def test_start_chat_creates_session_and_sends_first_message(self):
+        from tensortruth_tpu.jsrt.builtins import set_member
+
+        rt, shim, _ = self.setup_view()
+        view = self.view_el(rt, shim)
+        ta = list(rt.interp.call_any(
+            _class_method(rt, view, "querySelectorAll"), [".pv-input"]))[0]
+        set_member(ta, "value", "what does the spec say about tiling?")
+        btn = list(rt.interp.call_any(
+            _class_method(rt, view, "querySelectorAll"), [".pv-send"]))[0]
+        rt.interp.call_any(btn.props["onclick"], [])
+        rt.drain_jobs()
+        # session created under the project…
+        posts = [e for e in from_js(shim["fetchLog"])
+                 if e["path"] == "/api/projects/p1/sessions" and e.get("opts")
+                 and e["opts"].get("method") == "POST"]
+        assert posts
+        # …the view closed, the session opened, and the message hit the wire
+        assert view.props["style"].props.get("display") == "none"
+        sock = rt.interp.call_any(shim["lastSocket"], [])
+        sent = [json.loads(s) for s in from_js(sock.props.get("sent"))]
+        assert {"message": "what does the spec say about tiling?"} in sent
+
+    def test_detach_and_attach_catalog_modules(self):
+        rt, shim, _ = self.setup_view()
+        view = self.view_el(rt, shim)
+        # the attach picker offers only the NOT-attached built module
+        picker = list(rt.interp.call_any(
+            _class_method(rt, view, "querySelectorAll"), [".pv-addmod"]))[0]
+        opt_values = [o.props.get("value") for o in picker.props["children"]]
+        assert "book_dl" in opt_values and "library_jax" not in opt_values
+        # detach posts DELETE for the attached module
+        rows = list(rt.interp.call_any(
+            _class_method(rt, view, "querySelectorAll"), [".pv-modrow"]))
+        btn = [c for c in rows[0].props["children"]
+               if c.props.get("tagName") == "BUTTON"][0]
+        rt.interp.call_any(btn.props["onclick"], [])
+        rt.drain_jobs()
+        dels = [e for e in from_js(shim["fetchLog"])
+                if "catalog-modules/library_jax" in e["path"]]
+        assert dels and dels[0]["opts"]["method"] == "DELETE"
+
+    def test_project_not_found(self):
+        from tensortruth_tpu.jsrt.builtins import set_member
+
+        rt, shim = spa_runtime()
+        set_member(shim["fetchRoutes"], "/api/projects/p1", to_js({}))
+        pv = rt.load_module(JS / "views" / "project.js")
+        rt.interp.call_any(pv["openProjectView"], ["p1"])
+        rt.drain_jobs()
+        assert "Project not found" in _collect_text(self.view_el(rt, shim))
