@@ -11,6 +11,7 @@ import {wireModelSelect} from "./chat/modelselect.js";
 import {wireModulePicker} from "./chat/modulepicker.js";
 import {wireParamsDrawer} from "./chat/params.js";
 import {stopStreaming} from "./chat/ws.js";
+import {wireContextMenuDismiss} from "./lib/contextmenu.js";
 import {$, toast} from "./lib/dom.js";
 import {wireConfigPanel} from "./panels/config.js";
 import {wireDocumentsPanel} from "./panels/documents.js";
@@ -102,6 +103,7 @@ wireMemstrip();
 wireParamsDrawer();
 wireWizard();
 wireChrome();
+wireContextMenuDismiss();
 wireProvidersPanel();
 wireDocumentsPanel();
 wireProjectsPanel();

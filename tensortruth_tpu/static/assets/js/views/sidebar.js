@@ -13,6 +13,7 @@ import {
   createSession, deleteSession, getSession, listSessions as listSessionsApi,
   imageUrl, patchSession,
 } from "../api/sessions.js";
+import {onContextMenu} from "../lib/contextmenu.js";
 import {$, el, toast} from "../lib/dom.js";
 import {renderMarkdown} from "../lib/markdown.js";
 import {sessionStore, currentSessionId} from "../stores/session.js";
@@ -133,9 +134,10 @@ export function uploadDocument(file) {
   });
 }
 
-async function exportSession() {
-  if (!currentSessionId()) return;
-  const session = await getSession(currentSessionId());
+async function exportSession(id) {
+  id = id || currentSessionId();
+  if (!id) return;
+  const session = await getSession(id);
   const lines = [`# ${session.title || session.id}`, ""];
   for (const m of session.messages) {
     lines.push(`## ${m.role}${m.timestamp ? ` — ${m.timestamp}` : ""}`, "", m.content || "", "");
@@ -153,19 +155,67 @@ async function exportSession() {
 
 // -- grouped session rendering ------------------------------------------------
 
+// In-place rename (reference SessionItem.tsx inline editing state): the
+// title span swaps for an input; Enter/blur commit, Escape reverts.
+function startInlineRename(row, s) {
+  const span = row.firstElementChild;
+  const input = document.createElement("input");
+  input.className = "rename-input";
+  input.value = s.title || s.id;
+  row.replaceChild(input, span);
+  input.focus();
+  let done = false;
+  const commit = async () => {
+    if (done) return;
+    done = true;
+    const name = input.value.trim();
+    if (name && name !== (s.title || s.id)) {
+      await patchSession(s.id, {title: name});
+      if (sessionStore.get().current === s.id) sessionStore.set({title: name});
+    }
+    loadSessions();
+  };
+  input.onkeydown = ev => {
+    if (ev.key === "Enter") commit();
+    else if (ev.key === "Escape") { done = true; loadSessions(); }
+  };
+  input.onblur = commit;
+  input.onclick = ev => ev.stopPropagation();
+}
+
+async function removeSession(s, st) {
+  await deleteSession(s.id);
+  if (st.current === s.id) {
+    sessionStore.set({current: null, title: ""});
+    $("messages").innerHTML = "";
+  }
+  loadSessions();
+}
+
 function sessionRow(s, st) {
   const d = el("div", "session" + (st.current === s.id ? " active" : ""));
   d.appendChild(el("span", "", s.title || s.id));
   const x = el("span", "del", "×");
   x.title = "Delete session";
-  x.onclick = async ev => {
-    ev.stopPropagation();
-    await deleteSession(s.id);
-    if (st.current === s.id) { sessionStore.set({current: null, title: ""}); $("messages").innerHTML = ""; }
-    loadSessions();
-  };
+  x.onclick = ev => { ev.stopPropagation(); removeSession(s, st); };
   d.appendChild(x);
   d.onclick = () => openSession(s.id);
+  // Right-click row actions (reference SessionItem.tsx ContextMenu):
+  // rename inline, duplicate config into a fresh session, export, delete.
+  onContextMenu(d, () => [
+    {label: "✎ Rename", onPick: () => startInlineRename(d, s)},
+    {label: "⧉ Duplicate", onPick: async () => {
+      const full = await getSession(s.id);
+      const copy = await createSession({
+        title: `${full.title || full.id} (copy)`,
+        modules: full.modules || [], params: full.params || {},
+      });
+      await openSession(copy.id);
+    }},
+    {label: "⇩ Export markdown", onPick: () => exportSession(s.id)},
+    "---",
+    {label: "✕ Delete", danger: true, onPick: () => removeSession(s, st)},
+  ]);
   return d;
 }
 
@@ -250,7 +300,7 @@ export function wireSidebar() {
     ev.target.value = "";
   };
   $("session-filter").addEventListener("input", () => sessionStore.set({}));
-  $("export-btn").onclick = exportSession;
+  $("export-btn").onclick = () => exportSession();
   $("chat-title").ondblclick = async () => {
     if (!currentSessionId()) return;
     const name = prompt("Rename session", sessionStore.get().title);

@@ -71,6 +71,11 @@ class Element {
     if (i >= 0) { this.children.splice(i, 1); c.parentNode = null; }
     return c;
   }
+  replaceChild(newC, oldC) {
+    this.insertBefore(newC, oldC);
+    this.removeChild(oldC);
+    return oldC;
+  }
   remove() { if (this.parentNode) { this.parentNode.removeChild(this); } }
   replaceWith(other) {
     if (!this.parentNode) { return; }
@@ -169,7 +174,15 @@ const documentShim = {
   body: new Element("body"),
   documentElement: new Element("html"),
   listeners: {},
-  addEventListener: function(type, fn) { documentShim.listeners[type] = fn; },
+  addEventListener: function(type, fn) {
+    // real documents stack listeners; keep them ALL (module picker and
+    // context-menu dismiss both register document click handlers)
+    if (!documentShim.listeners[type]) { documentShim.listeners[type] = []; }
+    documentShim.listeners[type].push(fn);
+  },
+  dispatchDocumentEvent: function(type, ev) {
+    for (const fn of documentShim.listeners[type] || []) { fn(ev); }
+  },
   createRange: () => ({selectNodeContents: () => {}, }),
 };
 
@@ -231,6 +244,8 @@ export function install() {
       byId, FakeWebSocket, fetchLog, fetchRoutes,
       getById: id => documentShim.getElementById(id),
       lastSocket: () => FakeWebSocket.instances[FakeWebSocket.instances.length - 1],
+      docDispatch: (type, ev) => documentShim.dispatchDocumentEvent(type, ev),
+      docBody: () => documentShim.body,
     },
   };
 }

@@ -830,9 +830,12 @@ class TestModulePickerExecuted:
             if "Attention" in _collect_text(row):
                 rt.interp.call_any(row.props["onclick"], [])
                 break
-        doc_click = rt.globals.get("document").props["listeners"].props["click"]
         outside = JSObject({"target": JSObject({"closest": lambda sel: None})})
-        rt.interp.call_any(doc_click, [outside])
+
+        def doc_click(ev):
+            rt.interp.call_any(shim["docDispatch"], ["click", ev])
+
+        doc_click(outside)
         state = from_js(rt.interp.call_any(picker["pickerState"], []))
         assert state["open"] is True   # refused: staged changes pending
         # drop the staged change -> outside click now closes
@@ -840,7 +843,7 @@ class TestModulePickerExecuted:
             if "Attention" in _collect_text(row):
                 rt.interp.call_any(row.props["onclick"], [])
                 break
-        rt.interp.call_any(doc_click, [outside])
+        doc_click(outside)
         state = from_js(rt.interp.call_any(picker["pickerState"], []))
         assert state["open"] is False
 
@@ -1112,3 +1115,120 @@ class TestProjectViewExecuted:
         rt.interp.call_any(pv["openProjectView"], ["p1"])
         rt.drain_jobs()
         assert "Project not found" in _collect_text(self.view_el(rt, shim))
+
+
+class TestSessionContextMenuExecuted:
+    """The REAL lib/contextmenu.js + sidebar session rows (reference
+    SessionItem.tsx ContextMenu): right-click opens rename/duplicate/
+    export/delete, rename swaps to an inline input that PATCHes on Enter,
+    and any document click dismisses the menu."""
+
+    def setup_sidebar(self):
+        from tensortruth_tpu.jsrt.builtins import set_member
+
+        rt, shim = spa_runtime()
+        routes = shim["fetchRoutes"]
+        set_member(routes, "/api/sessions", to_js({"sessions": [
+            {"id": "s1", "title": "First chat"},
+            {"id": "s2", "title": "Second chat"},
+        ]}))
+        set_member(routes, "/api/sessions/s1",
+                   to_js({"id": "s1", "title": "First chat", "messages": [],
+                          "params": {}, "modules": []}))
+        set_member(routes, "/api/projects", to_js({"projects": []}))
+        sb = rt.load_module(JS / "views" / "sidebar.js")
+        cm = rt.load_module(JS / "lib" / "contextmenu.js")
+        rt.interp.call_any(cm["wireContextMenuDismiss"], [])
+        rt.interp.call_any(sb["wireSidebar"], [])
+        rt.interp.call_any(sb["loadSessions"], [])
+        rt.drain_jobs()
+        return rt, shim, sb
+
+    def right_click_first_row(self, rt, shim):
+        from tensortruth_tpu.jsrt.interp import JSObject
+
+        sessions = rt.interp.call_any(shim["getById"], ["sessions"])
+        row = list(rt.interp.call_any(
+            _class_method(rt, sessions, "querySelectorAll"), [".session"]))[0]
+        ev = JSObject({"preventDefault": lambda: None,
+                       "stopPropagation": lambda: None,
+                       "clientX": 10, "clientY": 20})
+        rt.interp.call_any(row.props["oncontextmenu"], [ev])
+        rt.drain_jobs()
+        body = rt.interp.call_any(shim["docBody"], [])
+        menus = list(rt.interp.call_any(
+            _class_method(rt, body, "querySelectorAll"), [".ctx-menu"]))
+        return row, (menus[-1] if menus else None)
+
+    def menu_item(self, rt, menu, label):
+        for c in menu.props["children"]:
+            if label in (c.props.get("_text") or ""):
+                return c
+        return None
+
+    def test_menu_opens_with_all_actions(self):
+        rt, shim, _ = self.setup_sidebar()
+        _, menu = self.right_click_first_row(rt, shim)
+        assert menu is not None
+        text = _collect_text(menu)
+        for action in ["Rename", "Duplicate", "Export markdown", "Delete"]:
+            assert action in text
+
+    def test_document_click_dismisses(self):
+        from tensortruth_tpu.jsrt.interp import JSObject
+
+        rt, shim, _ = self.setup_sidebar()
+        self.right_click_first_row(rt, shim)
+        rt.interp.call_any(shim["docDispatch"], ["click", JSObject({
+            "target": JSObject({"closest": lambda sel: None})})])
+        body = rt.interp.call_any(shim["docBody"], [])
+        assert not list(rt.interp.call_any(
+            _class_method(rt, body, "querySelectorAll"), [".ctx-menu"]))
+
+    def test_inline_rename_patches_on_enter(self):
+        from tensortruth_tpu.jsrt.builtins import set_member
+        from tensortruth_tpu.jsrt.interp import JSObject
+
+        rt, shim, _ = self.setup_sidebar()
+        row, menu = self.right_click_first_row(rt, shim)
+        rt.interp.call_any(self.menu_item(rt, menu, "Rename").props["onclick"],
+                           [JSObject({"stopPropagation": lambda: None})])
+        rt.drain_jobs()
+        inputs = list(rt.interp.call_any(
+            _class_method(rt, row, "querySelectorAll"), [".rename-input"]))
+        assert inputs, "rename swaps the title span for an input"
+        set_member(inputs[0], "value", "Renamed chat")
+        rt.interp.call_any(inputs[0].props["onkeydown"],
+                           [JSObject({"key": "Enter"})])
+        rt.drain_jobs()
+        patches = [e for e in from_js(shim["fetchLog"])
+                   if e["path"] == "/api/sessions/s1" and e.get("opts")
+                   and e["opts"].get("method") == "PATCH"]
+        assert patches
+        assert json.loads(patches[-1]["opts"]["body"]) == {"title": "Renamed chat"}
+
+    def test_duplicate_creates_session_with_copied_config(self):
+        from tensortruth_tpu.jsrt.builtins import set_member
+        from tensortruth_tpu.jsrt.interp import JSObject
+
+        rt, shim, _ = self.setup_sidebar()
+        set_member(shim["fetchRoutes"], "/api/sessions/s1", to_js({
+            "id": "s1", "title": "First chat", "messages": [],
+            "params": {"temperature": 0.2}, "modules": ["library_jax"]}))
+        set_member(shim["fetchRoutes"], "/api/sessions/copy1", to_js({
+            "id": "copy1", "title": "First chat (copy)", "messages": [],
+            "params": {}, "modules": []}))
+        _, menu = self.right_click_first_row(rt, shim)
+        # POST /api/sessions returns the copy
+        set_member(shim["fetchRoutes"], "/api/sessions", to_js({"id": "copy1"}))
+        rt.interp.call_any(self.menu_item(rt, menu, "Duplicate").props["onclick"],
+                           [JSObject({"stopPropagation": lambda: None})])
+        rt.drain_jobs()
+        posts = [e for e in from_js(shim["fetchLog"])
+                 if e["path"] == "/api/sessions" and e.get("opts")
+                 and e["opts"].get("method") == "POST"]
+        assert posts
+        body = json.loads(posts[-1]["opts"]["body"])
+        assert body["title"] == "First chat (copy)"
+        assert body["modules"] == ["library_jax"]
+        assert body["params"] == {"temperature": 0.2}
