@@ -7,7 +7,8 @@ import {deleteMessage} from "../api/sessions.js";
 import {$, el, scrollMessages, toast} from "../lib/dom.js";
 import {safeUrl} from "../lib/markdown.js";
 import {renderToolTimeline} from "./progress.js";
-import {currentSessionId} from "../stores/session.js";
+import {currentSessionId, sessionStore} from "../stores/session.js";
+import {openProjectView} from "../views/project.js";
 import {resendMessage} from "./send.js";
 
 export function copyText(text) {
@@ -69,8 +70,9 @@ export function addMessage(role, text, opts) {
   return wrap;
 }
 
-// Empty-session welcome card (reference welcome/WelcomePage.tsx): example
-// prompts that fill the composer, plus pointers to upload/manage.
+// Empty-session welcome card (reference welcome/WelcomePage.tsx): playful
+// title/subtitle pools picked once per load, example prompts that fill the
+// composer, and project quick-access chips.
 const WELCOME_PROMPTS = [
   "What do my loaded modules cover?",
   "/web latest JAX pallas TPU kernel examples",
@@ -78,15 +80,38 @@ const WELCOME_PROMPTS = [
   "/help",
 ];
 
+export const WELCOME_TITLES = [
+  "What would you like to know?",
+  "What's on your mind?",
+  "Ready when you are",
+  "Let's dig in",
+  "Go ahead, ask anything",
+];
+
+export const WELCOME_SUBTITLES = [
+  "Search, ask, and explore your knowledge base",
+  "Your documents, one question away",
+  "Turn your files into answers",
+  "Chat with your data — retrieval runs on TPU",
+  "All your knowledge, instantly searchable",
+  "The answers are in there somewhere",
+  "Your personal research assistant",
+];
+
+// Stable across re-renders, random per page load (reference WelcomePage
+// initialTitle/initialSubtitle picked at module load time).
+const welcomeTitle =
+  WELCOME_TITLES[Math.floor(Math.random() * WELCOME_TITLES.length)];
+const welcomeSubtitle =
+  WELCOME_SUBTITLES[Math.floor(Math.random() * WELCOME_SUBTITLES.length)];
+
 export function renderWelcome() {
-  if ($("welcome-card")) return;
+  const existing = $("welcome-card");
+  if (existing && existing.parentNode) return;  // already shown
   const card = el("div", "welcome");
   card.id = "welcome-card";
-  card.appendChild(el("h2", "", "TensorTruth TPU"));
-  card.appendChild(el("p", "dim",
-    "Ask about your indexed documentation, attach a document with 📄 " +
-    "Upload, or start a /web research run. Retrieval runs on TPU; " +
-    "generation uses your configured provider."));
+  card.appendChild(el("h2", "", welcomeTitle));
+  card.appendChild(el("p", "dim", welcomeSubtitle));
   const list = el("div", "welcome-prompts");
   for (const p of WELCOME_PROMPTS) {
     const b = el("button", "hbtn", p);
@@ -98,6 +123,18 @@ export function renderWelcome() {
     list.appendChild(b);
   }
   card.appendChild(list);
+  // project quick access (reference WelcomePage "Your projects" chips)
+  const projects = (sessionStore.get().projects || []).slice(0, 5);
+  if (projects.length) {
+    card.appendChild(el("p", "dim", "Your projects"));
+    const chips = el("div", "welcome-prompts");
+    for (const pr of projects) {
+      const chip = el("button", "hbtn", "🗂 " + pr.name);
+      chip.onclick = () => openProjectView(pr.id);
+      chips.appendChild(chip);
+    }
+    card.appendChild(chips);
+  }
   $("messages").appendChild(card);
 }
 

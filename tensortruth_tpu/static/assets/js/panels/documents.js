@@ -12,7 +12,7 @@ import {
   addTextDocument, addUrlDocument, deleteDocument, fileUrlInfo, listDocuments,
   reindexDocuments, uploadDocumentXHR,
 } from "../api/documents.js";
-import {listProjects} from "../api/projects.js";
+import {getIndexingConfig, listProjects, patchIndexingConfig} from "../api/projects.js";
 import {$, el, toast} from "../lib/dom.js";
 import {currentSessionId} from "../stores/session.js";
 import {rowItem} from "../views/manage.js";
@@ -102,10 +102,95 @@ function renderList(docs) {
   for (const doc of docs) box.appendChild(docRow(doc));
 }
 
+// Per-project chunking settings (reference components/documents/
+// IndexingSettings.tsx): preset (papers / books) or custom three-level
+// sizes, conversion method, explicit Save — a real change drops the scope
+// index so the next build is a full rebuild (server routes/projects.py).
+export const CHUNK_PRESETS = {
+  papers: [2048, 512, 256],
+  books: [3072, 768, 384],
+};
+
+export function presetFromSizes(sizes) {
+  for (const [key, preset] of Object.entries(CHUNK_PRESETS))
+    if (preset.length === sizes.length && preset.every((v, i) => v === sizes[i]))
+      return key;
+  return "custom";
+}
+
+async function renderIndexingSettings() {
+  const box = $("doc-indexing");
+  box.innerHTML = "";
+  if (!scope || scope.kind !== "project") { box.style.display = "none"; return; }
+  box.style.display = "block";
+  let cfg = {};
+  try { cfg = await getIndexingConfig(scope.id); } catch (e) {}
+  const sizes = (cfg.chunk_sizes || [2048, 512, 256]).slice();
+  let preset = presetFromSizes(sizes);
+  let method = cfg.conversion_method || "marker";
+
+  box.appendChild(el("h4", "", "Indexing settings"));
+  box.appendChild(el("div", "dim",
+    "Changing chunk sizes or conversion drops this project's index; the " +
+    "next upload or reindex rebuilds it."));
+  const form = el("div", "mini-form");
+  const presetSel = el("select", "idx-preset");
+  for (const [val, label] of [["papers", "Papers (2048 / 512 / 256)"],
+                              ["books", "Books (3072 / 768 / 384)"],
+                              ["custom", "Custom"]]) {
+    const o = el("option", "", label); o.value = val; presetSel.appendChild(o);
+  }
+  presetSel.value = preset;
+  form.appendChild(presetSel);
+  const sizeInputs = sizes.map(v => {
+    const inp = el("input", "idx-size");
+    inp.type = "number"; inp.min = "64"; inp.step = "64";
+    inp.value = String(v);
+    inp.style.width = "70px";
+    inp.disabled = preset !== "custom";
+    inp.oninput = () => { presetSel.value = "custom"; };
+    form.appendChild(inp);
+    return inp;
+  });
+  presetSel.onchange = () => {
+    preset = presetSel.value;
+    const chosen = CHUNK_PRESETS[preset];
+    sizeInputs.forEach((inp, i) => {
+      inp.disabled = preset !== "custom";
+      if (chosen) inp.value = String(chosen[i]);
+    });
+  };
+  const methodSel = el("select", "idx-method");
+  for (const m of ["marker", "direct"]) {
+    const o = el("option", "", `conversion: ${m}`); o.value = m;
+    methodSel.appendChild(o);
+  }
+  methodSel.value = method;
+  form.appendChild(methodSel);
+  const save = el("button", "primary idx-save", "Save");
+  save.onclick = async () => {
+    const chosen = CHUNK_PRESETS[presetSel.value] ||
+      sizeInputs.map(i => parseInt(i.value, 10));
+    if (chosen.some(v => !Number.isFinite(v) || v < 64)) {
+      toast("chunk sizes must be ≥64", true);
+      return;
+    }
+    try {
+      await patchIndexingConfig(scope.id, {
+        chunk_sizes: chosen, conversion_method: methodSel.value,
+      });
+      toast("indexing settings saved");
+    } catch (e) { toast(`save failed: ${e}`, true); }
+  };
+  form.appendChild(save);
+  box.appendChild(form);
+}
+
 export async function loadDocumentsPanel() {
   await refreshScopeSelect();
   $("documents-session-label").textContent = describeScope();
   $("documents-list").innerHTML = "";
+  renderIndexingSettings();
   if (!scope) return;
   const data = await listDocuments(scope);
   renderList(data.documents || []);
@@ -154,7 +239,11 @@ function uploadQueue(files) {
 }
 
 export function wireDocumentsPanel() {
-  $("doc-scope").onchange = () => { applyScopeSelect(); reloadList(); };
+  $("doc-scope").onchange = () => {
+    applyScopeSelect();
+    reloadList();
+    renderIndexingSettings();  // project scopes expose chunking settings
+  };
   $("doc-upload-btn").onclick = () => $("doc-file-input").click();
   $("doc-file-input").onchange = ev => {
     const files = [...ev.target.files];

@@ -45,7 +45,8 @@ export async function loadSessions() {
 export async function loadProjects() {
   const data = await listProjects();
   projects = data.projects;
-  sessionStore.set({});  // re-render groups
+  // the welcome card's project quick-access chips read this field
+  sessionStore.set({projects: data.projects});
 }
 
 // Module catalog preload (badge + welcome card use the count; the picker

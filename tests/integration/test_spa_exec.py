@@ -1232,3 +1232,70 @@ class TestSessionContextMenuExecuted:
         assert body["title"] == "First chat (copy)"
         assert body["modules"] == ["library_jax"]
         assert body["params"] == {"temperature": 0.2}
+
+
+class TestIndexingSettingsExecuted:
+    """The REAL panels/documents.js indexing-settings block (reference
+    IndexingSettings.tsx): presets resolve from saved sizes, custom edits
+    flip the preset, Save PATCHes the project's indexing config."""
+
+    def setup_panel(self, chunk_sizes=None):
+        from tensortruth_tpu.jsrt.builtins import set_member
+
+        rt, shim = spa_runtime()
+        routes = shim["fetchRoutes"]
+        set_member(routes, "/api/projects", to_js({"projects": [
+            {"id": "p1", "name": "Proj"}]}))
+        set_member(routes, "/api/projects/p1/indexing-config",
+                   to_js({"chunk_sizes": chunk_sizes or [3072, 768, 384],
+                          "conversion_method": "direct"}))
+        set_member(routes, "/api/projects/p1/documents", to_js({"documents": []}))
+        docs = rt.load_module(JS / "panels" / "documents.js")
+        rt.interp.call_any(docs["loadDocumentsPanel"], [])
+        rt.drain_jobs()
+        return rt, shim, docs
+
+    def test_preset_resolution_contract(self):
+        rt, _, docs = self.setup_panel()
+        assert rt.interp.call_any(docs["presetFromSizes"],
+                                  [to_js([2048, 512, 256])]) == "papers"
+        assert rt.interp.call_any(docs["presetFromSizes"],
+                                  [to_js([3072, 768, 384])]) == "books"
+        assert rt.interp.call_any(docs["presetFromSizes"],
+                                  [to_js([1024, 256])]) == "custom"
+
+    def test_saved_books_preset_selected_and_save_patches(self):
+        rt, shim, _ = self.setup_panel()
+        box = rt.interp.call_any(shim["getById"], ["doc-indexing"])
+        sel = list(rt.interp.call_any(
+            _class_method(rt, box, "querySelectorAll"), [".idx-preset"]))[0]
+        assert sel.props.get("value") == "books"
+        method = list(rt.interp.call_any(
+            _class_method(rt, box, "querySelectorAll"), [".idx-method"]))[0]
+        assert method.props.get("value") == "direct"
+        save = list(rt.interp.call_any(
+            _class_method(rt, box, "querySelectorAll"), [".idx-save"]))[0]
+        rt.interp.call_any(save.props["onclick"], [])
+        rt.drain_jobs()
+        patches = [e for e in from_js(shim["fetchLog"])
+                   if e["path"] == "/api/projects/p1/indexing-config"
+                   and e.get("opts") and e["opts"].get("method") == "PATCH"]
+        assert patches
+        body = json.loads(patches[-1]["opts"]["body"])
+        assert body == {"chunk_sizes": [3072, 768, 384],
+                        "conversion_method": "direct"}
+
+
+class TestWelcomeProjectsExecuted:
+    def test_welcome_card_lists_project_chips(self):
+        rt, shim = spa_runtime()
+        session = rt.load_module(JS / "stores" / "session.js")
+        rt.interp.call_any(session["sessionStore"].props["set"],
+                           [to_js({"projects": [{"id": "p1", "name": "Kernels"}]})])
+        msgs_mod = rt.load_module(JS / "chat" / "messages.js")
+        rt.interp.call_any(msgs_mod["renderWelcome"], [])
+        text = _collect_text(rt.interp.call_any(shim["getById"], ["messages"]))
+        assert "Your projects" in text and "Kernels" in text
+        # title/subtitle come from the reference pools
+        titles = from_js(msgs_mod["WELCOME_TITLES"])
+        assert any(t in text for t in titles)
