@@ -10,6 +10,44 @@ import {
 import {$, el, toast} from "../lib/dom.js";
 import {rowItem} from "../views/manage.js";
 
+const gb = (b) => (b / 1024 / 1024 / 1024).toFixed(1);
+
+// Per-device memory cards with usage bars (reference
+// components/status/MemoryMonitor.tsx + SystemStatusPanel device grid):
+// HBM in use vs limit per accelerator, plus a host-RAM card.
+function renderDeviceCards(mem, devices) {
+  const box = $("devices-cards"); box.innerHTML = "";
+  const card = (title, used, limit, pct, extra) => {
+    const c = el("div", "dev-card");
+    c.appendChild(el("div", "dev-title", title));
+    c.appendChild(el("div", "dev-nums",
+      used != null && limit
+        ? `${gb(used)} / ${gb(limit)} GB` + (extra ? ` · ${extra}` : "")
+        : extra || "—"));
+    const bar = el("div", "mem-bar");
+    const fill = el("div", "", "");
+    fill.style.width = `${Math.min(100, pct || 0)}%`;
+    if ((pct || 0) > 90) fill.style.background = "var(--err)";
+    bar.appendChild(fill);
+    c.appendChild(bar);
+    return c;
+  };
+  const kinds = new Map(
+    (devices.devices || []).map((d, i) => [i, d.kind || d.platform || "device"]));
+  (mem.devices || []).forEach((d, i) => {
+    const pct = d.bytes_in_use != null && d.bytes_limit
+      ? 100 * d.bytes_in_use / d.bytes_limit : 0;
+    box.appendChild(card(
+      `${kinds.get(i) || d.kind || d.platform || "device"} ${i}`,
+      d.bytes_in_use, d.bytes_limit, pct,
+      d.peak_bytes_in_use != null ? `peak ${gb(d.peak_bytes_in_use)} GB` : ""));
+  });
+  if (mem.ram && mem.ram.total) {
+    box.appendChild(card("host RAM", mem.ram.total - mem.ram.available,
+                         mem.ram.total, mem.ram.percent));
+  }
+}
+
 export async function loadSystemPanel() {
   const kv = $("system-kv"); kv.innerHTML = "";
   const put = (k, v) => {
@@ -20,11 +58,8 @@ export async function loadSystemPanel() {
     const [mem, devices, rag] = await Promise.all([
       systemMemory(), systemDevices(), ragStatus(),
     ]);
-    const gb = (b) => (b / 1024 / 1024 / 1024).toFixed(1);
+    renderDeviceCards(mem, devices);
     put("backend", devices.backend);
-    put("devices", (devices.devices || []).map(d => d.kind || d.platform).join(", "));
-    put("host RAM", mem.ram && mem.ram.total
-      ? `${gb(mem.ram.total - mem.ram.available)} / ${gb(mem.ram.total)} GB (${mem.ram.percent}%)` : "—");
     put("embedder", rag.embedder ? `${rag.embedder.key[0]} (${rag.embedder.param_gb} GB)` : "not loaded");
     put("reranker", rag.reranker ? `${rag.reranker.key[0]} (${rag.reranker.param_gb} GB)` : "not loaded");
     put("engine", rag.engine
@@ -46,6 +81,17 @@ export async function loadSystemPanel() {
       row.insertBefore(el("span", "badge" + (up ? " on" : ""), up ? "up" : "down"),
                        row.children[1]);
       rl.appendChild(row);
+      // resident models with per-model eject (reference SystemStatusPanel
+      // loaded-model rows; /api/ps for Ollama, router slots for llama.cpp)
+      for (const m of st.running || []) {
+        const mrow = rowItem(m, "resident in runtime memory", [
+          ["Unload", "", async () => {
+            await runtimeUnload(path, {model: m});
+            loadSystemPanel();
+          }]]);
+        mrow.classList.add("nested");
+        rl.appendChild(mrow);
+      }
     } catch (e) {
       rl.appendChild(rowItem(name, "status error: " + e, []));
     }
@@ -78,4 +124,12 @@ export function wireSystemPanel() {
     const r = await profileStop();
     toast(r.status || r.trace_dir || r.error || "profiler stopped");
   };
+  // Live refresh while the panel is on screen (reference SystemStatusPanel
+  // refetchInterval): skipped whenever manage is closed or another tab is
+  // active, so the polling costs nothing in the common case.
+  setInterval(() => {
+    if ($("manage").style.display === "flex" &&
+        $("panel-system").classList.contains("active"))
+      loadSystemPanel();
+  }, 15000);
 }

@@ -1299,3 +1299,67 @@ class TestWelcomeProjectsExecuted:
         # title/subtitle come from the reference pools
         titles = from_js(msgs_mod["WELCOME_TITLES"])
         assert any(t in text for t in titles)
+
+
+class TestSystemPanelExecuted:
+    """The REAL panels/system.js (reference SystemStatusPanel +
+    MemoryMonitor): per-device memory cards with usage bars, resident-model
+    rows with per-model unload."""
+
+    def setup_panel(self):
+        from tensortruth_tpu.jsrt.builtins import set_member
+
+        rt, shim = spa_runtime()
+        routes = shim["fetchRoutes"]
+        gib = 1024 ** 3
+        set_member(routes, "/api/system/memory", to_js({
+            "devices": [{"bytes_in_use": 6 * gib, "bytes_limit": 16 * gib,
+                         "peak_bytes_in_use": 8 * gib}],
+            "ram": {"total": 32 * gib, "available": 16 * gib, "percent": 50},
+        }))
+        set_member(routes, "/api/system/devices", to_js({
+            "backend": "tpu", "devices": [{"kind": "TPU v5 lite"}]}))
+        set_member(routes, "/api/system/rag/status", to_js({
+            "embedder": {"key": ["bge-m3", "tpu"], "param_gb": 1.1},
+            "reranker": None, "engine": None}))
+        set_member(routes, "/api/system/ollama/status", to_js({
+            "reachable": True, "models": ["llama3.1:8b", "qwen3"],
+            "running": ["llama3.1:8b"]}))
+        set_member(routes, "/api/system/llama-cpp/status", to_js({
+            "reachable": False, "error": "connection refused"}))
+        set_member(routes, "/api/tasks", to_js({"tasks": []}))
+        sysmod = rt.load_module(JS / "panels" / "system.js")
+        rt.interp.call_any(sysmod["loadSystemPanel"], [])
+        rt.drain_jobs()
+        return rt, shim
+
+    def test_device_cards_render_usage(self):
+        rt, shim = self.setup_panel()
+        cards = rt.interp.call_any(shim["getById"], ["devices-cards"])
+        text = _collect_text(cards)
+        assert "TPU v5 lite 0" in text
+        assert "6.0 / 16.0 GB" in text and "peak 8.0 GB" in text
+        assert "host RAM" in text and "16.0 / 32.0 GB" in text
+        fills = list(rt.interp.call_any(
+            _class_method(rt, cards, "querySelectorAll"), [".mem-bar"]))
+        pcts = [f.props["children"][0].props["style"].props.get("width")
+                for f in fills]
+        assert "37.5%" in pcts and "50%" in pcts
+
+    def test_resident_model_rows_with_unload(self):
+        rt, shim = self.setup_panel()
+        rl = rt.interp.call_any(shim["getById"], ["runtimes-list"])
+        text = _collect_text(rl)
+        assert "llama3.1:8b" in text and "resident in runtime memory" in text
+        assert "unreachable" in text and "connection refused" in text
+        # the per-model Unload posts with the model name
+        rows = list(rt.interp.call_any(
+            _class_method(rt, rl, "querySelectorAll"), [".nested"]))
+        btn = list(rt.interp.call_any(
+            _class_method(rt, rows[0], "querySelectorAll"), ["BUTTON"]))[0]
+        rt.interp.call_any(btn.props["onclick"], [])
+        rt.drain_jobs()
+        posts = [e for e in from_js(shim["fetchLog"])
+                 if e["path"] == "/api/system/ollama/unload"]
+        assert posts
+        assert json.loads(posts[-1]["opts"]["body"]) == {"model": "llama3.1:8b"}
