@@ -40,12 +40,22 @@ def create_service_tools(services, session_id: str | None = None, emit=None) -> 
             {"action": action, "name": name, "config": config or {}},
         )
         if emit is not None:
+            # action_type/details feed the client's ConfirmationCard
+            # (reference orchestrator_tool_wrappers.py:990-1445 confirmation
+            # payload + frontend ConfirmationCard.tsx MCP detail block)
             await emit(
                 {
                     "type": "confirmation_request",
                     "confirmation_id": conf.id,
                     "tool": "manage_mcp_server",
                     "description": conf.description,
+                    "action_type": {
+                        "add": "mcp_add", "remove": "mcp_remove",
+                        "toggle": "mcp_update",
+                    }[action],
+                    "title": name,
+                    "details": {"action": action, "name": name,
+                                "config": config or {}},
                 }
             )
         decision = await services.confirmation_service.wait(conf.id)

@@ -4,8 +4,8 @@
 // sources, done, error, title, confirmation_request). Handlers close over
 // the live streaming state held in stream.js.
 
-import {approveConfirmation, rejectConfirmation} from "../api/confirmations.js";
 import {$, el, scrollMessages, toast} from "../lib/dom.js";
+import {renderConfirmationCard} from "./confirmcard.js";
 import {renderMarkdown} from "../lib/markdown.js";
 import {currentSessionId} from "../stores/session.js";
 import {loadSessions} from "../views/sidebar.js";
@@ -118,25 +118,10 @@ const WS_HANDLERS = {
   },
   title() { loadSessions(); },
   confirmation_request(msg) {
-    // Inline approval card (reference ToolConfirmation UI): approve/reject
-    // posts to the confirmation routes; the orchestrator blocks meanwhile.
-    const card = el("div", "confirm-card");
-    card.appendChild(el("div", "q",
-      `⚠ ${msg.tool || "A tool"} requests confirmation: ${msg.message || msg.description || ""}`));
-    const yes = el("button", "hbtn", "Approve");
-    const no = el("button", "hbtn", "Reject");
-    no.style.marginLeft = "8px";
-    yes.onclick = async () => {
-      await approveConfirmation(msg.confirmation_id);
-      card.remove();
-    };
-    no.onclick = async () => {
-      await rejectConfirmation(msg.confirmation_id);
-      card.remove();
-    };
-    card.appendChild(yes); card.appendChild(no);
-    $("messages").appendChild(card);
-    scrollMessages(true);
+    // Inline approval card (reference ConfirmationCard.tsx): action chip,
+    // target, config detail block, busy/error states; the card stays with
+    // its decision badge while the orchestrator resumes.
+    renderConfirmationCard(msg);
   },
 };
 

@@ -1363,3 +1363,55 @@ class TestSystemPanelExecuted:
                  if e["path"] == "/api/system/ollama/unload"]
         assert posts
         assert json.loads(posts[-1]["opts"]["body"]) == {"model": "llama3.1:8b"}
+
+
+class TestConfirmationCardExecuted:
+    """The REAL chat/confirmcard.js (reference ConfirmationCard.tsx):
+    action chip per MCP action, config detail block, and the card KEEPS a
+    decision badge after approve/reject instead of vanishing."""
+
+    MSG = {
+        "type": "confirmation_request", "confirmation_id": "c1",
+        "tool": "manage_mcp_server", "description": "add MCP server 'ctx7'",
+        "action_type": "mcp_add", "title": "ctx7",
+        "details": {"action": "add", "name": "ctx7", "config": {
+            "type": "stdio", "command": "npx", "args": ["-y", "ctx7"],
+            "env": {"API_KEY": "…"}}},
+    }
+
+    def render(self, msg=None):
+        rt, shim = spa_runtime()
+        cc = rt.load_module(JS / "chat" / "confirmcard.js")
+        card = rt.interp.call_any(cc["renderConfirmationCard"],
+                                  [to_js(msg or self.MSG)])
+        rt.drain_jobs()
+        return rt, shim, card
+
+    def test_chip_target_and_details(self):
+        rt, shim, card = self.render()
+        text = _collect_text(card)
+        assert "Add" in text and "ctx7" in text
+        assert "Command: npx -y ctx7" in text
+        assert "Env: API_KEY" in text
+        chips = list(rt.interp.call_any(
+            _class_method(rt, card, "querySelectorAll"), [".mcp_add"]))
+        assert chips, "action chip carries the action class for styling"
+
+    def test_remove_action_hides_config_details(self):
+        msg = dict(self.MSG, action_type="mcp_remove",
+                   details={"action": "remove", "name": "ctx7", "config": {}})
+        rt, shim, card = self.render(msg)
+        assert "Command:" not in _collect_text(card)
+
+    def test_decision_badge_stays_after_approve(self):
+        rt, shim, card = self.render()
+        yes = [b for b in list(rt.interp.call_any(
+            _class_method(rt, card, "querySelectorAll"), ["BUTTON"]))
+            if "Approve" in (b.props.get("_text") or "")][0]
+        rt.interp.call_any(yes.props["onclick"], [])
+        rt.drain_jobs()
+        posts = [e["path"] for e in from_js(shim["fetchLog"])]
+        assert "/api/tool-confirmations/c1/approve" in posts
+        text = _collect_text(card)
+        assert "Approved" in text
+        assert "Reject" not in text  # action row removed, card remains

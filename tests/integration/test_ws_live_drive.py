@@ -53,19 +53,24 @@ OPTIONAL_FIELDS = {
 }
 
 
+CONFIRMCARD_JS = (_JS_DIR / "confirmcard.js").read_text()
+
+
 def _parse_helper_reads() -> dict[str, set[str]]:
-    """progress.js helper → the msg.<field> names its body reads, so a
-    ws.js handler that delegates (beginToolCalls(…, msg)) still counts as
-    reading those fields for the drift gate."""
+    """Delegated-module helper → the msg.<field> names its body reads, so a
+    ws.js handler that delegates (beginToolCalls(…, msg),
+    renderConfirmationCard(msg)) still counts as reading those fields for
+    the drift gate."""
     helpers: dict[str, set[str]] = {}
     name = None
-    for line in PROGRESS_JS.splitlines():
-        m = re.match(r"export function (\w+)\(", line)
-        if m:
-            name = m.group(1)
-            helpers[name] = set()
-        elif name is not None:
-            helpers[name].update(re.findall(r"msg\.(\w+)", line))
+    for src in (PROGRESS_JS, CONFIRMCARD_JS):
+        for line in src.splitlines():
+            m = re.match(r"export function (\w+)\(", line)
+            if m:
+                name = m.group(1)
+                helpers[name] = set()
+            elif name is not None:
+                helpers[name].update(re.findall(r"msg\.(\w+)", line))
     return helpers
 
 
