@@ -53,6 +53,20 @@ function wireChrome() {
       document.body.classList.remove("sidebar-open");
   });
 
+  // Jump-to-latest pill (reference useScrollDirection + MessageList's
+  // scroll-to-bottom affordance): appears once the reader scrolls away
+  // from the bottom, one click re-pins the stream.
+  $("messages").addEventListener("scroll", () => {
+    const box = $("messages");
+    const away = box.scrollHeight - box.scrollTop - box.clientHeight > 300;
+    $("jump-latest").style.display = away ? "block" : "none";
+  });
+  $("jump-latest").onclick = () => {
+    const box = $("messages");
+    box.scrollTop = box.scrollHeight;
+    $("jump-latest").style.display = "none";
+  };
+
   $("status-bar").onclick = async () => {
     try {
       const stats = await sessionStats();

@@ -176,6 +176,12 @@ export function renderSources(container, sources) {
       score.title = {high: "strong match (≥0.70)",
                      medium: "moderate match (0.40–0.70)",
                      low: "weak match (<0.40)"}[level];
+      // relevance meter (reference SourceCard score bar): width ∝ score
+      const bar = el("span", "score-bar");
+      const fill = el("div", "conf-" + level, "");
+      fill.style.width = `${Math.round(Math.min(1, Math.max(0, s.score)) * 100)}%`;
+      bar.appendChild(fill);
+      item.appendChild(bar);
     }
     item.appendChild(score);
     const docType = s.metadata?.doc_type || s.type;
