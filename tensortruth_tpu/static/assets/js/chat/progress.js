@@ -98,7 +98,21 @@ export function renderToolTimeline(container, steps, opts) {
   steps = (steps || []).map(normalizeStep);
   let box = container.querySelector(".timeline");
   if (!steps.length) { if (box) box.remove(); return null; }
+  // Mid-stream rebuilds must not snap away what the user opened: remember
+  // which rows had their output expanded, and (while live) whether the
+  // list itself was collapsed, before replacing the DOM.
+  const prevExpanded = new Set();
+  let prevListOpen = null;
+  if (box) {
+    const prevList = box.querySelector(".tl-list");
+    if (prevList) prevListOpen = prevList.style.display !== "none";
+    box.querySelectorAll(".tl-row").forEach((row, i) => {
+      const out = row.querySelector(".tl-out");
+      if (out && out.style.display === "block") prevExpanded.add(i);
+    });
+  }
   if (box) box.remove();
+  const listOpen = opts.live && prevListOpen !== null ? prevListOpen : !!opts.live;
   box = el("div", "timeline" + (opts.live ? " live" : ""));
 
   const completed = steps.filter(s => s.status === "completed").length;
@@ -111,11 +125,11 @@ export function renderToolTimeline(container, steps, opts) {
   const head = el("div", "tl-head");
   head.appendChild(el("span", "tl-title", `Steps (${steps.length})`));
   head.appendChild(el("span", "tl-counts", bits.join(" | ")));
-  head.appendChild(el("span", "tl-caret", opts.live ? "▾" : "▸"));
+  head.appendChild(el("span", "tl-caret", listOpen ? "▾" : "▸"));
   box.appendChild(head);
 
   const list = el("div", "tl-list");
-  list.style.display = opts.live ? "block" : "none";
+  list.style.display = listOpen ? "block" : "none";
   head.onclick = () => {
     const open = list.style.display !== "none";
     list.style.display = open ? "none" : "block";
@@ -139,7 +153,7 @@ export function renderToolTimeline(container, steps, opts) {
     const out = s.output || (ps ? s.message : null);
     if (out) {
       const pre = el("pre", "tl-out", String(out));
-      pre.style.display = "none";
+      pre.style.display = prevExpanded.has(i) ? "block" : "none";
       line.onclick = () => {
         pre.style.display = pre.style.display === "none" ? "block" : "none";
       };
@@ -171,7 +185,12 @@ export function beginToolCalls(steps, msg) {
 // event with no matching dispatch (the /web pipeline emits bare progress)
 // appends a resolved step directly.
 export function resolveToolCall(steps, msg) {
-  const status = msg.phase === "failed" ? "failed" : "completed";
+  // Phase-less progress (the /web pipeline's per-URL events) still signals
+  // failure in its message prefix ("failed https://…", "ERROR: …") — don't
+  // paint those with a green check.
+  const failed = msg.phase === "failed" ||
+    (!msg.phase && /^(error|failed)\b/i.test(msg.message || ""));
+  const status = failed ? "failed" : "completed";
   for (const s of steps) {
     if (s.tool === msg.tool && s.status === "calling") {
       s.status = status;

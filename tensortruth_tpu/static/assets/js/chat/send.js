@@ -1,7 +1,7 @@
 // Outbound chat messages: the one place a user message enters the WS
 // (composer submit and per-message resend both land here).
 
-import {el} from "../lib/dom.js";
+import {el, toast} from "../lib/dom.js";
 import {addMessage} from "./messages.js";
 import {isStreaming} from "./stream.js";
 import {getWS} from "./ws.js";
@@ -25,13 +25,16 @@ export function resendMessage(text) {
 }
 
 // First message of a freshly-opened session (project view's "Start chat"):
-// the socket may still be CONNECTING right after connectWS — defer the
-// send to its open event (reference: chatStore.pendingUserMessage drained
-// by useChat once the WS is up).
+// the socket may still be CONNECTING right after connectWS — poll getWS()
+// rather than pinning onopen to one socket instance, because a failed
+// connect is replaced by a NEW socket via ws.js's 2 s auto-reconnect
+// (reference: chatStore.pendingUserMessage drained by useChat once up).
 export function sendWhenOpen(text) {
-  const ws = getWS();
-  if (!ws) return false;
-  if (ws.readyState === 1) return sendUserMessage(text, null);
-  ws.onopen = () => sendUserMessage(text, null);
-  return true;
+  const attempt = tries => {
+    const ws = getWS();
+    if (ws && ws.readyState === 1) { sendUserMessage(text, null); return; }
+    if (tries > 0) setTimeout(() => attempt(tries - 1), 250);
+    else toast("message not sent — chat connection never opened", true);
+  };
+  attempt(40);  // ~10 s window covers the auto-reconnect cycle
 }

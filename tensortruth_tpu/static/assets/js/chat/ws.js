@@ -4,7 +4,7 @@
 // sources, done, error, title, confirmation_request). Handlers close over
 // the live streaming state held in stream.js.
 
-import {$, el, scrollMessages, toast} from "../lib/dom.js";
+import {$, scrollMessages, toast} from "../lib/dom.js";
 import {renderConfirmationCard} from "./confirmcard.js";
 import {renderMarkdown} from "../lib/markdown.js";
 import {currentSessionId} from "../stores/session.js";

@@ -123,8 +123,19 @@ async function renderIndexingSettings() {
   box.innerHTML = "";
   if (!scope || scope.kind !== "project") { box.style.display = "none"; return; }
   box.style.display = "block";
-  let cfg = {};
-  try { cfg = await getIndexingConfig(scope.id); } catch (e) {}
+  // Never render the editor over defaults when the REAL config could not
+  // be read: saving defaults over a customized config silently drops the
+  // project's index (server treats any change as a rebuild trigger).
+  let cfg;
+  try { cfg = await getIndexingConfig(scope.id); } catch (e) { cfg = null; }
+  if (!cfg || typeof cfg !== "object") {
+    box.appendChild(el("h4", "", "Indexing settings"));
+    box.appendChild(el("div", "dim", "Could not load this project's indexing config."));
+    const retry = el("button", "hbtn", "Retry");
+    retry.onclick = () => renderIndexingSettings();
+    box.appendChild(retry);
+    return;
+  }
   const sizes = (cfg.chunk_sizes || [2048, 512, 256]).slice();
   let preset = presetFromSizes(sizes);
   let method = cfg.conversion_method || "marker";

@@ -12,6 +12,11 @@ import {rowItem} from "../views/manage.js";
 
 const gb = (b) => (b / 1024 / 1024 / 1024).toFixed(1);
 
+// Re-entrancy guard: a slow runtime probe can push one load past the 15 s
+// poll tick; overlapping passes would interleave innerHTML resets and
+// double-append rows.
+let panelLoading = false;
+
 // Per-device memory cards with usage bars (reference
 // components/status/MemoryMonitor.tsx + SystemStatusPanel device grid):
 // HBM in use vs limit per accelerator, plus a host-RAM card.
@@ -49,6 +54,16 @@ function renderDeviceCards(mem, devices) {
 }
 
 export async function loadSystemPanel() {
+  if (panelLoading) return;
+  panelLoading = true;
+  try {
+    await loadSystemPanelOnce();
+  } finally {
+    panelLoading = false;
+  }
+}
+
+async function loadSystemPanelOnce() {
   const kv = $("system-kv"); kv.innerHTML = "";
   const put = (k, v) => {
     kv.appendChild(el("div", "k", k));
@@ -70,7 +85,10 @@ export async function loadSystemPanel() {
   for (const [name, path] of [["Ollama", "ollama"], ["llama.cpp", "llama-cpp"]]) {
     try {
       const st = await runtimeStatus(path);
-      const up = st.reachable;
+      // Ollama reports {reachable, models, running: [names]}; llama.cpp
+      // reports {running: bool, models} with no `reachable` key
+      // (server/routes/system.py llama_cpp_status).
+      const up = st.reachable !== undefined ? st.reachable : !!st.running;
       const row = rowItem(name,
         up ? `reachable · ${(st.models || st.loaded || []).length ?? 0} models`
            : `unreachable${st.error ? " · " + st.error : ""}`,
@@ -82,8 +100,9 @@ export async function loadSystemPanel() {
                        row.children[1]);
       rl.appendChild(row);
       // resident models with per-model eject (reference SystemStatusPanel
-      // loaded-model rows; /api/ps for Ollama, router slots for llama.cpp)
-      for (const m of st.running || []) {
+      // loaded-model rows; Ollama /api/ps — llama.cpp's `running` is a
+      // boolean, not a list, so only arrays iterate)
+      for (const m of Array.isArray(st.running) ? st.running : []) {
         const mrow = rowItem(m, "resident in runtime memory", [
           ["Unload", "", async () => {
             await runtimeUnload(path, {model: m});

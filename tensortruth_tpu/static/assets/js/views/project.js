@@ -221,9 +221,10 @@ export async function openProjectView(projectId) {
   const h1 = el("h1", "", project.name);
   h1.title = "Double-click to rename";
   h1.ondblclick = async () => {
-    const name = prompt("Rename project", project.name);
-    if (!name || name === project.name) return;
-    await patchProject(projectId, {name: name.trim()});
+    const raw = prompt("Rename project", project.name);
+    const name = raw === null ? null : raw.trim();
+    if (!name || name === project.name) return;  // trim first: "  " is not a name
+    await patchProject(projectId, {name});
     openProjectView(projectId);
   };
   head.appendChild(h1);
@@ -262,9 +263,12 @@ export async function openProjectView(projectId) {
     try {
       const params = modelSel.value ? {model: modelSel.value} : {};
       const s = await createProjectSession(projectId, {params});
+      if (!s || !s.id) throw new Error(s && s.error || "session create failed");
       showProjectView(false);
       await openSession(s.id);
       sendWhenOpen(text);
+    } catch (e) {
+      toast(`could not start the chat: ${e.message || e}`, true);
     } finally { send.disabled = false; }
   };
   send.onclick = submit;

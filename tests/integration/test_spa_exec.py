@@ -1325,8 +1325,10 @@ class TestSystemPanelExecuted:
         set_member(routes, "/api/system/ollama/status", to_js({
             "reachable": True, "models": ["llama3.1:8b", "qwen3"],
             "running": ["llama3.1:8b"]}))
+        # the REAL llama.cpp status shape: `running` is a BOOLEAN and there
+        # is no `reachable` key (server/routes/system.py llama_cpp_status)
         set_member(routes, "/api/system/llama-cpp/status", to_js({
-            "reachable": False, "error": "connection refused"}))
+            "running": False, "models": [], "base_url": ""}))
         set_member(routes, "/api/tasks", to_js({"tasks": []}))
         sysmod = rt.load_module(JS / "panels" / "system.js")
         rt.interp.call_any(sysmod["loadSystemPanel"], [])
@@ -1351,7 +1353,8 @@ class TestSystemPanelExecuted:
         rl = rt.interp.call_any(shim["getById"], ["runtimes-list"])
         text = _collect_text(rl)
         assert "llama3.1:8b" in text and "resident in runtime memory" in text
-        assert "unreachable" in text and "connection refused" in text
+        assert "unreachable" in text  # llama.cpp down (boolean running=false)
+        assert "status error" not in text  # boolean `running` must not iterate
         # the per-model Unload posts with the model name
         rows = list(rt.interp.call_any(
             _class_method(rt, rl, "querySelectorAll"), [".nested"]))
@@ -1415,3 +1418,46 @@ class TestConfirmationCardExecuted:
         text = _collect_text(card)
         assert "Approved" in text
         assert "Reject" not in text  # action row removed, card remains
+
+
+class TestProgressFailureInference:
+    def test_phase_less_failed_message_is_not_green(self):
+        rt = Runtime(root=JS)
+        prog = rt.load_module(JS / "chat" / "progress.js")
+        resolve = prog["resolveToolCall"]
+        # the /web pipeline emits NO phase field — the message prefix is
+        # the only failure signal (web/pipeline.py:111-115)
+        fail = from_js(rt.interp.call_any(resolve, [
+            to_js([]), to_js({"tool": "web_search",
+                              "message": "failed https://x.com"})]))
+        assert fail["status"] == "failed"
+        ok = from_js(rt.interp.call_any(resolve, [
+            to_js([]), to_js({"tool": "web_search",
+                              "message": "fetched https://y.com"})]))
+        assert ok["status"] == "completed"
+        err = from_js(rt.interp.call_any(resolve, [
+            to_js([]), to_js({"tool": "t", "message": "ERROR: kaput"})]))
+        assert err["status"] == "failed"
+
+    def test_llama_cpp_running_true_renders_up(self):
+        from tensortruth_tpu.jsrt.builtins import set_member
+
+        rt, shim = spa_runtime()
+        routes = shim["fetchRoutes"]
+        gib = 1024 ** 3
+        set_member(routes, "/api/system/memory", to_js({
+            "devices": [], "ram": {"total": gib, "available": gib, "percent": 1}}))
+        set_member(routes, "/api/system/devices", to_js({"backend": "cpu", "devices": []}))
+        set_member(routes, "/api/system/rag/status", to_js({}))
+        set_member(routes, "/api/system/ollama/status", to_js({
+            "reachable": False, "error": "refused"}))
+        set_member(routes, "/api/system/llama-cpp/status", to_js({
+            "running": True, "models": ["m1"], "base_url": "http://x"}))
+        set_member(routes, "/api/tasks", to_js({"tasks": []}))
+        sysmod = rt.load_module(JS / "panels" / "system.js")
+        rt.interp.call_any(sysmod["loadSystemPanel"], [])
+        rt.drain_jobs()
+        rl = rt.interp.call_any(shim["getById"], ["runtimes-list"])
+        text = _collect_text(rl)
+        assert "status error" not in text
+        assert "reachable" in text  # llama.cpp row shows up as reachable
