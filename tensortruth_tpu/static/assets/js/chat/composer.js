@@ -7,6 +7,7 @@ import {patchSessionRaw} from "../api/sessions.js";
 import {listCommands} from "../api/tools.js";
 import {$, el, toast} from "../lib/dom.js";
 import {currentSessionId} from "../stores/session.js";
+import {uploadDocument} from "../views/sidebar.js";
 import {sendUserMessage} from "./send.js";
 
 let pendingImages = [];   // raw base64, what rides the WS message
@@ -129,18 +130,30 @@ export function wireComposer() {
         ev.preventDefault();  // keep the image out of the textarea as text
     }
   });
-  const comp = $("composer");
-  comp.addEventListener("dragover", ev => {
-    ev.preventDefault();
-    comp.classList.add("dragging");
-  });
-  comp.addEventListener("dragleave", () => comp.classList.remove("dragging"));
-  comp.addEventListener("drop", ev => {
-    ev.preventDefault();
-    comp.classList.remove("dragging");
-    const files = (ev.dataTransfer && ev.dataTransfer.files) || [];
-    for (const f of files) attachFile(f);
-  });
+  // Drop routing (reference DocumentUploader drop zone + image attach):
+  // images attach to the next message; documents (.pdf/.md/.txt/.html)
+  // upload-and-index into the open session. Works on the composer AND the
+  // message area, with a visual drop hint.
+  const DOC_EXT = /\.(pdf|md|txt|html)$/i;
+  const routeDrop = files => {
+    for (const f of files) {
+      if (attachFile(f)) continue;
+      if (f && f.name && DOC_EXT.test(f.name)) uploadDocument(f);
+      else if (f && f.name) toast(`unsupported file type: ${f.name}`, true);
+    }
+  };
+  for (const zone of [$("composer"), $("messages")]) {
+    zone.addEventListener("dragover", ev => {
+      ev.preventDefault();
+      zone.classList.add("dragging");
+    });
+    zone.addEventListener("dragleave", () => zone.classList.remove("dragging"));
+    zone.addEventListener("drop", ev => {
+      ev.preventDefault();
+      zone.classList.remove("dragging");
+      routeDrop((ev.dataTransfer && ev.dataTransfer.files) || []);
+    });
+  }
 
   $("composer").onsubmit = ev => {
     ev.preventDefault();
