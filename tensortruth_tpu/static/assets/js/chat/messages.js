@@ -23,6 +23,40 @@ export function copyText(text) {
   toast("copied");
 }
 
+// Fenced code blocks get a top-right copy button + language label
+// (reference MemoizedMarkdown.tsx CodeCopyButton / CodeBlock wrapper).
+// Runs over an already-rendered .body — the renderer's HTML stays
+// identical to the Python twin; decoration is a DOM-side concern.
+export function decorateCodeBlocks(body) {
+  if (!body || !body.querySelectorAll) return;
+  for (const pre of body.querySelectorAll("pre")) {
+    if (pre.querySelector && pre.querySelector(".code-copy")) continue;
+    const code = pre.querySelector && pre.querySelector("code");
+    const lang = code && ((code.className || "").match(/lang-(\w+)/) || [])[1];
+    const btn = el("button", "code-copy", lang ? `${lang} ⧉` : "⧉");
+    btn.title = "Copy code";
+    btn.onclick = ev => {
+      ev.stopPropagation();
+      copyText((code || pre).textContent);
+      btn.textContent = "✓";
+      setTimeout(() => { btn.textContent = lang ? `${lang} ⧉` : "⧉"; }, 1200);
+    };
+    pre.insertBefore(btn, pre.firstElementChild);
+  }
+}
+
+// Full-screen image overlay (reference chat ImageLightbox): click an
+// attached/response image to zoom, click anywhere to dismiss.
+export function openLightbox(src) {
+  const ov = el("div", "lightbox");
+  const img = document.createElement("img");
+  img.src = src;
+  ov.appendChild(img);
+  ov.onclick = () => ov.remove();
+  document.body.appendChild(ov);
+  return ov;
+}
+
 export function addMessage(role, text, opts) {
   opts = opts || {};
   const welcome = $("welcome-card");
@@ -166,7 +200,18 @@ export function cleanSourceName(name) {
 export function renderSources(container, sources) {
   if (!sources || !sources.length) return;
   const det = el("details", "sources");
-  det.appendChild(el("summary", "", `${sources.length} sources`));
+  // status-count summary (reference WebSearchSources.tsx summaryParts):
+  // "5 sources · 3 fetched | 1 failed | 1 skipped" when statuses exist
+  const counts = {};
+  for (const s of sources)
+    if (s.status) counts[s.status] = (counts[s.status] || 0) + 1;
+  const bits = [];
+  if (counts.success) bits.push(`${counts.success} fetched`);
+  if (counts.failed) bits.push(`${counts.failed} failed`);
+  if (counts.skipped) bits.push(`${counts.skipped} skipped`);
+  if (counts.filtered) bits.push(`${counts.filtered} filtered`);
+  det.appendChild(el("summary", "", `${sources.length} sources` +
+    (bits.length ? ` · ${bits.join(" | ")}` : "")));
   for (const s of sources) {
     const item = el("div", "source-item");
     const score = el("span", "score", s.score != null ? s.score.toFixed(2) : "—");

@@ -10,7 +10,8 @@ import {renderMarkdown} from "../lib/markdown.js";
 import {currentSessionId} from "../stores/session.js";
 import {loadSessions} from "../views/sidebar.js";
 import {
-  renderMetrics, renderSources, renderStats, renderThinking,
+  decorateCodeBlocks, renderMetrics, renderSources, renderStats,
+  renderThinking,
 } from "./messages.js";
 import {
   beginToolCalls, removePhaseBox, renderToolTimeline, resolveToolCall,
@@ -100,6 +101,7 @@ const WS_HANDLERS = {
     $("statusline").textContent = "";
     stream.body.classList.add("md");
     stream.body.innerHTML = renderMarkdown(msg.content || stream.raw);
+    decorateCodeBlocks(stream.body);
     if (stream.thinkingBox) stream.thinkingBox.open = false;
     // re-render the live timeline collapsed, with final counts
     renderToolTimeline(stream.assistant, stream.toolSteps, {live: false});

@@ -18,8 +18,8 @@ import {$, el, toast} from "../lib/dom.js";
 import {renderMarkdown} from "../lib/markdown.js";
 import {sessionStore, currentSessionId} from "../stores/session.js";
 import {
-  addMessage, renderMetrics, renderSources, renderThinking, renderToolSteps,
-  renderWelcome,
+  addMessage, decorateCodeBlocks, openLightbox, renderMetrics,
+  renderSources, renderThinking, renderToolSteps, renderWelcome,
 } from "../chat/messages.js";
 import {refreshModelSelect} from "../chat/modelselect.js";
 import {syncModulePicker} from "../chat/modulepicker.js";
@@ -74,12 +74,15 @@ function renderHistoryMessage(id, m, mi) {
     const body = wrap.querySelector(".body");
     body.classList.add("md");
     body.innerHTML = renderMarkdown(m.content || "");
+    decorateCodeBlocks(body);
     if (m.thinking) renderThinking(wrap, m.thinking);
   }
   for (const imgId of m.images || []) {
     const img = document.createElement("img");
     img.src = imageUrl(id, imgId);
-    img.style.cssText = "max-width:240px; border-radius:8px; margin-top:6px; display:block;";
+    img.style.cssText =
+      "max-width:240px; border-radius:8px; margin-top:6px; display:block; cursor:zoom-in;";
+    img.onclick = () => openLightbox(img.src);
     wrap.appendChild(img);
   }
   renderSources(wrap, m.sources);

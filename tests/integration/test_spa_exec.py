@@ -1461,3 +1461,39 @@ class TestProgressFailureInference:
         text = _collect_text(rl)
         assert "status error" not in text
         assert "reachable" in text  # llama.cpp row shows up as reachable
+
+
+class TestSourceSummaryAndLightbox:
+    def test_sources_summary_counts_statuses(self):
+        rt, shim = spa_runtime()
+        msgs_mod = rt.load_module(JS / "chat" / "messages.js")
+        container = rt.run_script(
+            "let out = document.createElement('div');").get("out")
+        rt.interp.call_any(msgs_mod["renderSources"], [container, to_js([
+            {"id": "1", "title": "A", "status": "success", "score": 0.9},
+            {"id": "2", "title": "B", "status": "failed", "error": "timeout"},
+            {"id": "3", "title": "C", "status": "skipped"},
+        ])])
+        text = _collect_text(container)
+        assert "3 sources · 1 fetched | 1 failed | 1 skipped" in text
+
+    def test_rag_sources_without_status_keep_plain_summary(self):
+        rt, shim = spa_runtime()
+        msgs_mod = rt.load_module(JS / "chat" / "messages.js")
+        container = rt.run_script(
+            "let out = document.createElement('div');").get("out")
+        rt.interp.call_any(msgs_mod["renderSources"], [container, to_js([
+            {"id": "1", "title": "A", "score": 0.9},
+        ])])
+        assert "1 sources ·" not in _collect_text(container)
+
+    def test_lightbox_opens_and_dismisses(self):
+        rt, shim = spa_runtime()
+        msgs_mod = rt.load_module(JS / "chat" / "messages.js")
+        ov = rt.interp.call_any(msgs_mod["openLightbox"], ["/api/x.png"])
+        body = rt.interp.call_any(shim["docBody"], [])
+        assert list(rt.interp.call_any(
+            _class_method(rt, body, "querySelectorAll"), [".lightbox"]))
+        rt.interp.call_any(ov.props["onclick"], [])
+        assert not list(rt.interp.call_any(
+            _class_method(rt, body, "querySelectorAll"), [".lightbox"]))
