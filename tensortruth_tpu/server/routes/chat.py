@@ -470,6 +470,15 @@ async def ws_chat(request: web.Request):
         services.session_service.add_message(
             session_id, "assistant", response.text,
             sources=sources, metrics=response.metrics,
+            # persisted so a reloaded session still shows the confidence
+            # badge and generation stats (reference chat.py:507-519 metrics
+            # persistence; SPA renderHistoryMessage reads these fields)
+            confidence=response.confidence,
+            stats={
+                "duration_ms": round(gen_s * 1e3),
+                "est_tokens": est_tokens,
+                "tokens_per_s": round(est_tokens / gen_s, 1) if gen_s > 0 else None,
+            },
         )
         # Smart title from the first exchange (reference chat.py:501-537).
         if session.get("title_needs_update") and response.text:
@@ -524,6 +533,10 @@ async def _run_orchestrator(
         logger.warning("MCP tool load failed: %s", e)
     done_msg = None
     sources: list[dict] = []
+    # Server-side mirror of the SPA's live timeline bookkeeping
+    # (chat/progress.js beginToolCalls/resolveToolCall) so tool steps
+    # survive a session reload (reference persists tool_steps on messages).
+    tool_steps: list[dict] = []
     t_gen0 = time.monotonic()
     try:
         async for event in orch.execute(
@@ -541,6 +554,29 @@ async def _run_orchestrator(
                 return False
             if event["type"] == "sources":
                 sources = event["sources"]
+            if event["type"] == "tool_phase":
+                for call in event.get("calls") or [
+                    {"tool": t, "params": None} for t in event.get("tools", [])
+                ]:
+                    tool_steps.append(
+                        {"tool": call["tool"], "params": call.get("params"),
+                         "status": "calling"}
+                    )
+            if event["type"] == "tool_progress":
+                status = (
+                    "failed" if event.get("phase") == "failed" else "completed"
+                )
+                for step in tool_steps:
+                    if step["tool"] == event.get("tool") and step["status"] == "calling":
+                        step["status"] = status
+                        step["message"] = event.get("message")
+                        step["output"] = (event.get("output") or "")[:2000]
+                        break
+                else:
+                    tool_steps.append(
+                        {"tool": event.get("tool"), "status": status,
+                         "message": event.get("message")}
+                    )
             if event["type"] == "done":
                 gen_s = time.monotonic() - t_gen0
                 est = len(event.get("content", "")) // 4
@@ -559,8 +595,14 @@ async def _run_orchestrator(
         return False
     if done_msg is None:
         return False
+    extra: dict = {}
+    if tool_steps:
+        extra["tool_steps"] = tool_steps
+    if done_msg.get("stats"):
+        extra["stats"] = done_msg["stats"]
     services.session_service.add_message(
-        session_id, "assistant", done_msg.get("content", ""), sources=sources
+        session_id, "assistant", done_msg.get("content", ""), sources=sources,
+        **extra,
     )
     if session.get("title_needs_update") and done_msg.get("content"):
         title = _smart_title(prompt, services, ctx["params"])

@@ -19,7 +19,8 @@ import {renderMarkdown} from "../lib/markdown.js";
 import {sessionStore, currentSessionId} from "../stores/session.js";
 import {
   addMessage, decorateCodeBlocks, openLightbox, renderMetrics,
-  renderSources, renderThinking, renderToolSteps, renderWelcome,
+  renderSources, renderStats, renderThinking, renderToolSteps,
+  renderWelcome,
 } from "../chat/messages.js";
 import {refreshModelSelect} from "../chat/modelselect.js";
 import {syncModulePicker} from "../chat/modulepicker.js";
@@ -88,6 +89,7 @@ function renderHistoryMessage(id, m, mi) {
   renderSources(wrap, m.sources);
   renderToolSteps(wrap, m.tool_steps);
   renderMetrics(wrap, m.metrics, m.confidence);
+  renderStats(wrap, m.stats);  // persisted generation stats survive reload
   return wrap;
 }
 

@@ -231,6 +231,17 @@ async def _drive_orchestrator(client) -> dict[str, list[dict]]:
             break
     await ws.close()
     await asyncio.sleep(0)
+    # Persistence parity (reference chat.py:507-519 / SPA
+    # renderHistoryMessage): the saved assistant message must carry the
+    # tool timeline and generation stats so a reload repaints them.
+    r = await client.get(f"/api/sessions/{sid}")
+    saved = (await r.json())["messages"][-1]
+    assert saved["role"] == "assistant"
+    steps = saved.get("tool_steps") or []
+    assert steps and steps[0]["tool"] == "manage_mcp_server"
+    assert steps[0]["status"] in ("completed", "failed")
+    assert steps[0].get("params", {}).get("name") == "srv-x"
+    assert saved.get("stats", {}).get("est_tokens") is not None
     return seen
 
 
