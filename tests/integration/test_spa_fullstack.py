@@ -206,3 +206,74 @@ def test_documents_panel_against_real_scope(client, event_loop):
     summary = rt.interp.call_any(shim["getById"], ["documents-summary"])
     assert "1 document" in _text(summary)
     assert "chunks indexed" in _text(summary)
+
+
+RICH = ("Use $$E = mc^2$$ for energy.\n\n"
+        "```python\nprint('hi')\n```\n")
+
+
+def test_real_chat_frames_drive_the_real_handlers(client, event_loop):
+    """End-to-end content path: a real WS conversation with the server
+    (fake streaming LLM), every frame replayed into the REAL ws.js handler
+    table, asserting on the DOM the real renderer painted — math spans,
+    highlighted code + copy button, thinking box, sources, metrics grid,
+    and generation stats."""
+    from tensortruth_tpu.core.providers import ChatDelta
+
+    class FakeLLM:
+        def complete(self, prompt):
+            return "Energy title"
+
+        def stream_chat(self, messages, system=None):
+            yield ChatDelta(thinking="recalling physics")
+            for piece in RICH.split(" "):
+                yield ChatDelta(text=piece + " ")
+
+    services = client.server.app["services"]
+    services.rag_service._llm_factory = lambda params: FakeLLM()
+
+    async def converse():
+        r = await client.post("/api/sessions", json={})
+        sid = (await r.json())["id"]
+        await client.post(f"/api/sessions/{sid}/documents",
+                          json={"filename": "phys.md",
+                                "text": "Mass energy equivalence. " * 120})
+        ws = await client.ws_connect(f"/ws/chat/{sid}")
+        await ws.send_json({"message": "explain E=mc2"})
+        frames = []
+        while True:
+            msg = await ws.receive_json(timeout=60)
+            frames.append(msg)
+            if msg["type"] in ("done", "error"):
+                break
+        await ws.close()
+        return sid, frames
+
+    sid, frames = event_loop.run_until_complete(converse())
+    assert any(f["type"] == "sources" for f in frames)
+
+    # replay the REAL frames through the REAL handler table
+    rt, shim, _log = bridged_runtime(client, event_loop)
+    session_mod = rt.load_module(JS / "stores" / "session.js")
+    rt.interp.call_any(session_mod["sessionStore"].props["set"],
+                       [to_js({"current": sid})])
+    ws_mod = rt.load_module(JS / "chat" / "ws.js")
+    rt.interp.call_any(ws_mod["connectWS"], [])
+    rt.drain_jobs()
+    sock = rt.interp.call_any(shim["lastSocket"], [])
+    from tensortruth_tpu.jsrt.builtins import get_member
+
+    receive = get_member(sock, "receive", rt.interp)
+    for f in frames:
+        rt.interp.call_any(receive, [to_js(f)])
+        rt.drain_jobs()
+
+    messages_el = rt.interp.call_any(shim["getById"], ["messages"])
+    html = _text(messages_el)
+    assert "tex-block" in html or "tex" in html          # display math painted
+    assert "<pre>" in html and "print" in html           # code block painted
+    assert "recalling physics" in html                   # thinking box text
+    assert "phys.md" in html or "sources" in html        # sources details
+    assert "chunks" in html                              # metrics summary line
+    # generation stats line from the done frame
+    assert "tok" in html
