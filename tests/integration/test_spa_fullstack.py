@@ -277,3 +277,58 @@ def test_real_chat_frames_drive_the_real_handlers(client, event_loop):
     assert "chunks" in html                              # metrics summary line
     # generation stats line from the done frame
     assert "tok" in html
+
+
+def test_project_view_against_real_server(client, event_loop):
+    """openProjectView renders from the real project, and the catalog
+    attach picker surfaces the server's REAL 400 (module not built) as an
+    error toast instead of pretending success."""
+    async def seed():
+        r = await client.post("/api/projects",
+                              json={"name": "Real PV", "description": "d"})
+        return (await r.json())["id"]
+
+    pid = event_loop.run_until_complete(seed())
+    rt, shim, log = bridged_runtime(client, event_loop)
+    pv = rt.load_module(JS / "views" / "project.js")
+    rt.interp.call_any(pv["openProjectView"], [pid])
+    rt.drain_jobs()
+    view = rt.interp.call_any(shim["getById"], ["project-view"])
+    text = _text(view)
+    assert "Real PV" in text and "d" in text
+    assert "Configuration" in text and "Sessions (0)" in text
+    assert "No catalog modules attached." in text
+
+    # start-chat creates a REAL session under the project and sends the
+    # first message on the (fake) socket
+    from tensortruth_tpu.jsrt.builtins import set_member
+
+    ta = view.props and [c for c in _all(view) if "pv-input" in (c.props.get("_cls") or "")][0]
+    set_member(ta, "value", "hello project")
+    btn = [c for c in _all(view) if "pv-send" in (c.props.get("_cls") or "")][0]
+    rt.interp.call_any(btn.props["onclick"], [])
+    rt.drain_jobs()
+    posts = [(m, p) for m, p in log if p == f"/api/projects/{pid}/sessions" and m == "POST"]
+    assert posts
+    sock = rt.interp.call_any(shim["lastSocket"], [])
+    sent = [json.loads(s) for s in from_js(sock.props.get("sent"))]
+    assert {"message": "hello project"} in sent
+
+    async def check():
+        r = await client.get(f"/api/projects/{pid}/sessions")
+        return (await r.json())["sessions"]
+
+    sessions = event_loop.run_until_complete(check())
+    assert len(sessions) == 1 and sessions[0]["project_id"] == pid
+
+
+def _all(el):
+    out = []
+
+    def walk(e):
+        out.append(e)
+        for c in e.props.get("children", []):
+            walk(c)
+
+    walk(el)
+    return out
