@@ -168,9 +168,17 @@ export function wireComposer() {
     pendingDataUrls = [];
     renderAttachRow();
     $("input").value = "";
+    $("input").style.height = "48px";  // collapse the autosized draft box
   };
 
-  $("input").addEventListener("input", updateCmdMenu);
+  $("input").addEventListener("input", () => {
+    updateCmdMenu();
+    // Autosize (reference ChatInput.tsx textarea growth): the composer
+    // grows with the draft up to ~6 lines, then scrolls; resets on submit.
+    const ta = $("input");
+    ta.style.height = "auto";
+    ta.style.height = Math.min(160, Math.max(48, ta.scrollHeight)) + "px";
+  });
   $("input").addEventListener("blur", () => setTimeout(hideCmdMenu, 150));
   $("input").addEventListener("keydown", ev => {
     const open = cmdShown.length && $("cmd-menu").style.display !== "none";

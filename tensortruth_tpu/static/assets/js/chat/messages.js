@@ -3,6 +3,7 @@
 // frontend/src/components/chat/*). Pure render helpers — streaming state
 // lives in stream.js, the socket in ws.js.
 
+import {api} from "../api/client.js";
 import {deleteMessage} from "../api/sessions.js";
 import {$, el, scrollMessages, toast} from "../lib/dom.js";
 import {safeUrl} from "../lib/markdown.js";
@@ -157,6 +158,15 @@ export function renderWelcome() {
     list.appendChild(b);
   }
   card.appendChild(list);
+  // provider sanity warning (reference WelcomePage "No models available.
+  // Check that a provider is running and has models loaded.")
+  api("/models").then(r => {
+    if ((r.models || []).length) return;
+    if (!card.parentNode) return;  // card dismissed meanwhile
+    card.appendChild(el("p", "warn-line",
+      "No models available. Check that a provider is running and has " +
+      "models loaded (Manage → Providers)."));
+  }).catch(() => {});
   // project quick access (reference WelcomePage "Your projects" chips)
   const projects = (sessionStore.get().projects || []).slice(0, 5);
   if (projects.length) {
