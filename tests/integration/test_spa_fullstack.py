@@ -332,3 +332,41 @@ def _all(el):
 
     walk(el)
     return out
+
+
+def test_wizard_against_real_server(client, event_loop):
+    """The first-run wizard runs its real flow against the live server:
+    environment check reads real devices/memory, the provider test
+    surfaces the real unreachable error (no Ollama in this image), and
+    the knowledge step reflects the real (offline) index catalog."""
+    rt, shim, log = bridged_runtime(client, event_loop)
+    ui = rt.load_module(JS / "stores" / "ui.js")
+    wiz = rt.load_module(JS / "wizard" / "wizard.js")
+    rt.interp.call_any(wiz["wizardShow"], [True])
+    rt.drain_jobs()
+
+    body = rt.interp.call_any(shim["getById"], ["wizard-body"])
+    text = _text(body)
+    assert "environment OK" in text           # real /api/system round trip
+    assert "cpu" in text or "tpu" in text     # real backend string
+
+    # step 2 like a user: Next, then Test connection against the REAL
+    # provider-test route — no Ollama exists here, so the wizard must show
+    # the real unreachable error, not a success state
+    rt.interp.call_any(wiz["wireWizard"], [])
+    nxt = rt.interp.call_any(shim["getById"], ["wizard-next"])
+    rt.interp.call_any(nxt.props["onclick"], [])
+    rt.drain_jobs()
+    from tensortruth_tpu.jsrt.builtins import set_member
+
+    url_input = rt.interp.call_any(shim["getById"], ["wiz-purl"])
+    set_member(url_input, "value", "http://127.0.0.1:59999")
+    buttons = [c for c in _all(body)
+               if "Test connection" in (c.props.get("_text") or "")]
+    assert buttons, "provider step rendered its Test button"
+    rt.interp.call_any(buttons[0].props["onclick"], [])
+    rt.drain_jobs()
+    step_text = _text(body)
+    assert "✗" in step_text            # real failure surfaced
+    posts = [(m, p) for m, p in log if p == "/api/providers/test"]
+    assert posts and posts[-1][0] == "POST"
