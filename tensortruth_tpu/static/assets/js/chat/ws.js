@@ -26,10 +26,11 @@ export function getWS() { return ws; }
 const WS_HANDLERS = {
   status(msg) {
     $("statusline").textContent = (msg.status || "") + "…";
-    // In-message phase box with a playful per-status label (reference
-    // StreamingIndicator.tsx); removed when the first answer token lands.
+    // In-message phase box (reference StreamingIndicator.tsx): a concrete
+    // server message ("Fetching pages", the /web pipeline) wins over the
+    // playful per-status label pool; removed when the first token lands.
     ensureAssistant();
-    showPhaseBox(stream, msg.status);
+    showPhaseBox(stream, msg.status, msg.message);
   },
   tool_phase(msg) {
     $("statusline").textContent = "tools: " + (msg.tools || []).join(", ");

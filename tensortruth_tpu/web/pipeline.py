@@ -115,6 +115,15 @@ async def fetch_adaptive(
             )
             if s.status == SourceStatus.SUCCESS and s.content:
                 fetched.append(s)
+        # progress counter on the phase line (reference AgentProgress.tsx
+        # "fetching (pages_fetched/pages_target)")
+        await emit(
+            {
+                "type": "status",
+                "status": "fetching",
+                "message": f"Fetching pages ({min(len(fetched), needed)}/{needed})",
+            }
+        )
     return fetched
 
 

@@ -49,7 +49,8 @@ OPTIONAL_FIELDS = {
     "tool_phase": {"calls"},             # legacy emitters send only `tools`
     "confirmation_request": {"message"},  # `msg.message || msg.description`
     "done": {"content"},                 # `msg.content || stream.raw`
-    "status": set(),
+    # the RAG path sends bare {status}; the /web pipeline adds `message`
+    "status": {"message"},
 }
 
 
