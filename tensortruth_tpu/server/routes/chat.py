@@ -450,21 +450,17 @@ async def ws_chat(request: web.Request):
 
         sources = [s.to_dict() for s in response.sources]
         await ws.send_json({"type": "sources", "sources": sources})
-        gen_s = time.monotonic() - t_gen0
-        est_tokens = len(response.text) // 4  # reference CHARS_PER_TOKEN=4
+        # generation stats (reference chat.py:934-942 done-message token
+        # estimates; SPA shows them like ResponseStats) — ONE dict, sent on
+        # the wire and persisted verbatim so frame and message can't drift
+        stats = _gen_stats(response.text, time.monotonic() - t_gen0)
         await ws.send_json(
             {
                 "type": "done",
                 "content": response.text,
                 "metrics": response.metrics,
                 "confidence": response.confidence,
-                # generation stats (reference chat.py:934-942 done-message
-                # token estimates; SPA shows them like ResponseStats)
-                "stats": {
-                    "duration_ms": round(gen_s * 1e3),
-                    "est_tokens": est_tokens,
-                    "tokens_per_s": round(est_tokens / gen_s, 1) if gen_s > 0 else None,
-                },
+                "stats": stats,
             }
         )
         services.session_service.add_message(
@@ -474,11 +470,7 @@ async def ws_chat(request: web.Request):
             # badge and generation stats (reference chat.py:507-519 metrics
             # persistence; SPA renderHistoryMessage reads these fields)
             confidence=response.confidence,
-            stats={
-                "duration_ms": round(gen_s * 1e3),
-                "est_tokens": est_tokens,
-                "tokens_per_s": round(est_tokens / gen_s, 1) if gen_s > 0 else None,
-            },
+            stats=stats,
         )
         # Smart title from the first exchange (reference chat.py:501-537).
         if session.get("title_needs_update") and response.text:
@@ -563,9 +555,16 @@ async def _run_orchestrator(
                          "status": "calling"}
                     )
             if event["type"] == "tool_progress":
-                status = (
-                    "failed" if event.get("phase") == "failed" else "completed"
+                # same failure inference as the SPA's resolveToolCall
+                # (chat/progress.js): phase-less events signal failure via
+                # their message prefix — the persisted step must agree with
+                # what the live view painted
+                msg_text = event.get("message") or ""
+                failed = event.get("phase") == "failed" or (
+                    not event.get("phase")
+                    and re.match(r"(?i)(error|failed)\b", msg_text)
                 )
+                status = "failed" if failed else "completed"
                 for step in tool_steps:
                     if step["tool"] == event.get("tool") and step["status"] == "calling":
                         step["status"] = status
@@ -575,18 +574,15 @@ async def _run_orchestrator(
                 else:
                     tool_steps.append(
                         {"tool": event.get("tool"), "status": status,
-                         "message": event.get("message")}
+                         "message": event.get("message"),
+                         "output": (event.get("output") or "")[:2000] or None}
                     )
             if event["type"] == "done":
-                gen_s = time.monotonic() - t_gen0
-                est = len(event.get("content", "")) // 4
                 event = {
                     **event,
-                    "stats": {
-                        "duration_ms": round(gen_s * 1e3),
-                        "est_tokens": est,
-                        "tokens_per_s": round(est / gen_s, 1) if gen_s > 0 else None,
-                    },
+                    "stats": _gen_stats(
+                        event.get("content", ""), time.monotonic() - t_gen0
+                    ),
                 }
                 done_msg = event
             await ws.send_json(event)
@@ -609,6 +605,18 @@ async def _run_orchestrator(
         services.session_service.set_title(session_id, title)
         await ws.send_json({"type": "title", "title": title})
     return True
+
+
+def _gen_stats(text: str, gen_s: float) -> dict:
+    """Done-frame generation stats (reference chat.py:934-942 token
+    estimates, CHARS_PER_TOKEN=4) — single source for the wire frame AND
+    the persisted message."""
+    est_tokens = len(text) // 4
+    return {
+        "duration_ms": round(gen_s * 1e3),
+        "est_tokens": est_tokens,
+        "tokens_per_s": round(est_tokens / gen_s, 1) if gen_s > 0 else None,
+    }
 
 
 def _smart_title(prompt: str, services=None, params=None) -> str:

@@ -138,8 +138,14 @@ export function wireComposer() {
   const routeDrop = files => {
     for (const f of files) {
       if (attachFile(f)) continue;
-      if (f && f.name && DOC_EXT.test(f.name)) uploadDocument(f);
-      else if (f && f.name) toast(`unsupported file type: ${f.name}`, true);
+      if (f && f.name && DOC_EXT.test(f.name)) {
+        if (!currentSessionId()) {
+          // the drop affordance invited it — never swallow silently
+          toast("open a session first to index dropped documents", true);
+          continue;
+        }
+        uploadDocument(f);
+      } else if (f && f.name) toast(`unsupported file type: ${f.name}`, true);
     }
   };
   for (const zone of [$("composer"), $("messages")]) {
@@ -147,7 +153,13 @@ export function wireComposer() {
       ev.preventDefault();
       zone.classList.add("dragging");
     });
-    zone.addEventListener("dragleave", () => zone.classList.remove("dragging"));
+    zone.addEventListener("dragleave", ev => {
+      // crossing onto a child fires dragleave on the zone; only clear the
+      // hint when the pointer actually left the zone subtree
+      if (ev && ev.relatedTarget && zone.contains && zone.contains(ev.relatedTarget))
+        return;
+      zone.classList.remove("dragging");
+    });
     zone.addEventListener("drop", ev => {
       ev.preventDefault();
       zone.classList.remove("dragging");

@@ -33,7 +33,13 @@ export function decorateCodeBlocks(body) {
   for (const pre of body.querySelectorAll("pre")) {
     if (pre.querySelector && pre.querySelector(".code-copy")) continue;
     const code = pre.querySelector && pre.querySelector("code");
-    const lang = code && ((code.className || "").match(/lang-(\w+)/) || [])[1];
+    // fence languages may carry +/#/./- ("c++", "objective-c") — match the
+    // full charset markdown.js's fence parser accepts
+    const lang = code && ((code.className || "").match(/lang-([\w+#.-]+)/) || [])[1];
+    // the renderer already paints a top-right .code-lang label; the button
+    // replaces it (same corner) rather than stacking on top of it
+    const langSpan = pre.querySelector && pre.querySelector(".code-lang");
+    if (langSpan) langSpan.style.display = "none";
     const btn = el("button", "code-copy", lang ? `${lang} ⧉` : "⧉");
     btn.title = "Copy code";
     btn.onclick = ev => {
@@ -211,15 +217,22 @@ export function renderSources(container, sources) {
   if (!sources || !sources.length) return;
   const det = el("details", "sources");
   // status-count summary (reference WebSearchSources.tsx summaryParts):
-  // "5 sources · 3 fetched | 1 failed | 1 skipped" when statuses exist
+  // "5 sources · 3 fetched | 1 failed | 1 skipped". Index-retrieval
+  // messages carry status="success" on every chunk (SourceNode.to_dict
+  // default) — "fetched" is a web-pipeline concept, so the count line
+  // appears only when some source did NOT succeed (a real fetch outcome).
   const counts = {};
   for (const s of sources)
     if (s.status) counts[s.status] = (counts[s.status] || 0) + 1;
+  const mixed = (counts.failed || 0) + (counts.skipped || 0) +
+                (counts.filtered || 0) > 0;
   const bits = [];
-  if (counts.success) bits.push(`${counts.success} fetched`);
-  if (counts.failed) bits.push(`${counts.failed} failed`);
-  if (counts.skipped) bits.push(`${counts.skipped} skipped`);
-  if (counts.filtered) bits.push(`${counts.filtered} filtered`);
+  if (mixed) {
+    if (counts.success) bits.push(`${counts.success} fetched`);
+    if (counts.failed) bits.push(`${counts.failed} failed`);
+    if (counts.skipped) bits.push(`${counts.skipped} skipped`);
+    if (counts.filtered) bits.push(`${counts.filtered} filtered`);
+  }
   det.appendChild(el("summary", "", `${sources.length} sources` +
     (bits.length ? ` · ${bits.join(" | ")}` : "")));
   for (const s of sources) {

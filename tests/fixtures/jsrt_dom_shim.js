@@ -129,6 +129,14 @@ class Element {
     }
     return null;
   }
+  contains(other) {
+    let cur = other;
+    while (cur) {
+      if (cur === this) { return true; }
+      cur = cur.parentNode;
+    }
+    return false;
+  }
   focus() { }
   click() { if (this.onclick) { this.onclick({target: this, preventDefault: () => {}}); } }
   scrollIntoView() { }

@@ -1477,15 +1477,21 @@ class TestSourceSummaryAndLightbox:
         text = _collect_text(container)
         assert "3 sources · 1 fetched | 1 failed | 1 skipped" in text
 
-    def test_rag_sources_without_status_keep_plain_summary(self):
+    def test_rag_sources_all_success_keep_plain_summary(self):
+        # Index-retrieval messages carry status="success" on EVERY chunk
+        # (SourceNode.to_dict default) — the web-style count line must not
+        # appear for them ("fetched" is a fetch-outcome concept).
         rt, shim = spa_runtime()
         msgs_mod = rt.load_module(JS / "chat" / "messages.js")
         container = rt.run_script(
             "let out = document.createElement('div');").get("out")
         rt.interp.call_any(msgs_mod["renderSources"], [container, to_js([
-            {"id": "1", "title": "A", "score": 0.9},
+            {"id": "1", "title": "A", "score": 0.9, "status": "success"},
+            {"id": "2", "title": "B", "score": 0.8, "status": "success"},
         ])])
-        assert "1 sources ·" not in _collect_text(container)
+        text = _collect_text(container)
+        assert "2 sources" in text
+        assert "fetched" not in text
 
     def test_lightbox_opens_and_dismisses(self):
         rt, shim = spa_runtime()

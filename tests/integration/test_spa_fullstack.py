@@ -280,9 +280,11 @@ def test_real_chat_frames_drive_the_real_handlers(client, event_loop):
 
 
 def test_project_view_against_real_server(client, event_loop):
-    """openProjectView renders from the real project, and the catalog
-    attach picker surfaces the server's REAL 400 (module not built) as an
-    error toast instead of pretending success."""
+    """openProjectView renders from the real project (config column,
+    empty catalog/sessions states), and its start-chat composer creates a
+    REAL project session and delivers the first message. (The attach-400
+    error path needs a built module in the catalog and is covered by the
+    scripted picker tests instead.)"""
     async def seed():
         r = await client.post("/api/projects",
                               json={"name": "Real PV", "description": "d"})
