@@ -1503,3 +1503,70 @@ class TestSourceSummaryAndLightbox:
         rt.interp.call_any(ov.props["onclick"], [])
         assert not list(rt.interp.call_any(
             _class_method(rt, body, "querySelectorAll"), [".lightbox"]))
+
+
+class TestDropRoutingExecuted:
+    """The REAL composer drop routing (reference DocumentUploader drop zone
+    + image attach): documents route to session indexing with a no-session
+    guard toast; unsupported types toast instead of vanishing; the drag
+    hint only clears when the pointer leaves the zone subtree."""
+
+    def setup_composer(self, session=None):
+        from tensortruth_tpu.jsrt.builtins import set_member
+
+        rt, shim = spa_runtime()
+        set_member(shim["fetchRoutes"], "/api/commands", to_js({"commands": []}))
+        if session:
+            session_mod = rt.load_module(JS / "stores" / "session.js")
+            rt.interp.call_any(session_mod["sessionStore"].props["set"],
+                               [to_js({"current": session})])
+        comp_mod = rt.load_module(JS / "chat" / "composer.js")
+        rt.interp.call_any(comp_mod["wireComposer"], [])
+        rt.drain_jobs()
+        return rt, shim
+
+    def drop(self, rt, shim, zone_id, files):
+        from tensortruth_tpu.jsrt.interp import JSObject
+
+        zone = rt.interp.call_any(shim["getById"], [zone_id])
+        ev = JSObject({"preventDefault": lambda: None,
+                       "dataTransfer": JSObject({"files": to_js(files)})})
+        rt.interp.call_any(zone.props["ondrop"], [ev])
+        # NO drain here: jsrt timers run in virtual time, so draining would
+        # fast-forward the 4.5 s toast auto-dismiss before we can assert it
+        return zone
+
+    def toasts(self, rt, shim):
+        return _collect_text(rt.interp.call_any(shim["getById"], ["toasts"]))
+
+    def test_doc_drop_without_session_toasts(self):
+        rt, shim = self.setup_composer(session=None)
+        self.drop(rt, shim, "messages", [{"name": "notes.pdf", "type": ""}])
+        assert "open a session first" in self.toasts(rt, shim)
+
+    def test_unsupported_type_toasts(self):
+        rt, shim = self.setup_composer(session="s1")
+        self.drop(rt, shim, "composer", [{"name": "video.mp4", "type": "video/mp4"}])
+        assert "unsupported file type: video.mp4" in self.toasts(rt, shim)
+
+    def test_dragleave_to_child_keeps_hint(self):
+        from tensortruth_tpu.jsrt.interp import JSObject
+
+        rt, shim = self.setup_composer(session="s1")
+        zone = rt.interp.call_any(shim["getById"], ["messages"])
+        # enter: dragover sets the hint
+        rt.interp.call_any(zone.props["ondragover"],
+                           [JSObject({"preventDefault": lambda: None})])
+        assert "dragging" in (zone.props.get("_cls") or "")
+        # leave onto a CHILD (relatedTarget inside the zone): hint stays
+        from tensortruth_tpu.jsrt.builtins import get_member
+
+        child = rt.run_script(
+            "let out = document.createElement('div');").get("out")
+        rt.interp.call_any(get_member(zone, "appendChild", rt.interp), [child])
+        rt.interp.call_any(zone.props["ondragleave"],
+                           [JSObject({"relatedTarget": child})])
+        assert "dragging" in (zone.props.get("_cls") or "")
+        # leave to outside (no relatedTarget): hint clears
+        rt.interp.call_any(zone.props["ondragleave"], [JSObject({})])
+        assert "dragging" not in (zone.props.get("_cls") or "")
