@@ -2,7 +2,7 @@
 // frontend/src/api/modules.ts): built module indexes, known embedding
 // models, registered rerankers.
 
-import {api} from "./client.js";
+import {api, apiFetch, del} from "./client.js";
 
 export function listModules(embeddingModel) {
   // reference ModuleSelector filters modules by the embedding model whose
@@ -13,3 +13,10 @@ export function listModules(embeddingModel) {
 }
 export function listEmbeddingModels() { return api("/embedding-models"); }
 export function listRerankers() { return api("/rerankers"); }
+export function addReranker(modelId) {
+  return apiFetch("/rerankers", {method: "POST",
+                                 body: JSON.stringify({model_id: modelId})});
+}
+export function removeReranker(modelId) {
+  return del(`/rerankers/${encodeURIComponent(modelId)}`);
+}

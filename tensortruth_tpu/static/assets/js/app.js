@@ -34,6 +34,17 @@ function applyTheme(t) {
 }
 
 function wireChrome() {
+  // Global error surface (≡ the reference's React error boundary): a
+  // handler exception or unhandled rejection shows a toast instead of
+  // dying silently in the console. Guarded — jsrt's CI runtime has no
+  // `window` object.
+  try {
+    window.addEventListener("error", ev =>
+      toast("UI error: " + (ev.message || ev.error || "unknown"), true));
+    window.addEventListener("unhandledrejection", ev =>
+      toast("UI error: " + (ev.reason && ev.reason.message || ev.reason), true));
+  } catch (e) {}
+
   $("theme-btn").onclick = () =>
     applyTheme(document.body.classList.contains("light") ? "dark" : "light");
   try { applyTheme(localStorage.getItem("tt-theme") || "dark"); } catch (e) {}

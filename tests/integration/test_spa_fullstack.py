@@ -372,3 +372,51 @@ def test_wizard_against_real_server(client, event_loop):
     assert "✗" in step_text            # real failure surfaced
     posts = [(m, p) for m, p in log if p == "/api/providers/test"]
     assert posts and posts[-1][0] == "POST"
+
+
+def test_reranker_registry_against_real_server(client, event_loop):
+    """Modules panel reranker management against the real routes: listing
+    shows the configured default, adding an unknown architecture surfaces
+    the server's REAL 422, adding a known one persists, removing it
+    restores the original list."""
+    rt, shim, log = bridged_runtime(client, event_loop)
+    from tensortruth_tpu.jsrt.builtins import get_member, set_member
+
+    mod = rt.load_module(JS / "panels" / "modules.js")
+    rt.interp.call_any(mod["loadModulesPanel"], [])
+    rt.drain_jobs()
+    rbox = rt.interp.call_any(shim["getById"], ["rerankers-list"])
+    assert "BAAI/bge-reranker-v2-m3" in _text(rbox)  # the registry default
+
+    def click_add(value):
+        inp = [c for c in _all(rbox)
+               if "reranker-input" in (c.props.get("_cls") or "")][0]
+        set_member(inp, "value", value)
+        btn = [c for c in _all(rbox)
+               if "reranker-add" in (c.props.get("_cls") or "")][0]
+        rt.interp.call_any(btn.props["onclick"], [])
+
+    # unknown architecture -> real 422 surfaced as an error toast
+    click_add("made/up-model")
+    toasts = rt.interp.call_any(shim["getById"], ["toasts"])
+    assert "add failed (422)" in _text(toasts)
+    rt.drain_jobs()
+
+    # known architecture -> registered, persisted by the real config save
+    click_add("tiny-reranker")
+    async def fetch_list():
+        r = await client.get("/api/rerankers")
+        return (await r.json())["rerankers"]
+    # the click handler's POST already ran synchronously via the bridge
+    rerankers = event_loop.run_until_complete(fetch_list())
+    assert "tiny-reranker" in rerankers
+
+    # remove it through the re-rendered row
+    rt.drain_jobs()
+    rows = [c for c in _all(rt.interp.call_any(shim["getById"], ["rerankers-list"]))
+            if "Remove" in (c.props.get("_text") or "")
+            and c.props.get("tagName") == "BUTTON"]
+    # last Remove belongs to the newly added model (appended to the list)
+    rt.interp.call_any(rows[-1].props["onclick"], [])
+    rerankers = event_loop.run_until_complete(fetch_list())
+    assert "tiny-reranker" not in rerankers
