@@ -113,7 +113,13 @@ async def test_fetch_adaptive_overprovisions_and_classifies(monkeypatch):
     errs = {s.id: s.error for s in failed}
     assert errs["s1"] == "too_short"
     assert errs["s0"].startswith("http_error")  # ValueError → http_error bucket
-    assert len(events) == len(calls)
+    # one tool_progress per fetched URL, plus a per-batch "fetching (x/y)"
+    # status counter for the phase indicator
+    progress = [e for e in events if e["type"] == "tool_progress"]
+    counters = [e for e in events if e["type"] == "status"]
+    assert len(progress) == len(calls)
+    assert counters and all(c["status"] == "fetching" for c in counters)
+    assert counters[-1]["message"].endswith("(2/2)")
 
 
 def test_source_metrics_aggregation():
