@@ -34,18 +34,28 @@ which the reference runs once per query on the host too.
 
 from __future__ import annotations
 
+import logging
 import os
 from concurrent.futures import ThreadPoolExecutor
 from typing import Callable, Sequence
 
 import numpy as np
 
+logger = logging.getLogger(__name__)
+
 
 def default_workers() -> int:
-    """Env override > cpu count (the serving host's core budget)."""
+    """Env override > cpu count (the serving host's core budget). A
+    malformed override falls back with a warning instead of detonating the
+    first reranked query (the feeder is built lazily on the serving path)."""
     env = os.environ.get("TENSOR_TRUTH_TPU_FEED_WORKERS")
     if env:
-        return max(1, int(env))
+        try:
+            return max(1, int(env))
+        except ValueError:
+            logger.warning(
+                "ignoring non-integer TENSOR_TRUTH_TPU_FEED_WORKERS=%r", env
+            )
     return max(1, os.cpu_count() or 1)
 
 

@@ -197,7 +197,10 @@ const STATUS_BADGES = {failed: "failed", skipped: "skipped", filtered: "filtered
 // renderIcon + getConfidenceBadgeVariant thresholds: ≥0.7 high,
 // 0.4–0.7 medium, else low).
 const TYPE_ICONS = {
-  paper: "📄", book: "📚", web: "🌐", uploaded_pdf: "📑",
+  // chunk metadata doc_type uses DocumentType values ("papers"/"library",
+  // indexing/metadata.py); SourceType uses "paper"/"library_doc" — both
+  // spellings land here depending on the path
+  paper: "📄", papers: "📄", book: "📚", web: "🌐", uploaded_pdf: "📑",
   library_doc: "📦", library: "📦",
 };
 

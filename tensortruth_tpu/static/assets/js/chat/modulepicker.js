@@ -44,6 +44,16 @@ const TYPE_LABELS = {
   library_doc: "📦 Library Docs", unknown: "🗂 Other",
 };
 
+// The server derives doc_type from the index dir-name prefix
+// (routes/modules.py name.partition("_")[0] → "book"/"papers"/"library");
+// normalize those onto the display taxonomy before grouping, falling back
+// to the name-based inference for anything else.
+export function normalizeDocType(dt, moduleId) {
+  const map = {book: "book", paper: "paper", papers: "paper",
+               library: "library_doc", library_doc: "library_doc"};
+  return map[dt] || inferDocType(moduleId).doc_type;
+}
+
 // ---- picker state ----------------------------------------------------------
 
 const state = {
@@ -68,8 +78,19 @@ function totalSelectedCount() {
   return state.locked.length + state.local.length;
 }
 
+// Built-module count for the badge tooltip, preloaded at boot (app.js →
+// sidebar loadModules) — state.modules only fills when the picker opens,
+// so the tooltip must not use it to claim nothing exists.
+let catalogCount = null;
+
+export async function preloadModuleCount() {
+  try { catalogCount = ((await listModules()).modules || []).length; }
+  catch (e) { catalogCount = null; }
+  syncBadge();
+}
+
 export function moduleBadgeTitle() {
-  if (!state.modules.length && !state.locked.length)
+  if (catalogCount === 0 && !state.locked.length)
     return "No modules available. Build indexes with tensor-truth-tpu-build " +
            "or download them in the Startup panel.";
   const n = totalSelectedCount();
@@ -92,23 +113,30 @@ function syncBadge() {
 
 async function loadPickerData() {
   const sid = currentSessionId();
-  let session = {};
-  try { session = await getSession(sid); } catch (e) {}
+  // session + config are independent; modules/project/docs fan out after
+  // (the popover opens in ~2 serial round-trips, not 5)
+  const [session, cfg] = await Promise.all([
+    getSession(sid).catch(() => ({})),
+    api("/config").catch(() => ({})),
+  ]);
   state.applied = (session.modules || []).slice();
   state.local = state.applied.slice();
   state.projectId = session.project_id || null;
 
-  let cfg = {};
-  try { cfg = await api("/config"); } catch (e) {}
   const model = (session.params && session.params.embedding_model) ||
     (cfg.rag && cfg.rag.default_embedding_model) || "";
   state.embeddingModelId = shortModelId(model);
 
-  let mods = {modules: []};
-  try { mods = await listModules(model || undefined); } catch (e) {}
+  const [mods, project, docs] = await Promise.all([
+    listModules(model || undefined).catch(() => ({modules: []})),
+    state.projectId
+      ? getProject(state.projectId).catch(() => null)
+      : Promise.resolve(null),
+    listDocuments(sid).catch(() => ({documents: []})),
+  ]);
   state.modules = (mods.modules || []).map(m => ({
     id: m.id, n_chunks: m.n_chunks,
-    doc_type: m.doc_type || inferDocType(m.id).doc_type,
+    doc_type: normalizeDocType(m.doc_type, m.id),
     display: displayName(m.id),
   }));
 
@@ -118,14 +146,8 @@ async function loadPickerData() {
   const available = new Set(state.modules.map(m => m.id));
   state.local = state.local.filter(m => available.has(m));
 
-  state.locked = [];
-  if (state.projectId) {
-    try {
-      const project = await getProject(state.projectId);
-      state.locked = Object.keys(project.catalog_modules || {});
-    } catch (e) {}
-  }
-  try { state.docs = (await listDocuments(sid)).documents || []; } catch (e) { state.docs = []; }
+  state.locked = project ? Object.keys(project.catalog_modules || {}) : [];
+  state.docs = (docs && docs.documents) || [];
 }
 
 // ---- rendering -------------------------------------------------------------

@@ -5,7 +5,6 @@
 // useSessionStore).
 
 import {uploadDocumentXHR} from "../api/documents.js";
-import {listModules} from "../api/modules.js";
 import {
   createProject, createProjectSession, deleteProject, listProjects,
 } from "../api/projects.js";
@@ -23,7 +22,7 @@ import {
   renderWelcome,
 } from "../chat/messages.js";
 import {refreshModelSelect} from "../chat/modelselect.js";
-import {syncModulePicker} from "../chat/modulepicker.js";
+import {preloadModuleCount, syncModulePicker} from "../chat/modulepicker.js";
 import {fillParamsDrawer} from "../chat/params.js";
 import {syncThinkingSelect} from "../chat/composer.js";
 import {closeWS, connectWS} from "../chat/ws.js";
@@ -50,13 +49,11 @@ export async function loadProjects() {
   sessionStore.set({projects: data.projects});
 }
 
-// Module catalog preload (badge + welcome card use the count; the picker
-// itself refetches filtered by the session's embedding model on open).
-export let moduleCatalog = [];
-
+// Module catalog preload: feeds the composer badge tooltip ("No modules
+// available" only when the catalog is genuinely empty); the picker itself
+// refetches filtered by the session's embedding model on open.
 export async function loadModules() {
-  const data = await listModules();
-  moduleCatalog = data.modules || [];
+  await preloadModuleCount();
 }
 
 // Long-session hygiene (reference virtualizes with react-virtuoso): opening

@@ -60,10 +60,15 @@ def validate_url(url: str, check_reachable: bool = False, timeout: int = 10) -> 
 
         try:
             r = requests.head(url, timeout=timeout, allow_redirects=True)
-            return r.status_code < 400
+            if r.status_code < 400:
+                return True
+            # HEAD-rejecting servers (405/403 on S3 presigns, some CDNs)
+            # still answer GET — fall through, honoring the HEAD-then-GET
+            # contract for non-2xx just like for raised errors
         except Exception:
-            r = requests.get(url, timeout=timeout, allow_redirects=True)
-            return r.status_code < 400
+            pass
+        r = requests.get(url, timeout=timeout, allow_redirects=True)
+        return r.status_code < 400
     except Exception:
         return False
 

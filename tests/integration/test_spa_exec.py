@@ -710,12 +710,16 @@ class TestModulePickerExecuted:
     selection, doc-type grouping, Apply/Cancel, the outside-dismiss guard,
     and locked project modules — all executed on jsrt."""
 
+    # doc_type carries the REAL server spelling: routes/modules.py derives
+    # it from the index dir-name prefix -> "library"/"papers"/"book"
+    # (NOT the display taxonomy "library_doc"/"paper") — regression guard
+    # for the grouping bug where server values matched no display group.
     MODULES = {"modules": [
-        {"id": "library_numpy", "module": "numpy", "doc_type": "library_doc",
+        {"id": "library_numpy", "module": "numpy", "doc_type": "library",
          "n_chunks": 1200},
         {"id": "book_deep_learning", "module": "deep_learning",
          "doc_type": "book", "n_chunks": 3400},
-        {"id": "papers_attention", "module": "attention", "doc_type": "paper",
+        {"id": "papers_attention", "module": "attention", "doc_type": "papers",
          "n_chunks": 210},
     ]}
 
