@@ -9,6 +9,7 @@ export function systemDevices() { return api("/system/devices"); }
 export function ragStatus() { return api("/system/rag/status"); }
 export function runtimeStatus(runtime) { return api(`/system/${runtime}/status`); }
 export function runtimeUnload(runtime, body) { return post(`/system/${runtime}/unload`, body || {}); }
+export function runtimeLoad(runtime, body) { return post(`/system/${runtime}/load`, body || {}); }
 export function restartEngine() { return post("/system/restart-engine"); }
 export function unloadModels() { return post("/system/models/unload"); }
 export function profileStart() { return post("/system/profile/start", {}); }

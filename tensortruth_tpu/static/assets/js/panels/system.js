@@ -4,8 +4,8 @@
 
 import {listTasks} from "../api/tasks.js";
 import {
-  profileStart, profileStop, ragStatus, restartEngine, runtimeStatus,
-  runtimeUnload, systemDevices, systemMemory, unloadModels,
+  profileStart, profileStop, ragStatus, restartEngine, runtimeLoad,
+  runtimeStatus, runtimeUnload, systemDevices, systemMemory, unloadModels,
 } from "../api/system.js";
 import {$, el, toast} from "../lib/dom.js";
 import {rowItem} from "../views/manage.js";
@@ -99,15 +99,29 @@ async function loadSystemPanelOnce() {
       row.insertBefore(el("span", "badge" + (up ? " on" : ""), up ? "up" : "down"),
                        row.children[1]);
       rl.appendChild(row);
-      // resident models with per-model eject (reference SystemStatusPanel
-      // loaded-model rows; Ollama /api/ps — llama.cpp's `running` is a
-      // boolean, not a list, so only arrays iterate)
-      for (const m of Array.isArray(st.running) ? st.running : []) {
-        const mrow = rowItem(m, "resident in runtime memory", [
-          ["Unload", "", async () => {
-            await runtimeUnload(path, {model: m});
-            loadSystemPanel();
-          }]]);
+      // per-model load/unload actions (reference useModelActions +
+      // ModelSelectContent rows; Ollama /api/ps — llama.cpp's `running`
+      // is a boolean, not a list, so only arrays iterate)
+      const resident = new Set(Array.isArray(st.running) ? st.running : []);
+      for (const m of Array.isArray(st.models) ? st.models : []) {
+        const isUp = resident.has(m);
+        const mrow = rowItem(m,
+          isUp ? "resident in runtime memory" : "available",
+          [isUp
+            ? ["Unload", "", async () => {
+                await runtimeUnload(path, {model: m});
+                loadSystemPanel();
+              }]
+            : ["Load", "", async ev => {
+                ev.target.textContent = "loading…";
+                ev.target.disabled = true;
+                const r = await runtimeLoad(path, {model: m});
+                if (r.error) toast(`load failed: ${r.error}`, true);
+                loadSystemPanel();
+              }]]);
+        if (isUp) {
+          mrow.insertBefore(el("span", "badge on", "●"), mrow.children[1]);
+        }
         mrow.classList.add("nested");
         rl.appendChild(mrow);
       }

@@ -1574,3 +1574,26 @@ class TestDropRoutingExecuted:
         # leave to outside (no relatedTarget): hint clears
         rt.interp.call_any(zone.props["ondragleave"], [JSObject({})])
         assert "dragging" not in (zone.props.get("_cls") or "")
+
+
+class TestModelLoadAction:
+    def test_available_model_load_posts_route(self):
+        rt, shim = TestSystemPanelExecuted().setup_panel()
+        rl = rt.interp.call_any(shim["getById"], ["runtimes-list"])
+        rows = list(rt.interp.call_any(
+            _class_method(rt, rl, "querySelectorAll"), [".nested"]))
+        # qwen3 is available-but-not-resident -> its action is Load
+        qrow = [r for r in rows if "qwen3" in _collect_text(r)][0]
+        assert "available" in _collect_text(qrow)
+        btn = list(rt.interp.call_any(
+            _class_method(rt, qrow, "querySelectorAll"), ["BUTTON"]))[0]
+        assert btn.props.get("_text") == "Load"
+        from tensortruth_tpu.jsrt.interp import JSObject
+
+        rt.interp.call_any(btn.props["onclick"],
+                           [JSObject({"target": btn})])
+        rt.drain_jobs()
+        posts = [e for e in from_js(shim["fetchLog"])
+                 if e["path"] == "/api/system/ollama/load"]
+        assert posts
+        assert json.loads(posts[-1]["opts"]["body"]) == {"model": "qwen3"}
