@@ -103,8 +103,13 @@ async function loadSystemPanelOnce() {
       // ModelSelectContent rows; Ollama /api/ps — llama.cpp's `running`
       // is a boolean, not a list, so only arrays iterate)
       const resident = new Set(Array.isArray(st.running) ? st.running : []);
-      for (const m of Array.isArray(st.models) ? st.models : []) {
-        const isUp = resident.has(m);
+      for (const entry of Array.isArray(st.models) ? st.models : []) {
+        // Ollama lists model NAMES; llama.cpp lists {id, display_name, …}
+        // objects (server llama_cpp_status) — normalize to a string
+        const m = typeof entry === "string"
+          ? entry : (entry.display_name || entry.id || entry.name || "");
+        const isUp = resident.has(m) ||
+          (typeof entry === "object" && resident.has(entry.id));
         const mrow = rowItem(m,
           isUp ? "resident in runtime memory" : "available",
           [isUp
