@@ -546,37 +546,8 @@ async def _run_orchestrator(
                 return False
             if event["type"] == "sources":
                 sources = event["sources"]
-            if event["type"] == "tool_phase":
-                for call in event.get("calls") or [
-                    {"tool": t, "params": None} for t in event.get("tools", [])
-                ]:
-                    tool_steps.append(
-                        {"tool": call["tool"], "params": call.get("params"),
-                         "status": "calling"}
-                    )
-            if event["type"] == "tool_progress":
-                # same failure inference as the SPA's resolveToolCall
-                # (chat/progress.js): phase-less events signal failure via
-                # their message prefix — the persisted step must agree with
-                # what the live view painted
-                msg_text = event.get("message") or ""
-                failed = event.get("phase") == "failed" or (
-                    not event.get("phase")
-                    and re.match(r"(?i)(error|failed)\b", msg_text)
-                )
-                status = "failed" if failed else "completed"
-                for step in tool_steps:
-                    if step["tool"] == event.get("tool") and step["status"] == "calling":
-                        step["status"] = status
-                        step["message"] = event.get("message")
-                        step["output"] = (event.get("output") or "")[:2000]
-                        break
-                else:
-                    tool_steps.append(
-                        {"tool": event.get("tool"), "status": status,
-                         "message": event.get("message"),
-                         "output": (event.get("output") or "")[:2000] or None}
-                    )
+            if event["type"] in ("tool_phase", "tool_progress"):
+                mirror_tool_event(tool_steps, event)
             if event["type"] == "done":
                 event = {
                     **event,
@@ -605,6 +576,41 @@ async def _run_orchestrator(
         services.session_service.set_title(session_id, title)
         await ws.send_json({"type": "title", "title": title})
     return True
+
+
+def mirror_tool_event(tool_steps: list[dict], event: dict) -> None:
+    """Server-side mirror of the SPA's live-timeline bookkeeping
+    (chat/progress.js beginToolCalls/resolveToolCall) so the persisted
+    tool_steps agree with what the live view painted — including the
+    failure inference for phase-less progress (message prefix) and
+    positional same-tool pairing. A cross-language equivalence property
+    test (tests/unit/test_property.py) holds the two implementations
+    together."""
+    if event["type"] == "tool_phase":
+        for call in event.get("calls") or [
+            {"tool": t, "params": None} for t in event.get("tools", [])
+        ]:
+            tool_steps.append(
+                {"tool": call["tool"], "params": call.get("params"),
+                 "status": "calling"}
+            )
+        return
+    msg_text = event.get("message") or ""
+    failed = event.get("phase") == "failed" or (
+        not event.get("phase") and re.match(r"(?i)(error|failed)\b", msg_text)
+    )
+    status = "failed" if failed else "completed"
+    for step in tool_steps:
+        if step["tool"] == event.get("tool") and step["status"] == "calling":
+            step["status"] = status
+            step["message"] = event.get("message")
+            step["output"] = (event.get("output") or "")[:2000] or None
+            return
+    tool_steps.append(
+        {"tool": event.get("tool"), "status": status,
+         "message": event.get("message"),
+         "output": (event.get("output") or "")[:2000] or None}
+    )
 
 
 def _gen_stats(text: str, gen_s: float) -> dict:

@@ -191,15 +191,20 @@ export function resolveToolCall(steps, msg) {
   const failed = msg.phase === "failed" ||
     (!msg.phase && /^(error|failed)\b/i.test(msg.message || ""));
   const status = failed ? "failed" : "completed";
+  // Field semantics are shared verbatim with the server's persistence
+  // mirror (server/routes/chat.py mirror_tool_event; equivalence held by
+  // a cross-language property test): output stays null when the event has
+  // none — the renderer falls back to message at paint time.
   for (const s of steps) {
     if (s.tool === msg.tool && s.status === "calling") {
       s.status = status;
-      s.output = msg.output || msg.message;
+      s.output = msg.output || null;
       s.message = msg.message;
       return s;
     }
   }
-  const s = {tool: msg.tool, message: msg.message, output: msg.output, status};
+  const s = {tool: msg.tool, message: msg.message,
+             output: msg.output || null, status};
   steps.push(s);
   return s;
 }

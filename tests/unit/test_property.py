@@ -391,3 +391,87 @@ def test_take_rows_raises_on_out_of_range(shard_sizes, bad):
         mat.take_rows(np.array([0, n + max(bad, 0)]))
     with pytest.raises(IndexError):
         mat.take_rows(np.array([-1]))
+
+
+# ---- cross-language timeline equivalence -----------------------------------
+
+_TOOLS = ["rag_query", "web_search", "fetch_page"]
+
+
+@st.composite
+def _tool_event_stream(draw):
+    """A plausible agent event stream: iterations of tool_phase fan-outs,
+    each call later resolved by a tool_progress (possibly phase-less,
+    possibly failing, same tool repeated in one iteration), plus stray
+    unmatched progress events (the /web pipeline shape)."""
+    events = []
+    for _ in range(draw(st.integers(0, 3))):
+        calls = draw(st.lists(st.sampled_from(_TOOLS), min_size=1, max_size=3))
+        events.append({
+            "type": "tool_phase",
+            "tools": calls,
+            "calls": [{"tool": t, "params": {"q": draw(st.text(max_size=5))}}
+                      for t in calls],
+        })
+        for t in draw(st.permutations(calls)):
+            phase = draw(st.sampled_from(["completed", "failed", None]))
+            msg = draw(st.sampled_from(
+                ["found 3 chunks", "failed https://x", "ERROR: kaput",
+                 "fetched https://y", ""]))
+            ev = {"type": "tool_progress", "tool": t, "message": msg}
+            if phase:
+                ev["phase"] = phase
+            if draw(st.booleans()):
+                ev["output"] = draw(st.text(max_size=30))
+            events.append(ev)
+    for _ in range(draw(st.integers(0, 2))):  # unmatched (no prior phase)
+        events.append({
+            "type": "tool_progress",
+            "tool": draw(st.sampled_from(_TOOLS)),
+            "message": draw(st.sampled_from(["failed https://z", "fetched ok"])),
+        })
+    return events
+
+
+def _norm(steps):
+    out = []
+    for s in steps:
+        out.append({
+            "tool": s.get("tool"),
+            "status": s.get("status"),
+            "message": s.get("message") or None,
+            "output": s.get("output") or None,
+            "params": s.get("params") or None,
+        })
+    return out
+
+
+@settings(max_examples=40, deadline=None)
+@given(events=_tool_event_stream())
+def test_tool_timeline_mirror_equivalence(events):
+    """The server's persisted tool_steps (routes/chat.py mirror_tool_event)
+    and the SPA's live timeline (chat/progress.js beginToolCalls/
+    resolveToolCall, EXECUTED on jsrt) must produce identical step lists
+    for any event stream — a reloaded session may never disagree with what
+    the live view painted."""
+    from pathlib import Path
+
+    from tensortruth_tpu.jsrt import Runtime, from_js, to_js
+    from tensortruth_tpu.server.routes.chat import mirror_tool_event
+
+    server_steps: list = []
+    for ev in events:
+        mirror_tool_event(server_steps, ev)
+
+    js_dir = (Path(__file__).resolve().parents[2]
+              / "tensortruth_tpu" / "static" / "assets" / "js")
+    rt = Runtime(root=js_dir)
+    prog = rt.load_module(js_dir / "chat" / "progress.js")
+    js_steps = to_js([])
+    for ev in events:
+        if ev["type"] == "tool_phase":
+            rt.interp.call_any(prog["beginToolCalls"], [js_steps, to_js(ev)])
+        else:
+            rt.interp.call_any(prog["resolveToolCall"], [js_steps, to_js(ev)])
+
+    assert _norm(from_js(js_steps)) == _norm(server_steps)
