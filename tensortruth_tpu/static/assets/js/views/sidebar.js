@@ -13,7 +13,7 @@ import {
   imageUrl, patchSession,
 } from "../api/sessions.js";
 import {onContextMenu} from "../lib/contextmenu.js";
-import {$, el, toast} from "../lib/dom.js";
+import {$, el} from "../lib/dom.js";
 import {renderMarkdown} from "../lib/markdown.js";
 import {sessionStore, currentSessionId} from "../stores/session.js";
 import {

@@ -950,3 +950,23 @@ async def test_projects_panel_rename_and_prompt_routes(client):
     assert r.status == 200
     r = await client.delete(f"/api/projects/{pid}")
     assert r.status == 200
+
+
+def test_no_unused_named_imports():
+    """Named imports that nothing in the module body references are dead
+    dependency edges — they mislead readers about coupling and silently
+    survive refactors (the JS has no linter in this image; this is the
+    eslint no-unused-vars subset that matters for module hygiene)."""
+    bad = []
+    for rel, src in JS.items():
+        body = re.sub(r'import\s*\{[^}]*\}\s*from\s*"[^"]*";\s*', "", src)
+        for m in re.finditer(r"import\s*\{([^}]*)\}\s*from", src):
+            for name in m.group(1).split(","):
+                name = name.strip()
+                if not name:
+                    continue
+                name = name.split(" as ")[-1].strip()
+                pat = r"(?<![\w$])" + re.escape(name) + r"(?![\w$])"
+                if not re.search(pat, body):
+                    bad.append(f"{rel}: {name}")
+    assert not bad, f"unused named imports: {bad}"
