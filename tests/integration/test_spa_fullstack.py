@@ -420,3 +420,38 @@ def test_reranker_registry_against_real_server(client, event_loop):
     rt.interp.call_any(rows[-1].props["onclick"], [])
     rerankers = event_loop.run_until_complete(fetch_list())
     assert "tiny-reranker" not in rerankers
+
+
+def test_config_panel_against_real_server(client, event_loop):
+    """The config panel loads the REAL /api/config, its typed forms edit
+    through the raw-JSON source of truth, Save PATCHes the real route, and
+    the change persists server-side."""
+    from tensortruth_tpu.jsrt.builtins import get_member, set_member
+
+    rt, shim, log = bridged_runtime(client, event_loop)
+    cfgmod = rt.load_module(JS / "panels" / "config.js")
+    rt.interp.call_any(cfgmod["wireConfigPanel"], [])
+    rt.interp.call_any(cfgmod["loadConfigPanel"], [])
+    rt.drain_jobs()
+
+    forms = rt.interp.call_any(shim["getById"], ["config-forms"])
+    text = _text(forms)
+    # real sections rendered with the typed widgets
+    assert "rag" in text and "llm" in text
+    raw = rt.interp.call_any(shim["getById"], ["config-json"])
+    cfg = json.loads(raw.props.get("value"))
+    assert cfg["rag"]["default_embedding_model"] == "tiny-embedder"
+
+    # edit through the raw JSON (the forms' single source of truth), Save
+    cfg["llm"]["default_temperature"] = 0.9
+    set_member(raw, "value", json.dumps(cfg))
+    save = rt.interp.call_any(shim["getById"], ["config-save"])
+    rt.interp.call_any(save.props["onclick"], [])
+    rt.drain_jobs()
+
+    async def fetch_cfg():
+        r = await client.get("/api/config")
+        return await r.json()
+
+    after = event_loop.run_until_complete(fetch_cfg())
+    assert after["llm"]["default_temperature"] == 0.9
