@@ -97,6 +97,19 @@ class Element {
   get firstElementChild() { return this.children[0] || null; }
   get lastElementChild() { return this.children[this.children.length - 1] || null; }
   get options() { return this.children.filter(c => c.tagName === "OPTION"); }
+  get elements() {
+    // form.elements named map (the MCP/project forms read by field name)
+    const map = {};
+    const walk = e => {
+      for (const c of e.children) {
+        const n = c.attributes && c.attributes.name;
+        if (n) { map[n] = c; }
+        walk(c);
+      }
+    };
+    walk(this);
+    return map;
+  }
   setAttribute(k, v) { this.attributes[k] = String(v); if (k === "id") { this.id = v; } }
   getAttribute(k) { return this.attributes[k] !== undefined ? this.attributes[k] : null; }
   matches(sel) {
@@ -194,6 +207,18 @@ const documentShim = {
   createRange: () => ({selectNodeContents: () => {}, }),
 };
 
+class FakeFormData {
+  constructor(form) {
+    this.map = {};
+    if (form && form.elements) {
+      const els = form.elements;
+      for (const k of Object.keys(els)) { this.map[k] = els[k].value || ""; }
+    }
+  }
+  get(k) { return this.map[k] !== undefined ? this.map[k] : null; }
+  append(k, v) { this.map[k] = v; }
+}
+
 class FakeWebSocket {
   constructor(url) {
     this.url = url;
@@ -245,6 +270,7 @@ export function install() {
     location: {protocol: "http:", host: "127.0.0.1:8000", pathname: "/"},
     navigator: {clipboard: null},
     WebSocket: FakeWebSocket,
+    FormData: FakeFormData,
     localStorage: localStorageShim,
     fetch: fetchShim,
     requestAnimationFrame: fn => setTimeout(fn, 0),

@@ -455,3 +455,55 @@ def test_config_panel_against_real_server(client, event_loop):
 
     after = event_loop.run_until_complete(fetch_cfg())
     assert after["llm"]["default_temperature"] == 0.9
+
+
+def test_mcp_panel_against_real_server(client, event_loop):
+    """MCP server management end-to-end: the panel's add form POSTs to the
+    real route, the config persists, toggle flips enabled state
+    server-side, delete removes it."""
+    from tensortruth_tpu.jsrt.builtins import set_member
+    from tensortruth_tpu.jsrt.interp import JSObject
+
+    rt, shim, log = bridged_runtime(client, event_loop)
+    mcp = rt.load_module(JS / "panels" / "mcp.js")
+    # markup-shell analog: the form's named controls (the shim DOM is
+    # id-addressed, not parsed from index.html)
+    form = rt.interp.call_any(shim["getById"], ["mcp-form"])
+    controls = {}
+    for name in ("name", "transport", "command", "args", "url", "env"):
+        controls[name] = rt.run_script(
+            "let out = document.createElement('input');").get("out")
+    set_member(form, "elements", JSObject(controls))
+    rt.interp.call_any(mcp["wireMcpPanel"], [])
+    rt.interp.call_any(mcp["loadMcpPanel"], [])
+    rt.drain_jobs()
+
+    set_member(controls["name"], "value", "ctx7")
+    set_member(controls["transport"], "value", "stdio")
+    set_member(controls["command"], "value", "npx")
+    set_member(controls["args"], "value", "-y ctx7")
+    set_member(controls["env"], "value", "API_KEY=abc")
+    rt.interp.call_any(form.props["onsubmit"],
+                       [JSObject({"preventDefault": lambda: None,
+                                  "target": form})])
+    rt.drain_jobs()
+
+    async def servers():
+        r = await client.get("/api/mcp-servers")
+        return (await r.json())["servers"]
+
+    got = event_loop.run_until_complete(servers())
+    assert len(got) == 1 and got[0]["name"] == "ctx7"
+    assert got[0]["command"] == "npx" and got[0]["args"] == ["-y", "ctx7"]
+    assert got[0]["env"] == {"API_KEY": "abc"}
+
+    # toggle + delete through the real routes (panel rows re-render from
+    # server truth; drive the API clients the row buttons call)
+    api_mod = rt.load_module(JS / "api" / "mcp.js")
+    rt.interp.call_any(api_mod["toggleMcpServer"], ["ctx7"])
+    rt.drain_jobs()
+    got = event_loop.run_until_complete(servers())
+    assert got[0]["enabled"] in (False, 0)
+    rt.interp.call_any(api_mod["deleteMcpServer"], ["ctx7"])
+    rt.drain_jobs()
+    assert event_loop.run_until_complete(servers()) == []
