@@ -507,3 +507,42 @@ def test_mcp_panel_against_real_server(client, event_loop):
     rt.interp.call_any(api_mod["deleteMcpServer"], ["ctx7"])
     rt.drain_jobs()
     assert event_loop.run_until_complete(servers()) == []
+
+
+def test_extensions_panel_against_real_library(client, event_loop):
+    """Extensions flow end-to-end with the SHIPPED extension_library:
+    the panel lists the real local catalog, install persists a YAML
+    command into the data dir and registers it (visible to /api/commands),
+    uninstall removes it."""
+    rt, shim, log = bridged_runtime(client, event_loop)
+    ext = rt.load_module(JS / "panels" / "extensions.js")
+    rt.interp.call_any(ext["loadExtensionsPanel"], [])
+    rt.drain_jobs()
+
+    lib_el = rt.interp.call_any(shim["getById"], ["extension-catalog"])
+    text = _text(lib_el)
+    assert "arxiv" in text  # the shipped catalog renders
+
+    # install through the API client the panel's Install button calls
+    api_mod = rt.load_module(JS / "api" / "extensions.js")
+    rt.interp.call_any(api_mod["installExtension"], ["arxiv"])
+    rt.drain_jobs()
+
+    async def listing():
+        r = await client.get("/api/extensions")
+        exts = (await r.json())["extensions"]
+        r2 = await client.get("/api/commands")
+        cmds = [c["name"] for c in (await r2.json())["commands"]]
+        return exts, cmds
+
+    exts, cmds = event_loop.run_until_complete(listing())
+    assert any("arxiv" in (e.get("name") or e.get("filename", ""))
+               for e in exts)
+    assert "arxiv" in cmds  # registered as a live slash command
+
+    rt.interp.call_any(api_mod["uninstallExtension"],
+                       ["commands", "arxiv.yaml"])
+    rt.drain_jobs()
+    exts, _ = event_loop.run_until_complete(listing())
+    assert not any("arxiv" in (e.get("name") or e.get("filename", ""))
+                   for e in exts)
