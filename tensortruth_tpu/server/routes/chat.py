@@ -587,9 +587,12 @@ def mirror_tool_event(tool_steps: list[dict], event: dict) -> None:
     test (tests/unit/test_property.py) holds the two implementations
     together."""
     if event["type"] == "tool_phase":
-        for call in event.get("calls") or [
-            {"tool": t, "params": None} for t in event.get("tools", [])
-        ]:
+        # JS `msg.calls || fallback`: an empty ARRAY is truthy there, so a
+        # present-but-empty calls list must NOT fall back to tools
+        calls = event.get("calls")
+        if calls is None:
+            calls = [{"tool": t, "params": None} for t in event.get("tools", [])]
+        for call in calls:
             tool_steps.append(
                 {"tool": call["tool"], "params": call.get("params"),
                  "status": "calling"}

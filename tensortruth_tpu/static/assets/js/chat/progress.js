@@ -195,16 +195,18 @@ export function resolveToolCall(steps, msg) {
   // mirror (server/routes/chat.py mirror_tool_event; equivalence held by
   // a cross-language property test): output stays null when the event has
   // none — the renderer falls back to message at paint time.
+  // same 2000-char cap as the server mirror — a reloaded session must
+  // show the same output the live view painted
+  const out = msg.output ? String(msg.output).slice(0, 2000) : null;
   for (const s of steps) {
     if (s.tool === msg.tool && s.status === "calling") {
       s.status = status;
-      s.output = msg.output || null;
+      s.output = out;
       s.message = msg.message;
       return s;
     }
   }
-  const s = {tool: msg.tool, message: msg.message,
-             output: msg.output || null, status};
+  const s = {tool: msg.tool, message: msg.message, output: out, status};
   steps.push(s);
   return s;
 }

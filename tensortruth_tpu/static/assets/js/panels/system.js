@@ -89,47 +89,67 @@ async function loadSystemPanelOnce() {
       // reports {running: bool, models} with no `reachable` key
       // (server/routes/system.py llama_cpp_status).
       const up = st.reachable !== undefined ? st.reachable : !!st.running;
+      // "Unload all" only where per-model unloads exist to fan out to
+      // (Ollama's /api/ps names); a model-less unload is a server-side 422
+      const residentNames = Array.isArray(st.running) ? st.running : [];
       const row = rowItem(name,
         up ? `reachable · ${(st.models || st.loaded || []).length ?? 0} models`
            : `unreachable${st.error ? " · " + st.error : ""}`,
-        up ? [["Unload", "", async () => {
-          await runtimeUnload(path);
+        up && residentNames.length ? [["Unload all", "", async () => {
+          for (const m of residentNames)
+            await runtimeUnload(path, {model: m}).catch(() => {});
           loadSystemPanel();
         }]] : []);
       row.insertBefore(el("span", "badge" + (up ? " on" : ""), up ? "up" : "down"),
                        row.children[1]);
       rl.appendChild(row);
       // per-model load/unload actions (reference useModelActions +
-      // ModelSelectContent rows; Ollama /api/ps — llama.cpp's `running`
-      // is a boolean, not a list, so only arrays iterate)
+      // ModelSelectContent rows). Ollama lists model NAMES with a
+      // `running` names array (/api/ps); llama.cpp lists
+      // {id, status, display_name} objects with `running` as a BOOLEAN —
+      // residency comes from the per-entry status there, and API calls
+      // must carry the real `id` (display_name is a lossy rendering the
+      // server cannot reverse).
       const resident = new Set(Array.isArray(st.running) ? st.running : []);
-      for (const entry of Array.isArray(st.models) ? st.models : []) {
-        // Ollama lists model NAMES; llama.cpp lists {id, display_name, …}
-        // objects (server llama_cpp_status) — normalize to a string
-        const m = typeof entry === "string"
-          ? entry : (entry.display_name || entry.id || entry.name || "");
-        const isUp = resident.has(m) ||
-          (typeof entry === "object" && resident.has(entry.id));
-        const mrow = rowItem(m,
+      const addModelRow = (modelId, label, isUp) => {
+        const mrow = rowItem(label,
           isUp ? "resident in runtime memory" : "available",
           [isUp
             ? ["Unload", "", async () => {
-                await runtimeUnload(path, {model: m});
+                const r = await runtimeUnload(path, {model: modelId})
+                  .catch(e => ({error: String(e)}));
+                if (r && (r.error || r.success === false))
+                  toast(`unload failed: ${r.error || r.message}`, true);
                 loadSystemPanel();
               }]
             : ["Load", "", async ev => {
                 ev.target.textContent = "loading…";
                 ev.target.disabled = true;
-                const r = await runtimeLoad(path, {model: m});
-                if (r.error) toast(`load failed: ${r.error}`, true);
+                const r = await runtimeLoad(path, {model: modelId})
+                  .catch(e => ({error: String(e)}));
+                if (r && (r.error || r.success === false))
+                  toast(`load failed: ${r.error || r.message}`, true);
                 loadSystemPanel();
               }]]);
-        if (isUp) {
-          mrow.insertBefore(el("span", "badge on", "●"), mrow.children[1]);
-        }
+        if (isUp) mrow.insertBefore(el("span", "badge on", "●"), mrow.children[1]);
         mrow.classList.add("nested");
         rl.appendChild(mrow);
+      };
+      const listed = new Set();
+      for (const entry of Array.isArray(st.models) ? st.models : []) {
+        const modelId = typeof entry === "string"
+          ? entry : (entry.id || entry.name || "");
+        const label = typeof entry === "string"
+          ? entry : (entry.display_name || entry.id || entry.name || "");
+        const isUp = resident.has(modelId) ||
+          (typeof entry === "object" && entry.status === "loaded");
+        listed.add(modelId);
+        addModelRow(modelId, label, isUp);
       }
+      // resident models missing from the tags list (removed-while-loaded,
+      // ps/tags skew) still need an Unload affordance
+      for (const m of resident)
+        if (!listed.has(m)) addModelRow(m, m, true);
     } catch (e) {
       rl.appendChild(rowItem(name, "status error: " + e, []));
     }

@@ -407,12 +407,18 @@ def _tool_event_stream(draw):
     events = []
     for _ in range(draw(st.integers(0, 3))):
         calls = draw(st.lists(st.sampled_from(_TOOLS), min_size=1, max_size=3))
-        events.append({
+        phase_ev = {
             "type": "tool_phase",
             "tools": calls,
             "calls": [{"tool": t, "params": {"q": draw(st.text(max_size=5))}}
                       for t in calls],
-        })
+        }
+        shape = draw(st.sampled_from(["calls", "tools_only", "empty_calls"]))
+        if shape == "tools_only":
+            del phase_ev["calls"]       # legacy emitters send only `tools`
+        elif shape == "empty_calls":
+            phase_ev["calls"] = []      # present-but-empty must NOT fall back
+        events.append(phase_ev)
         for t in draw(st.permutations(calls)):
             phase = draw(st.sampled_from(["completed", "failed", None]))
             msg = draw(st.sampled_from(
@@ -422,7 +428,10 @@ def _tool_event_stream(draw):
             if phase:
                 ev["phase"] = phase
             if draw(st.booleans()):
-                ev["output"] = draw(st.text(max_size=30))
+                # include >2000-char outputs: both sides must apply the
+                # same truncation cap
+                ev["output"] = draw(st.one_of(
+                    st.text(max_size=30), st.just("X" * 2500)))
             events.append(ev)
     for _ in range(draw(st.integers(0, 2))):  # unmatched (no prior phase)
         events.append({
