@@ -1597,3 +1597,51 @@ class TestModelLoadAction:
                  if e["path"] == "/api/system/ollama/load"]
         assert posts
         assert json.loads(posts[-1]["opts"]["body"]) == {"model": "qwen3"}
+
+
+class TestLlamaCppModelRows:
+    def test_status_and_id_semantics(self):
+        from tensortruth_tpu.jsrt.builtins import set_member
+        from tensortruth_tpu.jsrt.interp import JSObject
+
+        rt, shim = spa_runtime()
+        routes = shim["fetchRoutes"]
+        gib = 1024 ** 3
+        set_member(routes, "/api/system/memory", to_js({
+            "devices": [], "ram": {"total": gib, "available": gib, "percent": 1}}))
+        set_member(routes, "/api/system/devices",
+                   to_js({"backend": "cpu", "devices": []}))
+        set_member(routes, "/api/system/rag/status", to_js({}))
+        set_member(routes, "/api/system/ollama/status",
+                   to_js({"reachable": False, "error": "refused"}))
+        # REAL llama.cpp shape: boolean running, object models with a
+        # lossy display_name and per-entry status
+        set_member(routes, "/api/system/llama-cpp/status", to_js({
+            "running": True, "base_url": "http://x", "models": [
+                {"id": "models/Qwen2.5-7B-Q4_K_M.gguf", "status": "loaded",
+                 "display_name": "Qwen2.5 7B Q4 K M"},
+                {"id": "models/phi-4.gguf", "status": "available",
+                 "display_name": "Phi 4"},
+            ]}))
+        set_member(routes, "/api/tasks", to_js({"tasks": []}))
+        sysmod = rt.load_module(JS / "panels" / "system.js")
+        rt.interp.call_any(sysmod["loadSystemPanel"], [])
+        rt.drain_jobs()
+        rl = rt.interp.call_any(shim["getById"], ["runtimes-list"])
+        rows = list(rt.interp.call_any(
+            _class_method(rt, rl, "querySelectorAll"), [".nested"]))
+        qrow = [r for r in rows if "Qwen2.5 7B" in _collect_text(r)][0]
+        prow = [r for r in rows if "Phi 4" in _collect_text(r)][0]
+        # residency comes from the per-entry status, not the boolean
+        assert "resident in runtime memory" in _collect_text(qrow)
+        assert "available" in _collect_text(prow)
+        # the Load action posts the REAL id, never the lossy display name
+        btn = list(rt.interp.call_any(
+            _class_method(rt, prow, "querySelectorAll"), ["BUTTON"]))[0]
+        assert btn.props.get("_text") == "Load"
+        rt.interp.call_any(btn.props["onclick"], [JSObject({"target": btn})])
+        rt.drain_jobs()
+        posts = [e for e in from_js(shim["fetchLog"])
+                 if e["path"] == "/api/system/llama-cpp/load"]
+        assert json.loads(posts[-1]["opts"]["body"]) == {
+            "model": "models/phi-4.gguf"}
