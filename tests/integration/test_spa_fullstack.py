@@ -546,3 +546,39 @@ def test_extensions_panel_against_real_library(client, event_loop):
     exts, _ = event_loop.run_until_complete(listing())
     assert not any("arxiv" in (e.get("name") or e.get("filename", ""))
                    for e in exts)
+
+
+def test_system_and_catalog_panels_against_real_server(client, event_loop):
+    """System, startup, tools, and modules panels render from the REAL
+    introspection routes: device memory cards from jax's actual allocator
+    stats, startup status, the command registry, and the (empty) module
+    catalog."""
+    rt, shim, log = bridged_runtime(client, event_loop)
+    sysmod = rt.load_module(JS / "panels" / "system.js")
+    rt.interp.call_any(sysmod["loadSystemPanel"], [])
+    rt.drain_jobs()
+    cards = rt.interp.call_any(shim["getById"], ["devices-cards"])
+    text = _text(cards)
+    assert "host RAM" in text and "GB" in text
+    kv = rt.interp.call_any(shim["getById"], ["system-kv"])
+    assert "not loaded" in _text(kv)  # rag status before any query
+
+    startup = rt.load_module(JS / "panels" / "startup.js")
+    rt.interp.call_any(startup["loadStartupPanel"], [])
+    rt.drain_jobs()
+    skv = rt.interp.call_any(shim["getById"], ["startup-kv"])
+    stext = _text(skv)
+    assert "tiny-embedder" in stext       # real configured model
+    assert "none built" in stext          # real empty index state
+
+    tools = rt.load_module(JS / "panels" / "tools.js")
+    rt.interp.call_any(tools["loadToolsPanel"], [])
+    rt.drain_jobs()
+    ttext = _text(rt.interp.call_any(shim["getById"], ["commands-list"]))
+    assert "help" in ttext and "web" in ttext  # real command registry
+
+    modules = rt.load_module(JS / "panels" / "modules.js")
+    rt.interp.call_any(modules["loadModulesPanel"], [])
+    rt.drain_jobs()
+    mtext = _text(rt.interp.call_any(shim["getById"], ["modules-list"]))
+    assert "No module indexes built" in mtext
