@@ -1645,3 +1645,49 @@ class TestLlamaCppModelRows:
                  if e["path"] == "/api/system/llama-cpp/load"]
         assert json.loads(posts[-1]["opts"]["body"]) == {
             "model": "models/phi-4.gguf"}
+
+
+class TestTimelineStatePreserved:
+    def test_expanded_output_survives_rerender(self):
+        rt, shim = spa_runtime()
+        prog = rt.load_module(JS / "chat" / "progress.js")
+        container = rt.run_script(
+            "let out = document.createElement('div');").get("out")
+        steps = to_js([
+            {"tool": "rag_query", "params": {"q": "x"}, "status": "completed",
+             "output": "chunk text", "message": "ok"},
+            {"tool": "web_search", "params": {}, "status": "calling"},
+        ])
+        rt.interp.call_any(prog["renderToolTimeline"],
+                           [container, steps, to_js({"live": True})])
+        tl = rt.interp.call_any(
+            _class_method(rt, container, "querySelector"), [".timeline"])
+        line = list(rt.interp.call_any(
+            _class_method(rt, tl, "querySelectorAll"), [".expandable"]))[0]
+        rt.interp.call_any(line.props["onclick"], [])  # expand the output
+        pre = list(rt.interp.call_any(
+            _class_method(rt, tl, "querySelectorAll"), [".tl-out"]))[0]
+        assert pre.props["style"].props.get("display") == "block"
+        # a new event re-renders the timeline — the expansion must survive
+        rt.interp.call_any(prog["resolveToolCall"],
+                           [steps, to_js({"tool": "web_search",
+                                          "message": "done", "phase": "completed",
+                                          "output": "web result"})])
+        rt.interp.call_any(prog["renderToolTimeline"],
+                           [container, steps, to_js({"live": True})])
+        tl2 = rt.interp.call_any(
+            _class_method(rt, container, "querySelector"), [".timeline"])
+        pre2 = list(rt.interp.call_any(
+            _class_method(rt, tl2, "querySelectorAll"), [".tl-out"]))[0]
+        assert pre2.props["style"].props.get("display") == "block"
+        # the mid-stream collapse state is respected too
+        head = rt.interp.call_any(
+            _class_method(rt, tl2, "querySelector"), [".tl-head"])
+        rt.interp.call_any(head.props["onclick"], [])  # user collapses list
+        rt.interp.call_any(prog["renderToolTimeline"],
+                           [container, steps, to_js({"live": True})])
+        tl3 = rt.interp.call_any(
+            _class_method(rt, container, "querySelector"), [".timeline"])
+        lst = rt.interp.call_any(
+            _class_method(rt, tl3, "querySelector"), [".tl-list"])
+        assert lst.props["style"].props.get("display") == "none"
