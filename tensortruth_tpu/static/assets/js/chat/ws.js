@@ -69,7 +69,9 @@ const WS_HANDLERS = {
       stream.thinkingBox = renderThinking(stream.assistant, "",
                                           {before: stream.body, open: true});
     stream.thinkingText += msg.content;
-    stream.thinkingBox.querySelector(".tbody").textContent = stream.thinkingText;
+    const tbody = stream.thinkingBox.querySelector(".tbody");
+    tbody.textContent = stream.thinkingText;
+    tbody.scrollTop = tbody.scrollHeight;  // keep the live tail visible
   },
   token(msg) {
     ensureAssistant();
