@@ -7,4 +7,4 @@ Pallas fused matmul+top-k cosine kernel over an HBM-resident embedding
 matrix (shardable across a TPU mesh), and a cross-encoder rerank stage.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.1"
