@@ -110,11 +110,27 @@ class Element {
     walk(this);
     return map;
   }
-  setAttribute(k, v) { this.attributes[k] = String(v); if (k === "id") { this.id = v; } }
+  setAttribute(k, v) {
+    this.attributes[k] = String(v);
+    // real DOM reflects these attributes onto properties
+    if (k === "id") { this.id = v; }
+    if (k === "name") { this.name = v; }
+    if (k === "type") { this.type = v; }
+  }
   getAttribute(k) { return this.attributes[k] !== undefined ? this.attributes[k] : null; }
   matches(sel) {
+    // comma lists: match any branch (querySelectorAll("input[name], …"))
+    if (sel.includes(",")) {
+      return sel.split(",").some(s => this.matches(s.trim()));
+    }
     if (sel.startsWith(".")) { return this.classList.contains(sel.slice(1)); }
     if (sel.startsWith("#")) { return this.id === sel.slice(1); }
+    // tag[attr] presence selectors (the params drawer's input[name])
+    const m = sel.match(/^(\w+)?\[([\w-]+)\]$/);
+    if (m) {
+      if (m[1] && this.tagName !== m[1].toUpperCase()) { return false; }
+      return this.attributes[m[2]] !== undefined;
+    }
     return this.tagName === sel.toUpperCase();
   }
   querySelector(sel) {

@@ -582,3 +582,58 @@ def test_system_and_catalog_panels_against_real_server(client, event_loop):
     rt.drain_jobs()
     mtext = _text(rt.interp.call_any(shim["getById"], ["modules-list"]))
     assert "No module indexes built" in mtext
+
+
+def test_params_drawer_against_real_server(client, event_loop):
+    """The session-params drawer saves through the REAL session PATCH with
+    its typed coercions (float temperature, int context_window, boolean
+    thinking) and explicit-null deletion of emptied fields."""
+    from tensortruth_tpu.jsrt.builtins import get_member, set_member
+
+    async def seed():
+        r = await client.post("/api/sessions", json={})
+        sid = (await r.json())["id"]
+        # pre-set a param so the empty-field null path has something to delete
+        await client.patch(f"/api/sessions/{sid}",
+                           json={"params": {"custom_instructions": "be brief"}})
+        return sid
+
+    sid = event_loop.run_until_complete(seed())
+    rt, shim, log = bridged_runtime(client, event_loop)
+    session_mod = rt.load_module(JS / "stores" / "session.js")
+    rt.interp.call_any(session_mod["sessionStore"].props["set"],
+                       [to_js({"current": sid})])
+    params_mod = rt.load_module(JS / "chat" / "params.js")
+    rt.interp.call_any(params_mod["wireParamsDrawer"], [])
+
+    # markup-shell analog: the drawer's named controls
+    drawer = rt.interp.call_any(shim["getById"], ["params-drawer"])
+    controls = {}
+    for name, tag in [("temperature", "input"), ("context_window", "input"),
+                      ("thinking", "select"),
+                      ("custom_instructions", "textarea")]:
+        c = rt.run_script(
+            f"let out = document.createElement('{tag}');").get("out")
+        rt.interp.call_any(get_member(c, "setAttribute", rt.interp),
+                           ["name", name])
+        rt.interp.call_any(get_member(drawer, "appendChild", rt.interp), [c])
+        controls[name] = c
+
+    set_member(controls["temperature"], "value", "0.4")
+    set_member(controls["context_window"], "value", "16384")
+    set_member(controls["thinking"], "value", "true")
+    set_member(controls["custom_instructions"], "value", "")  # -> delete
+
+    save = rt.interp.call_any(shim["getById"], ["params-save"])
+    rt.interp.call_any(save.props["onclick"], [])
+    rt.drain_jobs()
+
+    async def fetch_params():
+        r = await client.get(f"/api/sessions/{sid}")
+        return (await r.json())["params"]
+
+    params = event_loop.run_until_complete(fetch_params())
+    assert params["temperature"] == 0.4          # float, not "0.4"
+    assert params["context_window"] == 16384     # int
+    assert params["thinking"] is True            # boolean
+    assert "custom_instructions" not in params   # explicit-null deleted
