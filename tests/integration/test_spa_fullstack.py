@@ -637,3 +637,66 @@ def test_params_drawer_against_real_server(client, event_loop):
     assert params["context_window"] == 16384     # int
     assert params["thinking"] is True            # boolean
     assert "custom_instructions" not in params   # explicit-null deleted
+
+
+def test_session_history_and_message_delete_against_real_server(client, event_loop):
+    """openSession paints a REAL persisted conversation (markdown bodies,
+    sources, metrics, stats, tool steps) and the per-message delete button
+    removes the message server-side."""
+    async def seed():
+        r = await client.post("/api/sessions", json={})
+        sid = (await r.json())["id"]
+        svc = client.server.app["services"].session_service
+        svc.add_message(sid, "user", "what is tiling?")
+        svc.add_message(
+            sid, "assistant", "Tiling maps blocks onto the **MXU**.",
+            sources=[{"id": "c1", "title": "kernels.md", "score": 0.83,
+                      "metadata": {"module": "jax"}}],
+            metrics={"score_distribution": {"mean": 0.8, "max": 0.83},
+                     "diversity": {"unique_sources": 1},
+                     "coverage": {"total_chunks": 3, "total_chars": 900,
+                                  "estimated_tokens": 225},
+                     "quality": {"high_score_ratio": 1.0}},
+            confidence="normal",
+            stats={"duration_ms": 1200, "est_tokens": 9, "tokens_per_s": 7.5},
+            tool_steps=[{"tool": "rag_query", "params": {"query": "tiling"},
+                         "status": "completed", "output": "3 chunks"}],
+        )
+        return sid
+
+    sid = event_loop.run_until_complete(seed())
+    rt, shim, log = bridged_runtime(client, event_loop)
+    sb = rt.load_module(JS / "views" / "sidebar.js")
+    rt.interp.call_any(sb["wireSidebar"], [])
+    rt.interp.call_any(sb["openSession"], [sid])
+    rt.drain_jobs()
+
+    messages_el = rt.interp.call_any(shim["getById"], ["messages"])
+    text = _text(messages_el)
+    assert "what is tiling?" in text
+    assert "<strong>MXU</strong>" in text          # markdown painted
+    assert "kernels.md" in text and "0.83" in text  # sources row
+    assert "chunks 3" in text                       # metrics summary
+    assert "Steps (1)" in text and "rag_query" in text  # persisted timeline
+    assert "≈9 tok" in text and "7.5 tok/s" in text     # stats line
+
+    # the delete action removes the message through the real route
+    bodies = rt.interp.call_any(
+        _class_method_fs(rt, messages_el, "querySelectorAll"), [".msg"])
+    first = list(bodies)[0]
+    del_btn = [b for b in _all(first)
+               if "delete" in (b.props.get("_text") or "")][0]
+    rt.interp.call_any(del_btn.props["onclick"], [])
+    rt.drain_jobs()
+
+    async def count():
+        r = await client.get(f"/api/sessions/{sid}")
+        return len((await r.json())["messages"])
+
+    assert event_loop.run_until_complete(count()) == 1
+
+
+def _class_method_fs(rt, obj, name):
+    from tensortruth_tpu.jsrt.builtins import get_member
+
+    return get_member(obj, name, rt.interp)
