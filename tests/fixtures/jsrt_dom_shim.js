@@ -123,7 +123,10 @@ class Element {
     if (sel.includes(",")) {
       return sel.split(",").some(s => this.matches(s.trim()));
     }
-    if (sel.startsWith(".")) { return this.classList.contains(sel.slice(1)); }
+    if (sel.startsWith(".")) {
+      // compound class selectors (".tl-dot.calling") require every class
+      return sel.slice(1).split(".").every(c => this.classList.contains(c));
+    }
     if (sel.startsWith("#")) { return this.id === sel.slice(1); }
     // tag[attr] presence selectors (the params drawer's input[name])
     const m = sel.match(/^(\w+)?\[([\w-]+)\]$/);
