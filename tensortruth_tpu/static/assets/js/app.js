@@ -13,6 +13,7 @@ import {wireParamsDrawer} from "./chat/params.js";
 import {stopStreaming} from "./chat/ws.js";
 import {wireContextMenuDismiss} from "./lib/contextmenu.js";
 import {$, toast} from "./lib/dom.js";
+import {applyRoute, currentRoute, wireRouter} from "./lib/router.js";
 import {wireConfigPanel} from "./panels/config.js";
 import {wireDocumentsPanel} from "./panels/documents.js";
 import {wireExtensionsPanel} from "./panels/extensions.js";
@@ -22,9 +23,11 @@ import {wireProvidersPanel} from "./panels/providers.js";
 import {wireSystemPanel} from "./panels/system.js";
 import {sessionStore} from "./stores/session.js";
 import {showManage, wireManage} from "./views/manage.js";
-import {showProjectView} from "./views/project.js";
+import {openProjectView, showProjectView} from "./views/project.js";
 import {wireMemstrip} from "./views/memstrip.js";
-import {loadModules, loadProjects, loadSessions, wireSidebar} from "./views/sidebar.js";
+import {
+  loadModules, loadProjects, loadSessions, openSession, wireSidebar,
+} from "./views/sidebar.js";
 import {wireWizard, wizardShow} from "./wizard/wizard.js";
 
 // Light/dark theme toggle (reference frontend ThemeToggle.tsx), persisted.
@@ -113,6 +116,17 @@ async function init() {
   const fresh = status && !status.indexes_present &&
     !sessionStore.get().sessions.length && !localStorage.getItem("tt_wizard_done");
   if (fresh) { wizardShow(true); return; }
+  // Deep link restore (≡ reference react-router paths): #manage/<panel>,
+  // #project/<id>, #session/<id>; back/forward replay the same handlers.
+  const routeHandlers = {
+    manage: panel => showManage(true, panel),
+    project: id => { showManage(false); openProjectView(id); },
+    session: id => { showManage(false); showProjectView(false); openSession(id); },
+    chat: () => { showManage(false); showProjectView(false); },
+  };
+  wireRouter(routeHandlers);
+  const deep = currentRoute();
+  if (deep) { applyRoute(deep, routeHandlers); return; }
   // scope to #sessions: project rows share the .session class, and
   // clicking one would silently mint a new project session on every load
   const existing = document.querySelector("#sessions .session");

@@ -3,6 +3,7 @@
 // row-item builder every panel renders with.
 
 import {$, el} from "../lib/dom.js";
+import {setRoute} from "../lib/router.js";
 import {uiStore} from "../stores/ui.js";
 import {loadConfigPanel} from "../panels/config.js";
 import {loadDocumentsPanel} from "../panels/documents.js";
@@ -28,10 +29,12 @@ export function showManage(show, panel) {
   $("chat-view").style.display = show ? "none" : "flex";
   $("manage").style.display = show ? "flex" : "none";
   if (show) switchPanel(panel || uiStore.get().tab || "providers");
+  else setRoute("");  // back to the chat deep link
 }
 
 export function switchPanel(name) {
   uiStore.set({tab: name});
+  setRoute("manage/" + name);  // deep-linkable (≡ reference router paths)
   for (const t of document.querySelectorAll("#manage-tabs .tab[data-panel]"))
     t.classList.toggle("active", t.dataset.panel === name);
   for (const p of document.querySelectorAll(".panel"))

@@ -15,6 +15,7 @@ import {
   patchProject, removeCatalogModule,
 } from "../api/projects.js";
 import {$, el, toast} from "../lib/dom.js";
+import {setRoute} from "../lib/router.js";
 import {displayName} from "../chat/modulepicker.js";
 import {sendWhenOpen} from "../chat/send.js";
 import {openSession} from "./sidebar.js";
@@ -30,7 +31,7 @@ export function projectViewId() { return current; }
 
 export function showProjectView(on) {
   $("project-view").style.display = on ? "flex" : "none";
-  if (!on) current = null;
+  if (!on) { current = null; setRoute(""); }
 }
 
 async function patchParams(projectId, kv) {
@@ -195,6 +196,7 @@ function sessionsColumn(project, sessions, openSessionFn) {
 
 export async function openProjectView(projectId) {
   current = projectId;
+  setRoute("project/" + projectId);  // deep-linkable (≡ /projects/:id)
   const view = $("project-view");
   view.innerHTML = "";
   view.style.display = "flex";

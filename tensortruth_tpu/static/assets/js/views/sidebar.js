@@ -14,6 +14,7 @@ import {
 } from "../api/sessions.js";
 import {onContextMenu} from "../lib/contextmenu.js";
 import {$, el} from "../lib/dom.js";
+import {setRoute} from "../lib/router.js";
 import {renderMarkdown} from "../lib/markdown.js";
 import {sessionStore, currentSessionId} from "../stores/session.js";
 import {
@@ -92,6 +93,7 @@ function renderHistoryMessage(id, m, mi) {
 
 export async function openSession(id, opts) {
   closeWS();
+  setRoute("session/" + id);  // deep-linkable (≡ reference /chat/:id)
   $("messages").innerHTML = "";
   const session = await getSession(id);
   sessionStore.set({current: id, title: session.title || id});

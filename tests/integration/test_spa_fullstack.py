@@ -700,3 +700,41 @@ def _class_method_fs(rt, obj, name):
     from tensortruth_tpu.jsrt.builtins import get_member
 
     return get_member(obj, name, rt.interp)
+
+
+def test_deep_links_restore_views(client, event_loop):
+    """Hash routes (≡ reference router paths) restore state on load:
+    #manage/system boots into the System panel; #session/<id> opens that
+    conversation directly."""
+    from tensortruth_tpu.jsrt.builtins import set_member
+
+    async def seed():
+        r = await client.post("/api/sessions", json={})
+        sid = (await r.json())["id"]
+        svc = client.server.app["services"].session_service
+        svc.add_message(sid, "user", "deep link target message")
+        return sid
+
+    sid = event_loop.run_until_complete(seed())
+
+    # 1. #manage/system → manage overlay with the System panel active
+    rt, shim, _ = bridged_runtime(client, event_loop)
+    loc = rt.globals.get("location")
+    set_member(loc, "hash", "#manage/system")
+    rt.load_module(JS / "app.js")
+    rt.drain_jobs()
+    manage = rt.interp.call_any(shim["getById"], ["manage"])
+    assert manage.props["style"].props.get("display") == "flex"
+    cards = rt.interp.call_any(shim["getById"], ["devices-cards"])
+    assert "host RAM" in _text(cards)  # the System loader actually ran
+
+    # 2. #session/<id> → that conversation opens with its history painted
+    rt2, shim2, _ = bridged_runtime(client, event_loop)
+    loc2 = rt2.globals.get("location")
+    set_member(loc2, "hash", f"#session/{sid}")
+    rt2.load_module(JS / "app.js")
+    rt2.drain_jobs()
+    msgs = rt2.interp.call_any(shim2["getById"], ["messages"])
+    assert "deep link target message" in _text(msgs)
+    sock = rt2.interp.call_any(shim2["lastSocket"], [])
+    assert from_js(sock.props["url"]).endswith(f"/ws/chat/{sid}")
