@@ -6,11 +6,17 @@
 // replays through the same apply function.
 
 let applying = false;  // guard: applying a hash must not re-write it
+let lastSet = null;    // guard: our own hash writes must not re-apply —
+                       // hashchange fires asynchronously after setRoute,
+                       // outside the `applying` window
 
 export function setRoute(route) {
   if (applying) return;
   try {
-    if (location.hash.slice(1) !== route) location.hash = route;
+    if (location.hash.slice(1) !== route) {
+      lastSet = route;
+      location.hash = route;
+    }
   } catch (e) {}
 }
 
@@ -33,7 +39,11 @@ export function applyRoute(route, handlers) {
 }
 
 export function wireRouter(handlers) {
-  const onHash = () => applyRoute(currentRoute(), handlers);
+  const onHash = () => {
+    const route = currentRoute();
+    if (route === lastSet) { lastSet = null; return; }  // echo of our write
+    applyRoute(route, handlers);
+  };
   try { window.addEventListener("hashchange", onHash); } catch (e) {}
   return onHash;
 }
